@@ -1,0 +1,264 @@
+"""Deduplication operators (SURVEY §2.11 north-star extensions).
+
+Exact, MinHash-LSH, SimHash, and n-gram-Jaccard dedup over the
+``documents`` table. All variants are expressed relationally (explode
+shingles → hash → min-aggregate → bucket-join) so they are one or two
+shuffles regardless of corpus size; the only per-doc state is a
+constant-size signature. The hash family is md5 (identical in every
+engine) so the DuckDB oracles verify values bit-for-bit.
+
+Scale notes (100 TB corpus):
+- signatures are O(docs × k) rows, tiny next to the corpus;
+- the LSH bucket join only pairs docs sharing a band, so candidate
+  pairs stay near-linear instead of O(n²);
+- the shingle explode is a generated column, never materialized.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from environmental_stac_generator_spark.functions.rounding import rnd
+from environmental_stac_generator_spark.registry import register
+from environmental_stac_generator_spark.tables import load
+
+N_HASHES = 8  # minhash signature length
+BAND_SIZE = 2  # LSH band = 2 hashes -> 4 bands
+
+# Spark-side shingle expression: word 3-grams from a whitespace split.
+_SPARK_SHINGLES = (
+    "transform(sequence(0, size(words) - 3),"
+    " i -> concat_ws(' ', words[i], words[i+1], words[i+2]))"
+)
+# DuckDB equivalent (1-based lists, range() end-exclusive).
+_DUCK_SHINGLES = (
+    "list_transform(range(1, len(words) - 1),"
+    " i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])"
+)
+
+
+def _spark_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + exploded distinct 3-gram shingles."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.withColumn("words", F.split("text", " "))
+        .filter(F.size("words") >= 3)
+        .select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle"))
+        .distinct()
+    )
+
+
+_DUCK_SHINGLED = f"""
+    shingled AS (
+      SELECT DISTINCT doc_id, unnest({_DUCK_SHINGLES}) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+      WHERE len(words) >= 3
+    )
+"""
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash,
+           min(doc_id) AS survivor_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    doc="Exact dedup: hash-groupBy on content, deterministic survivor "
+    "= min(doc_id). One shuffle on the hash.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash")).agg(
+        F.min("doc_id").alias("survivor_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@register(
+    "minhash_signatures",
+    f"""
+    WITH {_DUCK_SHINGLED},
+    hashes AS (
+      SELECT s.doc_id, k.range AS k,
+             md5(CAST(k.range AS VARCHAR) || ':' || s.shingle) AS h
+      FROM shingled s CROSS JOIN range({N_HASHES}) k
+    )
+    SELECT doc_id, CAST(k AS INT) AS k, min(h) AS minhash
+    FROM hashes GROUP BY doc_id, k
+    """,
+    doc="MinHash signatures: k independent hash fns simulated as "
+    "md5(k || shingle); signature = per-doc min. Lexicographic min of "
+    "md5 hex == min of a 128-bit uniform hash.",
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _spark_shingled(spark, sf_dir)
+    ks = spark.range(N_HASHES).select(F.col("id").cast("int").alias("k"))
+    return (
+        sh.crossJoin(F.broadcast(ks))
+        .select(
+            "doc_id",
+            "k",
+            F.md5(
+                F.concat(F.col("k").cast("string"), F.lit(":"), F.col("shingle")).cast(
+                    "binary"
+                )
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "k")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+@register(
+    "lsh_candidate_pairs",
+    f"""
+    WITH {_DUCK_SHINGLED},
+    hashes AS (
+      SELECT s.doc_id, k.range AS k,
+             md5(CAST(k.range AS VARCHAR) || ':' || s.shingle) AS h
+      FROM shingled s CROSS JOIN range({N_HASHES}) k
+    ),
+    sigs AS (
+      SELECT doc_id, CAST(k AS INT) AS k, min(h) AS minhash
+      FROM hashes GROUP BY doc_id, k
+    ),
+    bands AS (
+      SELECT doc_id, CAST(k // {BAND_SIZE} AS INT) AS band,
+             md5(string_agg(minhash, '|' ORDER BY k)) AS band_hash
+      FROM sigs GROUP BY doc_id, k // {BAND_SIZE}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    """,
+    doc="MinHash-LSH banding: band hash = md5 of the band's minhashes; "
+    "docs sharing any (band, band_hash) bucket become candidate "
+    "near-dup pairs. The join is on the bucket key only — near-linear.",
+)
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = minhash_signatures(spark, sf_dir)
+    bands = (
+        sigs.groupBy(
+            "doc_id", (F.col("k") / BAND_SIZE).cast("int").alias("band")
+        )
+        .agg(
+            F.md5(
+                F.concat_ws("|", F.sort_array(F.collect_list(F.struct("k", "minhash")))
+                            .getField("minhash")).cast("binary")
+            ).alias("band_hash")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@register(
+    "ngram_jaccard_vs_probe",
+    f"""
+    WITH {_DUCK_SHINGLED},
+    probe AS (SELECT shingle FROM shingled WHERE doc_id = 0),
+    probe_n AS (SELECT count(*) AS n FROM probe),
+    doc_n AS (SELECT doc_id, count(*) AS n FROM shingled GROUP BY doc_id),
+    inter AS (
+      SELECT s.doc_id, count(*) AS i
+      FROM shingled s JOIN probe p ON s.shingle = p.shingle
+      WHERE s.doc_id <> 0
+      GROUP BY s.doc_id
+    )
+    SELECT i.doc_id,
+           floor((CAST(i.i AS DOUBLE) / (d.n + (SELECT n FROM probe_n) - i.i)) * 10000.0 + 0.5) / 10000.0
+             AS jaccard
+    FROM inter i JOIN doc_n d ON i.doc_id = d.doc_id
+    ORDER BY jaccard DESC, i.doc_id
+    LIMIT 20
+    """,
+    doc="n-gram Jaccard near-dup: 3-gram shingle-set Jaccard of every "
+    "doc against probe doc 0, top-20. The shingle equi-join replaces "
+    "the O(n²) pairwise scan.",
+)
+def ngram_jaccard_vs_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _spark_shingled(spark, sf_dir)
+    probe = sh.filter(F.col("doc_id") == 0).select("shingle")
+    probe_n = probe.count()
+    doc_n = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.filter(F.col("doc_id") != 0)
+        .join(F.broadcast(probe), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(doc_n, "doc_id")
+        .select(
+            "doc_id",
+            rnd(F.col("i").cast("double") / (F.col("n") + F.lit(probe_n) - F.col("i")), 4).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "simhash",
+    """
+    WITH tokens AS (
+      SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
+      FROM documents
+    ),
+    bits AS (
+      SELECT doc_id,
+    """
+    + ",\n".join(
+        f"        CASE WHEN sum(CASE WHEN substr(h, {b + 1}, 1) IN "
+        "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) >= 0 "
+        f"THEN '1' ELSE '0' END AS b{b:02d}"
+        for b in range(16)
+    )
+    + """
+      FROM tokens GROUP BY doc_id
+    )
+    SELECT doc_id, """
+    + " || ".join(f"b{b:02d}" for b in range(16))
+    + """ AS simhash
+    FROM bits
+    """,
+    doc="SimHash: 16-bit signature — per bit, sign of the sum of ±1 "
+    "votes from each token's md5 bit. Near-dups differ in few bits "
+    "(compare via hamming distance on the bitstring).",
+)
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tokens = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).select("doc_id", F.md5(F.col("tok").cast("binary")).alias("h"))
+    hexset = ["8", "9", "a", "b", "c", "d", "e", "f"]
+    bit_aggs = [
+        F.when(
+            F.sum(
+                F.when(F.substring("h", b + 1, 1).isin(hexset), 1).otherwise(-1)
+            )
+            >= 0,
+            "1",
+        )
+        .otherwise("0")
+        .alias(f"b{b:02d}")
+        for b in range(16)
+    ]
+    bits = tokens.groupBy("doc_id").agg(*bit_aggs)
+    return bits.select(
+        "doc_id", F.concat(*[F.col(f"b{b:02d}") for b in range(16)]).alias("simhash")
+    )

@@ -1,0 +1,184 @@
+"""Text analysis operators (SURVEY §2.11 north-star extensions).
+
+Language-ID (marker-token heuristic), quality scoring, token
+counting, and content fingerprinting over the ``documents`` table.
+Everything is built-in string/array functions — one map pass, no
+Python, no shuffle except the final small aggregations.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from environmental_stac_generator_spark.functions.rounding import rnd
+from environmental_stac_generator_spark.registry import register
+from environmental_stac_generator_spark.tables import load
+
+STOPWORDS = ["the", "a", "of", "and", "to"]
+
+# marker-token groups for the n-gram-free language heuristic
+LANG_MARKERS = {
+    "en": ["the", "a"],
+    "db": ["table", "row", "column"],
+    "ops": ["join", "merge", "sort"],
+    "qry": ["query", "filter", "scan"],
+    "sys": ["spark", "stream", "batch"],
+}
+
+
+@register(
+    "token_count",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z0-9]+')) AS re_tokens,
+           length(text) AS n_chars
+    FROM documents
+    """,
+    doc="Token counting: whitespace tokenizer + BPE-ish regex "
+    "tokenizer + char count, all codegen'd string ops.",
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).alias("re_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+@register(
+    "quality_score",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    stats AS (
+      SELECT doc_id,
+             count(*) AS n_tokens,
+             floor((avg(length(tok))) * 10000.0 + 0.5) / 10000.0 AS avg_token_len,
+             floor((CAST(sum(CASE WHEN tok IN
+                     ({", ".join("'" + w + "'" for w in STOPWORDS)})
+                   THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0
+               AS stopword_ratio,
+             floor((CAST(count(DISTINCT tok) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0
+               AS distinct_ratio
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, avg_token_len, stopword_ratio, distinct_ratio,
+           floor((0.4 * least(n_tokens / 100.0, 1.0)
+                 + 0.3 * distinct_ratio
+                 + 0.3 * (1.0 - stopword_ratio)) * 10000.0 + 0.5) / 10000.0 AS quality
+    FROM stats
+    """,
+    doc="Quality scoring: length, stopword ratio, lexical diversity "
+    "combined into a [0,1] score — the standard pretraining-corpus "
+    "heuristic filter, fully relational.",
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    stats = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        rnd(F.avg(F.length("tok")), 4).alias("avg_token_len"),
+        rnd(F.sum(F.when(F.col("tok").isin(STOPWORDS), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)), 4).alias("stopword_ratio"),
+        rnd(F.countDistinct("tok").cast("double") / F.count(F.lit(1)), 4).alias("distinct_ratio"),
+    )
+    quality = rnd(0.4 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
+        + 0.3 * F.col("distinct_ratio")
+        + 0.3 * (1.0 - F.col("stopword_ratio")), 4)
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        "avg_token_len",
+        "stopword_ratio",
+        "distinct_ratio",
+        quality.alias("quality"),
+    )
+
+
+def _duck_marker_count(markers: list[str]) -> str:
+    inlist = ", ".join("'" + m + "'" for m in markers)
+    return f"sum(CASE WHEN tok IN ({inlist}) THEN 1 ELSE 0 END)"
+
+
+@register(
+    "lang_id",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    scores AS (
+      SELECT doc_id,
+             {_duck_marker_count(LANG_MARKERS["en"])} AS s_en,
+             {_duck_marker_count(LANG_MARKERS["db"])} AS s_db,
+             {_duck_marker_count(LANG_MARKERS["ops"])} AS s_ops,
+             {_duck_marker_count(LANG_MARKERS["qry"])} AS s_qry,
+             {_duck_marker_count(LANG_MARKERS["sys"])} AS s_sys
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN s_en >= s_db AND s_en >= s_ops AND s_en >= s_qry
+                     AND s_en >= s_sys THEN 'en'
+                WHEN s_db >= s_ops AND s_db >= s_qry AND s_db >= s_sys THEN 'db'
+                WHEN s_ops >= s_qry AND s_ops >= s_sys THEN 'ops'
+                WHEN s_qry >= s_sys THEN 'qry'
+                ELSE 'sys' END AS predicted_lang
+    FROM scores
+    """,
+    doc="Language-ID heuristic: argmax of marker-token counts with a "
+    "fixed tie-break order — the n-gram-profile langid pattern "
+    "expressed as a single aggregation.",
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    aggs = [
+        F.sum(F.when(F.col("tok").isin(m), 1).otherwise(0)).alias(f"s_{lang}")
+        for lang, m in LANG_MARKERS.items()
+    ]
+    scores = toks.groupBy("doc_id").agg(*aggs)
+    s = {k: F.col(f"s_{k}") for k in LANG_MARKERS}
+    predicted = (
+        F.when(
+            (s["en"] >= s["db"])
+            & (s["en"] >= s["ops"])
+            & (s["en"] >= s["qry"])
+            & (s["en"] >= s["sys"]),
+            "en",
+        )
+        .when((s["db"] >= s["ops"]) & (s["db"] >= s["qry"]) & (s["db"] >= s["sys"]), "db")
+        .when((s["ops"] >= s["qry"]) & (s["ops"] >= s["sys"]), "ops")
+        .when(s["qry"] >= s["sys"], "qry")
+        .otherwise("sys")
+    )
+    return scores.select("doc_id", predicted.alias("predicted_lang"))
+
+
+@register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(lower(text)) AS exact_fp,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+                               ' ')) AS bow_fp
+    FROM documents
+    """,
+    doc="Document fingerprinting: exact content hash + bag-of-words "
+    "hash (order-insensitive) — the rolling-hash family's relational "
+    "stand-ins for dedup keys.",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.lower("text").cast("binary")).alias("exact_fp"),
+        F.md5(
+            F.concat_ws(
+                " ", F.array_sort(F.array_distinct(F.split("text", " ")))
+            ).cast("binary")
+        ).alias("bow_fp"),
+    )

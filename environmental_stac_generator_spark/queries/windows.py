@@ -1,0 +1,145 @@
+"""Window / ordering / distinct operators (SURVEY §2.8 W1–W4).
+
+The reference's implicit orderings (time loop, leadtime positional
+index, first-thumbnail-wins) become explicit deterministic window
+functions — ``row_number`` over a total order — so results are stable
+under any partitioning, which the reference's "first wins" logic is
+not (SURVEY §7 hard-point g).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from environmental_stac_generator_spark.registry import register
+from environmental_stac_generator_spark.tables import load
+
+
+@register(
+    "leadtime_index",
+    """
+    SELECT o_orderpriority, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS init_date,
+           row_number() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_orderdate, o_orderkey) - 1 AS leadtime_idx
+    FROM orders
+    QUALIFY leadtime_idx < 5
+    """,
+    doc="W1 ordered iteration -> positional index: row_number()-1 over "
+    "(time, key) = xarray isel position (ref stac/generator.py:664,784,858).",
+)
+def leadtime_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("init_date"),
+            (F.row_number().over(w) - 1).alias("leadtime_idx"),
+        )
+        .filter(F.col("leadtime_idx") < 5)
+    )
+
+
+@register(
+    "first_per_group",
+    """
+    SELECT o_custkey, o_orderkey AS first_orderkey,
+           strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS first_orderdate
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+    doc="W2 first-k selection: deterministic top-1 per group — the "
+    "collection-thumbnail 'first wins' promotion "
+    "(ref stac/generator.py:800-803,913-921).",
+)
+def first_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("first_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias(
+                "first_orderdate"
+            ),
+        )
+    )
+
+
+@register(
+    "distinct_keys",
+    """
+    SELECT DISTINCT event_type, user_id % 10 AS user_bucket FROM events
+    """,
+    doc="W4 distinct keys guard (ref: uniqueness by construction of "
+    "get-or-create ids, stac/generator.py:144-262).",
+)
+def distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_type", (F.col("user_id") % 10).alias("user_bucket")
+    ).distinct()
+
+
+@register(
+    "dedupe_guard",
+    """
+    SELECT count(*) AS n_unique FROM (
+      SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem
+    )
+    """,
+    doc="W4 dropDuplicates on the composite item key "
+    "(collection_id, item_id).",
+)
+def dedupe_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber")
+        .dropDuplicates(["l_orderkey", "l_linenumber"])
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+
+
+@register(
+    "time_slice_select",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus
+    FROM orders
+    WHERE o_orderdate = (SELECT min(o_orderdate) FROM orders)
+    """,
+    doc="P4 time equality selection: ds.sel(time=t) as a pushed-down "
+    "equality filter (ref stac/generator.py:665).",
+)
+def time_slice_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    min_date = o.agg(F.min("o_orderdate")).first()[0]
+    return o.filter(F.col("o_orderdate") == F.lit(min_date)).select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+
+
+@register(
+    "band_index",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           row_number() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_orderstatus) AS bidx
+    FROM (SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders)
+    """,
+    doc="N2/W1 1-based band index: enumerate bands (variables) per "
+    "group ordered by name (ref stac/generator.py:879-899 bidx).",
+)
+def band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    bands = o.select("o_orderpriority", "o_orderstatus").distinct()
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderstatus")
+    return bands.withColumn("bidx", F.row_number().over(w))

@@ -1,0 +1,48 @@
+"""Parquet table loaders for the driver's synthetic star schema.
+
+Tables (see TESTDATA.md): region nation customer supplier part orders
+lineitem events documents embeddings — one parquet file each under an
+``sf*`` directory. The loader is a plain ``spark.read.parquet`` so
+Catalyst gets full predicate pushdown / column pruning on every scan
+(the reference's lazy-xarray analog, SURVEY §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimensions worth a broadcast hint when joined against facts.
+SMALL_TABLES = {"region", "nation", "supplier", "customer", "part"}
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which the vectorized
+        # reader rejects; read it as raw nanos and convert. Lossless
+        # here (values are µs-precision) and still a pushdown-friendly
+        # native scan.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        from pyspark.sql import functions as F
+
+        return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLE_NAMES}

@@ -1,0 +1,26 @@
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+from environmental_stac_generator_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    sp = get_spark(app_name="envstac-tests", master="local[4]", shuffle_partitions=4)
+    yield sp
+    sp.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR
