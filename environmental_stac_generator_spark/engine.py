@@ -1,0 +1,136 @@
+"""EnvStacEngine — the programmatic facade (SURVEY §3.3).
+
+The Spark twin of the reference's ``STACGenerator`` session object
+(``stac/generator.py:40-77``): construct once, then run the
+preprocess pipeline (scan → info → catalog assembly → raster/json
+sinks) and the ingest pipeline (catalog → anti-join → sink) as lazy
+DataFrame stages. Every stage returns a DataFrame so callers can
+inspect, extend, or re-plan before any action runs — the reference's
+hard-coded control flow becomes a composable logical plan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from environmental_stac_generator_spark.functions.frequency import (
+    parse_forecast_frequency,
+)
+from environmental_stac_generator_spark.operators import forecast as fc
+from environmental_stac_generator_spark.plans import stac_catalog as sc
+from environmental_stac_generator_spark.plans.config_guard import (
+    store_or_validate_config,
+)
+from environmental_stac_generator_spark.sinks import raster, stac_json
+from environmental_stac_generator_spark.sources import netcdf
+
+
+@dataclass
+class EnvStacEngine:
+    """One engine instance per catalog (ref ``BaseSTAC.__init__``,
+    ``stac/generator.py:40-77``)."""
+
+    spark: SparkSession
+    catalog_name: str = "forecasts"
+    output_dir: str | Path = "data"
+    file_server_url: str | None = None
+    license: str = "other"
+    decoder: netcdf.Decoder | None = None
+    cog_encoder: raster.Encoder = field(default=raster.fake_tiff_encoder)
+
+    # ---- scan stage (S1/S2/U1) ----
+
+    def scan(self, input_path: str) -> DataFrame:
+        return netcdf.scan_netcdf(self.spark, input_path, decoder=self.decoder)
+
+    def scan_metadata(self, input_path: str) -> DataFrame:
+        return netcdf.scan_netcdf_metadata(self.spark, input_path)
+
+    # ---- derivation stages ----
+
+    def forecast_info(self, long_df: DataFrame) -> DataFrame:
+        return fc.forecast_info(long_df)
+
+    def band_statistics(self, long_df: DataFrame) -> DataFrame:
+        return fc.band_statistics(long_df)
+
+    def process(
+        self,
+        input_path: str,
+        forecast_frequency: str = "1days",
+        stac_only: bool = False,
+        overwrite: bool = True,
+    ) -> dict[str, DataFrame]:
+        """The flagship preprocess pipeline
+        (ref ``process``, ``stac/generator.py:587-808``).
+
+        Returns every stage's DataFrame; sinks have already run
+        (they are actions), catalog frames are lazy.
+        """
+        step, unit = parse_forecast_frequency(forecast_frequency)
+        store_or_validate_config(
+            self.spark,
+            Path(self.output_dir) / "config.json",
+            {self.catalog_name: {"forecast_frequency": forecast_frequency}},
+        )
+        long_df = self.scan(input_path)
+        # the reference re-opens each file per stage (a missed
+        # optimization, SURVEY §4) — we scan once and reuse
+        long_df = long_df.persist()
+        info = self.forecast_info(long_df)
+        stats = self.band_statistics(long_df)
+        collections = sc.build_collections(info, license=self.license)
+        times = fc.leadtime_counts(long_df)
+        items = sc.build_items(times, info, leadtime_unit=unit, leadtime_step=step)
+        cog_assets = sc.build_cog_assets(stats, items, leadtime_unit=unit, leadtime_step=step)
+        nc_assets = sc.build_netcdf_assets(items)
+        thumb_assets = sc.build_thumbnail_assets(cog_assets)
+        assets = cog_assets.unionByName(nc_assets).unionByName(thumb_assets)
+        if self.file_server_url:
+            assets = sc.rewrite_hrefs(assets, self.file_server_url)
+
+        results: dict[str, DataFrame] = {
+            "long": long_df,
+            "info": info,
+            "stats": stats,
+            "collections": collections,
+            "items": items,
+            "assets": assets,
+        }
+        if not stac_only:
+            # sinks are actions: materialize now (persist so callers
+            # can inspect the result rows without re-encoding)
+            cog_results = raster.encode_cogs(
+                long_df,
+                self.output_dir,
+                encoder=self.cog_encoder,
+                overwrite=overwrite,
+                leadtime_unit=unit,
+                leadtime_step=step,
+            ).persist()
+            cog_results.count()
+            nc_results = raster.write_netcdf_slices(
+                long_df, self.output_dir, overwrite=overwrite
+            ).persist()
+            nc_results.count()
+            results["cog_results"] = cog_results
+            results["netcdf_results"] = nc_results
+        return results
+
+    # ---- catalog save (K4) ----
+
+    def save_catalog(self, results: dict[str, DataFrame]) -> Path:
+        items_json = sc.items_to_json(results["items"], results["assets"])
+        colls_json = sc.collections_to_json(results["collections"])
+        stac_json.save_items(items_json, self.output_dir)
+        stac_json.save_collections(colls_json, self.output_dir)
+        ids = [r["collection_id"] for r in results["collections"].select("collection_id").collect()]
+        return stac_json.save_catalog_root(
+            self.catalog_name,
+            f"{self.catalog_name} STAC catalog",
+            ids,
+            self.output_dir,
+        )

@@ -1,0 +1,158 @@
+"""Multimodal columns: image/audio/video as opaque binary + metadata.
+
+North-star extension (SURVEY §2.11): media travel as ``binary``
+columns with a typed metadata struct; decode / feature-extract /
+resize / frame-sample are Arrow-batched ``mapInPandas`` kernels.
+The image/audio codecs are NOT in this container, so the decode
+step is pluggable: :func:`fake_decode` is a deterministic stand-in
+and the real decoders raise ``NotImplementedError`` naming the
+missing library — the Spark-side plumbing (schemas, batch shapes,
+partitioning) is identical and fully tested.
+
+Scale notes: binary payloads dominate row size, so operators avoid
+shuffling content — metadata-only projections go first
+(column pruning keeps the binary out of exchanges), and per-row
+kernels run where the data sits.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("content", BinaryType()),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("format", StringType()),
+                    StructField("width", IntegerType()),
+                    StructField("height", IntegerType()),
+                    StructField("sample_rate", IntegerType()),
+                    StructField("n_frames", IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("content_hash", StringType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def synthesize_media(documents: DataFrame) -> DataFrame:
+    """Derive a deterministic media table from the documents table —
+    text bytes stand in for encoded payloads so every pipeline stage
+    has real binary data to move."""
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.col("text").cast("binary").alias("content"),
+        F.struct(
+            F.lit("fake").alias("format"),
+            (F.col("doc_id") % 64 + 16).cast("int").alias("width"),
+            (F.col("doc_id") % 48 + 16).cast("int").alias("height"),
+            F.lit(16_000).alias("sample_rate"),
+            (F.col("n_chars") % 120 + 1).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+DecodeFn = Callable[[bytes, dict], np.ndarray]
+
+
+def fake_decode(content: bytes, meta: dict) -> np.ndarray:
+    """Deterministic 8-dim feature vector from the payload bytes —
+    the stand-in for image decode + embedding."""
+    digest = hashlib.md5(content or b"").digest()
+    raw = np.frombuffer(digest, dtype=np.uint8).astype(np.float32)
+    return (raw.reshape(2, 8).mean(axis=0) / 255.0).astype(np.float32)
+
+
+def real_image_decode(content: bytes, meta: dict) -> np.ndarray:  # pragma: no cover
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decode needs Pillow; inject fake_decode in "
+            "environments without it"
+        ) from exc
+    raise NotImplementedError("wire PIL decode here when the codec stack exists")
+
+
+def extract_features(media: DataFrame, decode: DecodeFn = fake_decode) -> DataFrame:
+    """mapInPandas decode→feature kernel; Arrow batches, no Python
+    per-row overhead beyond the codec itself."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                decode(c, m).tolist() if c is not None else None
+                for c, m in zip(pdf["content"], pdf["meta"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(c or b"") for c in pdf["content"]],
+                    "content_hash": [
+                        hashlib.md5(c or b"").hexdigest() for c in pdf["content"]
+                    ],
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame sampling plumbing: one row per sampled frame index
+    (decode itself stays in the pluggable kernel). Pure built-in
+    sequence/explode — no data movement of the payload."""
+    frames = F.sequence(
+        F.lit(0), F.greatest(F.col("meta.n_frames") - 1, F.lit(0)), F.lit(every_n)
+    )
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", F.explode(frames).alias("frame_idx"))
+    )
+
+
+def media_summary(media: DataFrame) -> DataFrame:
+    """Metadata-only projection — binary column pruned from the scan."""
+    return media.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("meta.width").alias("avg_width"),
+        F.avg("meta.n_frames").alias("avg_frames"),
+    )

@@ -1,0 +1,58 @@
+"""C1: run-parameter consistency guard.
+
+The reference stores ``{collection: {forecast_frequency}}`` JSON on
+first run and DeepDiffs it against later runs, raising
+``ConfigMismatchError`` on drift (ref ``stac/generator.py:425-459``,
+error class ``stac/utils.py:13-14``). Here the stored config is a
+tiny DataFrame/JSON file and drift detection is a two-way
+``exceptAll`` — empty means consistent.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ConfigMismatchError(RuntimeError):
+    """Raised when the current run's parameters differ from the
+    stored configuration (ref ``stac/utils.py:13-14``)."""
+
+
+def config_diff(stored: DataFrame, current: DataFrame) -> DataFrame:
+    """Two-way EXCEPT ALL — the relational DeepDiff (F17)."""
+    added = current.exceptAll(stored).withColumn("drift", F.lit("added"))
+    removed = stored.exceptAll(current).withColumn("drift", F.lit("removed"))
+    return added.unionByName(removed)
+
+
+def store_or_validate_config(
+    spark: SparkSession, config_path: str | Path, current: dict[str, dict]
+) -> None:
+    """First run: persist. Later runs: raise on drift
+    (ref ``stac/generator.py:440-459``)."""
+    p = Path(config_path)
+    if not p.exists():
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_text(json.dumps(current, sort_keys=True))
+        return
+    stored = json.loads(p.read_text())
+
+    def to_df(d: dict) -> DataFrame:
+        rows = [
+            (coll, k, str(v))
+            for coll, params in d.items()
+            for k, v in sorted(params.items())
+        ]
+        return spark.createDataFrame(rows, "collection string, param string, value string")
+
+    diff = config_diff(to_df(stored), to_df(current))
+    drift = diff.collect()
+    if drift:
+        raise ConfigMismatchError(
+            f"stored config at {p} differs from current run: "
+            + "; ".join(f"{r['drift']} {r['collection']}.{r['param']}={r['value']}" for r in drift)
+        )

@@ -1,0 +1,138 @@
+"""K5/S8/J4/J5/J7: pgSTAC-style relational sink.
+
+The reference probes existence with one ``SELECT EXISTS`` round trip
+PER KEY and bulk-loads via pypgstac
+(``stac/dataloader.py:54-100,158-194``) — its biggest scalability
+flaw (SURVEY §3.2). Here:
+
+- existing keys come back in ONE bulk ``spark.read.jdbc`` scan and
+  the skip decision is a distributed broadcast anti-join;
+- inserts go through ``df.write.jdbc`` (append);
+- upserts build ``INSERT ... ON CONFLICT (keys) DO UPDATE`` executed
+  in ``foreachPartition`` (the JDBC writer has no MERGE), batched per
+  partition — N_partitions round trips total, not N_rows;
+- FK ordering preserved: collections before items
+  (ref ``stac/dataloader.py:173-189``).
+
+psycopg is optional; ``build_upsert_sql`` and the anti-join planning
+are pure and fully tested without a database.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+def build_upsert_sql(table: str, columns: list[str], key_columns: list[str]) -> str:
+    """INSERT ... ON CONFLICT DO UPDATE statement (J7,
+    ref ``Methods.upsert`` at ``stac/dataloader.py:171``)."""
+    if not set(key_columns) <= set(columns):
+        raise ValueError("key_columns must be a subset of columns")
+    collist = ", ".join(columns)
+    placeholders = ", ".join(["%s"] * len(columns))
+    keys = ", ".join(key_columns)
+    updates = ", ".join(
+        f"{c} = EXCLUDED.{c}" for c in columns if c not in key_columns
+    )
+    action = f"DO UPDATE SET {updates}" if updates else "DO NOTHING"
+    return (
+        f"INSERT INTO {table} ({collist}) VALUES ({placeholders}) "
+        f"ON CONFLICT ({keys}) {action}"
+    )
+
+
+def read_existing_keys(
+    spark: SparkSession, jdbc_url: str, table: str, key_columns: list[str], properties: dict | None = None
+) -> DataFrame:
+    """S8→J4/J5: ONE bulk key scan instead of per-key EXISTS probes."""
+    cols = ", ".join(key_columns)
+    query = f"(SELECT {cols} FROM {table}) AS existing_keys"
+    return spark.read.jdbc(jdbc_url, query, properties=properties or {})
+
+
+def skip_existing(df: DataFrame, existing_keys: DataFrame, key_columns: list[str]) -> DataFrame:
+    """J4/J5: broadcast left-anti join on the (composite) key."""
+    return df.join(F.broadcast(existing_keys), key_columns, "left_anti")
+
+
+def upsert_dataframe(
+    df: DataFrame,
+    dsn: str,
+    table: str,
+    key_columns: list[str],
+    batch_size: int = 1000,
+) -> None:
+    """J7/U6: partition-parallel ON CONFLICT upsert via psycopg."""
+    columns = df.columns
+    sql = build_upsert_sql(table, columns, key_columns)
+
+    def upsert_partition(rows: Iterator) -> None:
+        try:
+            import psycopg
+        except ImportError as exc:  # pragma: no cover
+            raise NotImplementedError(
+                "JDBC upsert needs psycopg on executors"
+            ) from exc
+        with psycopg.connect(dsn) as conn, conn.cursor() as cur:
+            batch = []
+            for row in rows:
+                batch.append(tuple(row[c] for c in columns))
+                if len(batch) >= batch_size:
+                    cur.executemany(sql, batch)
+                    batch.clear()
+            if batch:
+                cur.executemany(sql, batch)
+            conn.commit()
+
+    df.foreachPartition(upsert_partition)
+
+
+def ingest_catalog(
+    spark: SparkSession,
+    collections: DataFrame,
+    items: DataFrame,
+    jdbc_url: str,
+    dsn: str,
+    overwrite: bool = False,
+    properties: dict | None = None,
+) -> dict[str, int]:
+    """The full ingest plan (ref ``ingest_stac_catalog``,
+    ``stac/dataloader.py:102-194``): bulk key scans → anti-join
+    skip-existing (unless overwriting) → collections first, then
+    items (FK order). Returns planned row counts per table."""
+    if not overwrite:
+        coll_keys = read_existing_keys(
+            spark, jdbc_url, "collections", ["id"], properties
+        )
+        item_keys = read_existing_keys(
+            spark, jdbc_url, "items", ["id", "collection"], properties
+        )
+        collections = skip_existing(collections, coll_keys, ["id"])
+        items = skip_existing(items, item_keys, ["id", "collection"])
+        counts = {"collections": collections.count(), "items": items.count()}
+        collections.write.jdbc(jdbc_url, "collections", mode="append", properties=properties)
+        items.write.jdbc(jdbc_url, "items", mode="append", properties=properties)
+    else:
+        counts = {"collections": collections.count(), "items": items.count()}
+        upsert_dataframe(collections, dsn, "collections", ["id"])
+        upsert_dataframe(items, dsn, "items", ["id", "collection"])
+    return counts
+
+
+def wait_for_sink(probe, retries: int = 30, delay_s: float = 10.0) -> bool:
+    """T5: retry/backoff loop around sink availability
+    (ref ``wait_for_api``, ``stac/dataloader.py:196-221``)."""
+    import time
+
+    for attempt in range(retries):
+        try:
+            if probe():
+                return True
+        except Exception:
+            pass
+        if attempt < retries - 1:
+            time.sleep(delay_s)
+    return False

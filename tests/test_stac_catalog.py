@@ -1,0 +1,130 @@
+"""STAC catalog assembly: collections/items/assets, merges, JSON."""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+import pytest
+
+from environmental_stac_generator_spark.operators import forecast as fc
+from environmental_stac_generator_spark.plans import stac_catalog as sc
+from environmental_stac_generator_spark.sources import netcdf
+
+
+@pytest.fixture(scope="module")
+def long_df(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("cat") / "icenet_test"
+    d.mkdir()
+    for i in range(2):
+        (d / f"fc{i}.nc").write_bytes(bytes([i]))
+    return netcdf.scan_netcdf(
+        spark, str(d), decoder=netcdf.fake_decoder()
+    ).persist()
+
+
+@pytest.fixture(scope="module")
+def info(long_df):
+    return fc.forecast_info(long_df)
+
+
+def test_build_collections(info):
+    rows = sc.build_collections(info, license="MIT").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["collection_id"] == "icenet_test"
+    assert r["description"] == "Icenet test collection"  # F6 capitalize+underscores
+    assert r["license"] == "MIT"
+    assert len(r["bbox"]) == 4
+
+
+def test_merge_collections_extent(spark, info):
+    import pyspark.sql.functions as F
+
+    base = sc.build_collections(info)
+    newer = base.withColumn("extent_end", F.expr("extent_end + INTERVAL 30 DAY")).withColumn(
+        "title", F.lit("SHOULD_NOT_WIN")
+    )
+    merged = sc.merge_collections(base, newer).collect()[0]
+    assert merged["title"] != "SHOULD_NOT_WIN"  # existing metadata wins (J1)
+    base_row = base.collect()[0]
+    assert merged["extent_start"] == base_row["extent_start"]
+    assert merged["extent_end"] == base_row["extent_end"] + pd.Timedelta(days=30)  # J8
+
+
+def test_build_items_and_merge(long_df, info):
+    times = fc.leadtime_counts(long_df)
+    items = sc.build_items(times, info, leadtime_unit="days")
+    rows = items.collect()
+    assert len(rows) == long_df.select("forecast_reference_time").distinct().count()
+    r = rows[0]
+    assert r["item_id"].startswith("forecast_init_2025-01-0")
+    assert r["item_id"].endswith("Z")
+    # forecast:end_time = ref + (nlead-1) days (ref generator.py:680-682)
+    assert r["forecast_end_time_str"] > r["forecast_reference_time_str"]
+    # merge: re-adding the same items creates nothing (J2)
+    assert sc.merge_items(items, items).count() == len(rows)
+
+
+def test_cog_assets_band_meta(long_df, info):
+    stats = fc.band_statistics(long_df)
+    times = fc.leadtime_counts(long_df)
+    items = sc.build_items(times, info)
+    cogs = sc.build_cog_assets(stats, items)
+    rows = cogs.collect()
+    n_items = len(items.collect())
+    assert len(rows) == n_items * 3  # 3 leadtimes per item
+    r = min(rows, key=lambda r: (r["item_id"], r["leadtime_idx"]))
+    bands = r["band_meta"]
+    assert [b["name"] for b in bands] == ["sic_mean", "sic_stddev"]
+    assert [b["index"] for b in bands] == [1, 2]  # 1-based bidx (N2)
+    assert r["href"].startswith("./cogs/icenet_test/")
+    assert "Variables: sic_mean, sic_stddev" == r["description"]
+
+
+def test_thumbnails_first_wins(long_df, info):
+    stats = fc.band_statistics(long_df)
+    items = sc.build_items(fc.leadtime_counts(long_df), info)
+    cogs = sc.build_cog_assets(stats, items)
+    thumbs = sc.build_thumbnail_assets(cogs)
+    per_item = thumbs.filter("item_id IS NOT NULL").collect()
+    coll_level = thumbs.filter("item_id IS NULL").collect()
+    assert len(per_item) == items.count()  # leadtime-0 thumb per item
+    assert len(coll_level) == 1  # J9: one promoted per collection
+    assert coll_level[0]["href"].endswith(".jpg")
+
+
+def test_href_rewrite(spark, long_df, info):
+    stats = fc.band_statistics(long_df)
+    items = sc.build_items(fc.leadtime_counts(long_df), info)
+    cogs = sc.build_cog_assets(stats, items)
+    rewritten = sc.rewrite_hrefs(cogs, "https://files.example.com")  # no trailing /
+    assert all(
+        r["href"].startswith("https://files.example.com/cogs/")
+        for r in rewritten.collect()
+    )
+
+
+def test_items_to_json_valid_stac(long_df, info):
+    stats = fc.band_statistics(long_df)
+    items = sc.build_items(fc.leadtime_counts(long_df), info)
+    cogs = sc.build_cog_assets(stats, items)
+    nc = sc.build_netcdf_assets(items)
+    assets = cogs.unionByName(nc).unionByName(sc.build_thumbnail_assets(cogs))
+    docs = sc.items_to_json(items, assets).collect()
+    for d in docs:
+        doc = json.loads(d["json"])
+        assert doc["type"] == "Feature"
+        assert doc["stac_version"] == "1.0.0"
+        assert doc["id"] == d["item_id"]
+        assert set(doc["assets"]) >= {"netcdf", "thumbnail"}
+        assert doc["properties"]["forecast:leadtime_length"] == 3
+        geom = json.loads(doc["geometry"]) if isinstance(doc["geometry"], str) else doc["geometry"]
+        assert geom["type"] == "Polygon"
+
+
+def test_collections_to_json(info):
+    colls = sc.build_collections(info)
+    doc = json.loads(sc.collections_to_json(colls).first()["json"])
+    assert doc["type"] == "Collection"
+    assert doc["extent"]["temporal"]["interval"][0][0].endswith("Z")
