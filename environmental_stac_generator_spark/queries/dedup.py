@@ -95,22 +95,31 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "md5 hex == min of a 128-bit uniform hash.",
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _spark_shingled(spark, sf_dir)
-    ks = spark.range(N_HASHES).select(F.col("id").cast("int").alias("k"))
-    return (
-        sh.crossJoin(F.broadcast(ks))
-        .select(
-            "doc_id",
-            "k",
-            F.md5(
-                F.concat(F.col("k").cast("string"), F.lit(":"), F.col("shingle")).cast(
-                    "binary"
-                )
-            ).alias("h"),
-        )
-        .groupBy("doc_id", "k")
-        .agg(F.min("h").alias("minhash"))
-    )
+    # ZERO-shuffle formulation: the k minima are array_min over a
+    # transform of the in-row shingle array — a pure map stage. The
+    # naive explode x k hashes x groupBy version shuffles k x corpus
+    # rows; this shuffles nothing, which is the difference between
+    # feasible and not at 100 TB.
+    d = load(spark, sf_dir, "documents")
+    docs = d.withColumn("words", F.split("text", " ")).filter(
+        F.size("words") >= 3
+    ).withColumn("shingles", F.expr(_SPARK_SHINGLES))
+    def min_for(k: int):
+        # NB: the lambda must take exactly ONE arg — a second arg
+        # would make pyspark pass (element, index) into it.
+        return F.array_min(
+            F.transform(
+                "shingles",
+                lambda s: F.md5(F.concat(F.lit(f"{k}:"), s).cast("binary")),
+            )
+        ).alias(f"h{k}")
+
+    mins = [min_for(k) for k in range(N_HASHES)]
+    wide = docs.select("doc_id", *mins)
+    stack_args = ", ".join(f"{k}, h{k}" for k in range(N_HASHES))
+    return wide.select(
+        "doc_id", F.expr(f"stack({N_HASHES}, {stack_args}) AS (k, minhash)")
+    ).select("doc_id", F.col("k").cast("int").alias("k"), "minhash")
 
 
 @register(
@@ -241,24 +250,27 @@ def ngram_jaccard_vs_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(compare via hamming distance on the bitstring).",
 )
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Map-side only: hash each token once (one transform), then each
+    # bit is an array aggregate of +/-1 votes — no explode, no
+    # shuffle, embarrassingly parallel over the corpus.
     d = load(spark, sf_dir, "documents")
-    tokens = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).select("doc_id", F.md5(F.col("tok").cast("binary")).alias("h"))
-    hexset = ["8", "9", "a", "b", "c", "d", "e", "f"]
-    bit_aggs = [
+    hashed = d.select(
+        "doc_id",
+        F.transform(
+            F.split("text", " "), lambda t: F.md5(t.cast("binary"))
+        ).alias("hs"),
+    )
+    hexset = "('8','9','a','b','c','d','e','f')"
+    bit_cols = [
         F.when(
-            F.sum(
-                F.when(F.substring("h", b + 1, 1).isin(hexset), 1).otherwise(-1)
+            F.expr(
+                f"aggregate(hs, 0, (acc, h) -> acc + "
+                f"(CASE WHEN substr(h, {b + 1}, 1) IN {hexset} THEN 1 ELSE -1 END))"
             )
             >= 0,
             "1",
         )
         .otherwise("0")
-        .alias(f"b{b:02d}")
         for b in range(16)
     ]
-    bits = tokens.groupBy("doc_id").agg(*bit_aggs)
-    return bits.select(
-        "doc_id", F.concat(*[F.col(f"b{b:02d}") for b in range(16)]).alias("simhash")
-    )
+    return hashed.select("doc_id", F.concat(*bit_cols).alias("simhash"))

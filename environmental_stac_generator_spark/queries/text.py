@@ -78,14 +78,25 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "heuristic filter, fully relational.",
 )
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Map-side only: every component is an array expression over the
+    # in-row token list — no explode + groupBy shuffle of the corpus;
+    # at 100 TB this is one codegen'd scan.
     d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    stats = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        rnd(F.avg(F.length("tok")), 4).alias("avg_token_len"),
-        rnd(F.sum(F.when(F.col("tok").isin(STOPWORDS), 1).otherwise(0)).cast("double")
-            / F.count(F.lit(1)), 4).alias("stopword_ratio"),
-        rnd(F.countDistinct("tok").cast("double") / F.count(F.lit(1)), 4).alias("distinct_ratio"),
+    toks = d.select("doc_id", F.split("text", " ").alias("ts"))
+    n = F.size("ts").cast("double")
+    stop_arr = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+    stats = toks.select(
+        "doc_id",
+        F.size("ts").cast("long").alias("n_tokens"),
+        rnd(
+            F.expr("aggregate(ts, 0, (acc, t) -> acc + length(t))").cast("double") / n,
+            4,
+        ).alias("avg_token_len"),
+        rnd(
+            F.size(F.expr(f"filter(ts, t -> array_contains({stop_arr}, t))")).cast("double") / n,
+            4,
+        ).alias("stopword_ratio"),
+        rnd(F.size(F.array_distinct("ts")).cast("double") / n, 4).alias("distinct_ratio"),
     )
     quality = rnd(0.4 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
         + 0.3 * F.col("distinct_ratio")
@@ -134,13 +145,22 @@ def _duck_marker_count(markers: list[str]) -> str:
     "expressed as a single aggregation.",
 )
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Map-side marker counts via array filter — no explode/shuffle.
     d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    aggs = [
-        F.sum(F.when(F.col("tok").isin(m), 1).otherwise(0)).alias(f"s_{lang}")
-        for lang, m in LANG_MARKERS.items()
-    ]
-    scores = toks.groupBy("doc_id").agg(*aggs)
+    toks = d.select("doc_id", F.split("text", " ").alias("ts"))
+    scores = toks.select(
+        "doc_id",
+        *[
+            F.size(
+                F.expr(
+                    "filter(ts, t -> array_contains(array("
+                    + ", ".join(f"'{m}'" for m in markers)
+                    + "), t))"
+                )
+            ).alias(f"s_{lang}")
+            for lang, markers in LANG_MARKERS.items()
+        ],
+    )
     s = {k: F.col(f"s_{k}") for k in LANG_MARKERS}
     predicted = (
         F.when(
