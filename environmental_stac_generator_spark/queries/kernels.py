@@ -1,0 +1,151 @@
+"""Rows-only registry entries for the non-SQL-expressible kernels
+(SURVEY §2.10 U1–U6, §2.9 T1–T3).
+
+These have no DuckDB oracle (the driver records a weaker rows-only
+check) but are deterministic end-to-end pipelines: each callable
+builds its own temp inputs, runs the real Spark plumbing (binaryFile
+scan → mapInPandas / applyInPandas / Structured Streaming), and
+returns the result DataFrame. Unit tests in tests/ assert the strong
+invariants (grid round-trip, checksums, idempotency).
+"""
+
+from __future__ import annotations
+
+import tempfile
+from pathlib import Path
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from environmental_stac_generator_spark.registry import register
+from environmental_stac_generator_spark.tables import load
+
+
+def _fake_landing(n_files: int = 2) -> str:
+    d = Path(tempfile.mkdtemp(prefix="envstac_kernel_")) / "icenet_demo"
+    d.mkdir(parents=True)
+    for i in range(n_files):
+        (d / f"fc{i}.nc").write_bytes(bytes([i]))
+    return str(d)
+
+
+@register(
+    "netcdf_scan_long",
+    None,
+    doc="U1: binaryFile + mapInPandas NetCDF explode to long rows "
+    "(deterministic fake decoder; ref stac/generator.py:485,506).",
+)
+def netcdf_scan_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from environmental_stac_generator_spark.sources import netcdf
+
+    return netcdf.scan_netcdf(spark, _fake_landing(), decoder=netcdf.fake_decoder())
+
+
+@register(
+    "netcdf_metadata_scan",
+    None,
+    doc="S1 attr-only scan: per-file CRS/units/attrs without loading "
+    "data slabs (ref utils.py:68-70).",
+)
+def netcdf_metadata_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from environmental_stac_generator_spark.sources import netcdf
+
+    return netcdf.scan_netcdf_metadata(spark, _fake_landing())
+
+
+@register(
+    "cog_encode",
+    None,
+    doc="K2/U2: applyInPandas grid rebuild + multi-band COG encode per "
+    "(collection, init, leadtime) with md5 multihash results "
+    "(ref cog.py:16-126).",
+)
+def cog_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from environmental_stac_generator_spark.sinks import raster
+    from environmental_stac_generator_spark.sources import netcdf
+
+    long_df = netcdf.scan_netcdf(spark, _fake_landing(1), decoder=netcdf.fake_decoder())
+    out = tempfile.mkdtemp(prefix="envstac_cogs_")
+    return raster.encode_cogs(long_df, out).drop("path")  # path is tmp-random
+
+
+@register(
+    "netcdf_slice_write",
+    None,
+    doc="K1/U3: per-init-time sliced NetCDF write (zlib-9 analog, "
+    "ref stac/generator.py:961-979).",
+)
+def netcdf_slice_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from environmental_stac_generator_spark.sinks import raster
+    from environmental_stac_generator_spark.sources import netcdf
+
+    long_df = netcdf.scan_netcdf(spark, _fake_landing(1), decoder=netcdf.fake_decoder())
+    out = tempfile.mkdtemp(prefix="envstac_nc_")
+    return raster.write_netcdf_slices(long_df, out).drop("path")
+
+
+@register(
+    "stac_item_documents",
+    None,
+    doc="K4/N6: full STAC Item JSON documents assembled from the "
+    "scan->info->items->assets plan (ref stac/generator.py:650-803).",
+)
+def stac_item_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from environmental_stac_generator_spark.operators import forecast as fc
+    from environmental_stac_generator_spark.plans import stac_catalog as sc
+    from environmental_stac_generator_spark.sources import netcdf
+
+    long_df = netcdf.scan_netcdf(spark, _fake_landing(), decoder=netcdf.fake_decoder())
+    info = fc.forecast_info(long_df)
+    stats = fc.band_statistics(long_df)
+    items = sc.build_items(fc.leadtime_counts(long_df), info)
+    cogs = sc.build_cog_assets(stats, items)
+    assets = (
+        cogs.unionByName(sc.build_netcdf_assets(items))
+        .unionByName(sc.build_thumbnail_assets(cogs))
+    )
+    return sc.items_to_json(items, assets)
+
+
+@register(
+    "multimodal_features",
+    None,
+    doc="Multimodal: binary media columns -> Arrow-batched decode/"
+    "feature kernel (deterministic fake codec).",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from environmental_stac_generator_spark.operators import multimodal as mm
+
+    media = mm.synthesize_media(load(spark, sf_dir, "documents"))
+    return mm.extract_features(media)
+
+
+@register(
+    "streaming_incremental_merge",
+    None,
+    doc="T1/T3: file-source stream -> foreachBatch idempotent keyed "
+    "merge (availableNow trigger drains deterministically).",
+)
+def streaming_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from environmental_stac_generator_spark.streaming import incremental
+
+    base = Path(tempfile.mkdtemp(prefix="envstac_stream_"))
+    landing, table, ckpt = base / "landing", base / "table", base / "ckpt"
+    sample = (
+        load(spark, sf_dir, "orders")
+        .limit(500)
+        .select(
+            F.lit("demo").alias("collection"),
+            F.col("o_orderkey").cast("string").alias("item_id"),
+            F.col("o_orderdate").alias("forecast_reference_time"),
+        )
+    )
+    sample.write.mode("overwrite").parquet(str(landing))
+    stream = incremental.stream_source(
+        spark, landing, "collection string, item_id string, forecast_reference_time timestamp"
+    )
+    q = incremental.start_incremental_merge(
+        stream, table, ckpt, ["collection", "item_id"]
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(str(table)).select("collection", "item_id")

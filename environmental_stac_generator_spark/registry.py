@@ -52,6 +52,7 @@ def load_registry() -> dict[str, QuerySpec]:
         arrays,
         dedup,
         joins,
+        kernels,
         scalars,
         similarity,
         text,
