@@ -51,6 +51,7 @@ def load_registry() -> dict[str, QuerySpec]:
         aggregates,
         arrays,
         dedup,
+        geo,
         joins,
         kernels,
         scalars,
