@@ -192,3 +192,123 @@ def ann_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", rnd(_cosine("embedding", "p"), 5).alias("cosine"))
         .orderBy(F.desc("cosine"), "vec_id")
     )
+
+
+@register(
+    "embedding_near_dup",
+    f"""
+    WITH planes AS (
+      SELECT vec_id AS plane_id, embedding AS plane
+      FROM embeddings WHERE vec_id < {N_PLANES}
+    ),
+    bits AS (
+      SELECT e.vec_id, p.plane_id, e.embedding,
+             CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(p.plane AS DOUBLE[])) >= 0
+                  THEN '1' ELSE '0' END AS bit
+      FROM embeddings e CROSS JOIN planes p
+    ),
+    buckets AS (
+      SELECT vec_id, any_value(embedding) AS embedding,
+             string_agg(bit, '' ORDER BY plane_id) AS bucket
+      FROM bits GROUP BY vec_id
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           floor((list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[]))) * 100000.0 + 0.5) / 100000.0 AS cosine
+    FROM buckets a JOIN buckets b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.35
+    ORDER BY vec_a, vec_b
+    """,
+    doc="Embedding-cosine near-dup (north-star dedup family): LSH "
+    "buckets generate candidate pairs (equi-join on bucket — never "
+    "the O(n^2) cross join), then exact cosine >= threshold keeps "
+    "true near-duplicates. At 100 TB the bucket join shuffles only "
+    "same-signature groups; skewed mega-buckets can be salted.",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    buckets = ann_lsh_buckets(spark, sf_dir).join(e, "vec_id")
+    a = buckets.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("bucket"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = buckets.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("bucket"),
+        F.col("embedding").alias("emb_b"),
+    )
+    cos = _cosine("emb_a", "emb_b")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= 0.35)
+        .select("vec_a", "vec_b", rnd(cos, 5).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+N_CENTROIDS = 16  # IVF coarse-quantizer cells
+
+
+@register(
+    "ivf_ann_probe",
+    f"""
+    WITH centroids AS (
+      SELECT vec_id AS centroid_id, embedding AS centroid
+      FROM embeddings WHERE vec_id < {N_CENTROIDS}
+    ),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.centroid_id,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                               CAST(c.centroid AS DOUBLE[])) DESC,
+                        c.centroid_id
+             ) AS rn
+      FROM embeddings e CROSS JOIN centroids c
+    ),
+    cells AS (
+      SELECT vec_id, embedding, centroid_id AS cell FROM scored WHERE rn = 1
+    ),
+    probe AS (SELECT embedding AS p, cell FROM cells WHERE vec_id = 0)
+    SELECT c.vec_id,
+           floor((list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                        CAST(p.p AS DOUBLE[]))) * 100000.0 + 0.5) / 100000.0 AS cosine
+    FROM cells c JOIN probe p ON c.cell = p.cell
+    WHERE c.vec_id <> 0
+    ORDER BY cosine DESC, c.vec_id
+    """,
+    doc="IVF-style ANN: assign every vector to its nearest of "
+    f"{N_CENTROIDS} fixed coarse centroids (argmax cosine, "
+    "deterministic id tiebreak), then answer the probe by ranking "
+    "only its cell. The centroid table is broadcast; assignment is "
+    "one map pass over the corpus — the inverted-file layout is a "
+    "partitionBy(cell) write, so probes prune to one partition.",
+)
+def ivf_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc(_cosine("embedding", "centroid")), "centroid_id"
+    )
+    cells = (
+        e.crossJoin(F.broadcast(centroids))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("centroid_id").alias("cell"))
+    )
+    probe = cells.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("p"), F.col("cell").alias("probe_cell")
+    )
+    return (
+        cells.join(F.broadcast(probe), cells.cell == probe.probe_cell)
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", rnd(_cosine("embedding", "p"), 5).alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+    )
