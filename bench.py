@@ -34,7 +34,10 @@ HEADLINE = [
     "band_pivot",
     "freq_parse",
     "minhash_signatures",
+    "lsh_candidate_pairs",
+    "embedding_near_dup",
     "cosine_topk",
+    "ivf_ann_probe",
     "quality_score",
 ]
 
