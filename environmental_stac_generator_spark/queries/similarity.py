@@ -35,6 +35,30 @@ def _cosine(a: str | Column, b: str | Column) -> Column:
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+def _literal_vec(values) -> Column:
+    """Driver-side constant vector -> array<double> literal column.
+    float32 -> double widening is exact, so literals are bit-identical
+    to casting the stored column."""
+    return F.array(*[F.lit(float(v)) for v in values])
+
+
+def _lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vec_id, embedding, bucket — the LSH signature computed MAP-SIDE
+    against driver-collected hyperplanes (N_PLANES tiny rows). The
+    corpus is never shuffled or cross-joined to get its buckets: at
+    100 TB this is a single scan-project stage."""
+    e = load(spark, sf_dir, "embeddings")
+    planes = sorted(
+        e.filter(F.col("vec_id") < N_PLANES).select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    bits = [
+        F.when(_dot("embedding", _literal_vec(r.embedding)) >= 0, "1").otherwise("0")
+        for r in planes
+    ]
+    return e.select("vec_id", "embedding", F.concat(*bits).alias("bucket"))
+
+
 @register(
     "cosine_topk",
     """
@@ -128,26 +152,7 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "probes then scan a single bucket instead of the full table.",
 )
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
-    planes = e.filter(F.col("vec_id") < N_PLANES).select(
-        F.col("vec_id").alias("plane_id"), F.col("embedding").alias("plane")
-    )
-    bits = e.crossJoin(F.broadcast(planes)).select(
-        "vec_id",
-        "plane_id",
-        F.when(_dot("embedding", "plane") >= 0, "1").otherwise("0").alias("bit"),
-    )
-    return (
-        bits.groupBy("vec_id")
-        .agg(
-            F.concat_ws(
-                "",
-                F.sort_array(F.collect_list(F.struct("plane_id", "bit"))).getField(
-                    "bit"
-                ),
-            ).alias("bucket")
-        )
-    )
+    return _lsh_bucketed(spark, sf_dir).select("vec_id", "bucket")
 
 
 @register(
@@ -181,8 +186,7 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the candidate set is ~n/2^planes of the corpus.",
 )
 def ann_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
-    buckets = ann_lsh_buckets(spark, sf_dir).join(e, "vec_id")
+    buckets = _lsh_bucketed(spark, sf_dir)
     probe = buckets.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("p"), F.col("bucket").alias("probe_bucket")
     )
@@ -229,8 +233,7 @@ def ann_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "same-signature groups; skewed mega-buckets can be salted.",
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
-    buckets = ann_lsh_buckets(spark, sf_dir).join(e, "vec_id")
+    buckets = _lsh_bucketed(spark, sf_dir)
     a = buckets.select(
         F.col("vec_id").alias("vec_a"),
         F.col("bucket"),
@@ -290,18 +293,29 @@ N_CENTROIDS = 16  # IVF coarse-quantizer cells
     "partitionBy(cell) write, so probes prune to one partition.",
 )
 def ivf_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Assignment is MAP-SIDE: argmax over N_CENTROIDS literal vectors
+    # via array_max of (cosine, -centroid_id) structs — struct compare
+    # is (cosine, then -id), so ties pick the lowest id, matching the
+    # oracle's row_number tiebreak. No cross join, no window shuffle:
+    # the corpus is scanned exactly once.
     e = load(spark, sf_dir, "embeddings")
-    centroids = e.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    cents = sorted(
+        e.filter(F.col("vec_id") < N_CENTROIDS).select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc(_cosine("embedding", "centroid")), "centroid_id"
+    scored = F.array(
+        *[
+            F.struct(
+                _cosine("embedding", _literal_vec(r.embedding)).alias("c"),
+                F.lit(-int(r.vec_id)).alias("nid"),
+            )
+            for r in cents
+        ]
     )
-    cells = (
-        e.crossJoin(F.broadcast(centroids))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("centroid_id").alias("cell"))
+    cells = e.select(
+        "vec_id",
+        "embedding",
+        (-F.array_max(scored).getField("nid")).cast("bigint").alias("cell"),
     )
     probe = cells.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("p"), F.col("cell").alias("probe_cell")
