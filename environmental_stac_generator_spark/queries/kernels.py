@@ -149,3 +149,72 @@ def streaming_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.read.parquet(str(table)).select("collection", "item_id")
+
+
+@register(
+    "streaming_windowed_counts",
+    None,
+    doc="Watermarked tumbling-window streaming agg over the events "
+    "stream (memory sink, availableNow). Batch twin with full oracle: "
+    "tumbling_window_agg.",
+)
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from environmental_stac_generator_spark.streaming import windows as sw
+
+    base = Path(tempfile.mkdtemp(prefix="envstac_winstream_"))
+    landing = base / "landing"
+    sample = load(spark, sf_dir, "events").select("ts", "event_type", "value")
+    sample.write.mode("overwrite").parquet(str(landing))
+    stream = spark.readStream.schema("ts timestamp, event_type string, value double").parquet(
+        str(landing)
+    )
+    name = f"win_counts_{abs(hash(str(base))) % 10**8}"
+    q = (
+        sw.windowed_event_counts(stream, watermark="2 days")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+@register(
+    "streaming_stateful_extent",
+    None,
+    doc="applyInPandasWithState custom stateful operator: per-"
+    "collection running (min, max, count) extent in the state store "
+    "(ref stac/generator.py:191-207 extent merge, streamed).",
+)
+def streaming_stateful_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from environmental_stac_generator_spark.streaming import incremental
+    from environmental_stac_generator_spark.streaming import windows as sw
+
+    base = Path(tempfile.mkdtemp(prefix="envstac_statestream_"))
+    landing = base / "landing"
+    sample = (
+        load(spark, sf_dir, "orders")
+        .limit(500)
+        .select(
+            F.col("o_orderpriority").alias("collection"),
+            F.col("o_orderkey").cast("string").alias("item_id"),
+            F.col("o_orderdate").alias("forecast_reference_time"),
+        )
+    )
+    sample.write.mode("overwrite").parquet(str(landing))
+    stream = incremental.stream_source(
+        spark, landing, "collection string, item_id string, forecast_reference_time timestamp"
+    )
+    rows: list = []
+    q = (
+        sw.stateful_running_extent(stream)
+        .writeStream.foreachBatch(lambda bdf, bid: rows.extend(bdf.collect()))
+        .outputMode("update")
+        .option("checkpointLocation", str(base / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.createDataFrame(rows, sw.EXTENT_OUTPUT_SCHEMA)

@@ -12,6 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from environmental_stac_generator_spark.functions.rounding import rnd
 from environmental_stac_generator_spark.registry import register
 from environmental_stac_generator_spark.tables import load
 
@@ -143,3 +144,120 @@ def band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = o.select("o_orderpriority", "o_orderstatus").distinct()
     w = Window.partitionBy("o_orderpriority").orderBy("o_orderstatus")
     return bands.withColumn("bidx", F.row_number().over(w))
+
+
+# ---- Event-time windows (T-family batch twins) -----------------------
+# The reference has no event-time windowing (SURVEY §2.9 T4) — these
+# are the engine-native operators a forecast *stream* needs, run here
+# in batch over the events table so they are oracle-checkable. The
+# streaming twins (watermark + same window exprs) live in
+# streaming/windows.py and are exercised by tests/test_streaming.py.
+
+
+@register(
+    "tumbling_window_agg",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%dT%H:%M:%SZ') AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           floor((sum(value)) * 100.0 + 0.5) / 100.0 AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling 1-day event-time window per event_type: the "
+    "groupBy(window(ts)) streaming agg in batch form. Map-side "
+    "partial agg -> one shuffle on (window, type).",
+)
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "sliding_window_agg",
+    """
+    SELECT strftime(date_trunc('day', ts) - off.o * INTERVAL 1 DAY,
+                    '%Y-%m-%dT%H:%M:%SZ') AS window_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           floor((sum(value)) * 100.0 + 0.5) / 100.0 AS sum_value
+    FROM events CROSS JOIN (SELECT unnest([0, 1]) AS o) off
+    GROUP BY 1
+    """,
+    doc="Sliding 2-day window, 1-day slide: every event lands in two "
+    "overlapping windows (Spark expands window() to 2 rows map-side; "
+    "the oracle mirrors with an explicit offset unnest).",
+)
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 days", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "session_window_agg",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts)
+                       >= CAST(21600000000 AS BIGINT)
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%dT%H:%M:%SZ') AS session_start,
+           strftime(max(ts) + INTERVAL 6 HOUR, '%Y-%m-%dT%H:%M:%SZ') AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           floor((sum(value)) * 100.0 + 0.5) / 100.0 AS sum_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    doc="Session windows (6h inactivity gap) per user via Spark's "
+    "session_window; the oracle is the classic gaps-and-islands "
+    "formulation. Window end = last event + gap (half-open), so an "
+    "event exactly gap-after starts a new session in both engines.",
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "6 hours").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -1,0 +1,99 @@
+"""Event-time windowing and custom stateful operators for streams.
+
+The reference pipeline is batch (SURVEY §2.9) — these are the
+engine-native streaming operators its daily-forecast workload grows
+into once files become a live stream:
+
+- watermarked tumbling/sliding aggregation: the streaming twin of the
+  batch ``tumbling_window_agg``/``sliding_window_agg`` queries
+  (queries/windows.py), with late data beyond the watermark dropped
+  and per-window state evicted — bounded state at any scale;
+- ``applyInPandasWithState`` running extent: the custom-stateful form
+  of the reference's extent merge (``stac/generator.py:191-207``),
+  keeping one (min, max, count) triple per collection in the state
+  store instead of re-aggregating history each run.
+
+Tests drive both with ``trigger(availableNow=True)`` memory sinks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EXTENT_STATE_SCHEMA = "start timestamp, end timestamp, n long"
+EXTENT_OUTPUT_SCHEMA = (
+    "collection string, extent_start timestamp, extent_end timestamp, n_items long"
+)
+
+
+def windowed_event_counts(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 day",
+    slide: str | None = None,
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Watermarked event-time window aggregation. With a slide it is
+    the sliding form; without, tumbling. The watermark bounds state:
+    windows older than (max event time - watermark) are finalized and
+    evicted, so state is O(active windows), not O(stream length)."""
+    windowed = (
+        F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    )
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(windowed.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def _extent_state_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-collection running (min, max, count) over
+    forecast_reference_time, held in the state store across batches."""
+    if state.exists:
+        start, end, n = state.get
+    else:
+        start, end, n = None, None, 0
+    for pdf in pdfs:
+        ts = pd.to_datetime(pdf["forecast_reference_time"])
+        lo, hi = ts.min(), ts.max()
+        start = lo if start is None or lo < pd.Timestamp(start) else start
+        end = hi if end is None or hi > pd.Timestamp(end) else end
+        n += len(pdf)
+    state.update((pd.Timestamp(start), pd.Timestamp(end), n))
+    yield pd.DataFrame(
+        {
+            "collection": [key[0]],
+            "extent_start": [pd.Timestamp(start)],
+            "extent_end": [pd.Timestamp(end)],
+            "n_items": [n],
+        }
+    )
+
+
+def stateful_running_extent(stream_df: DataFrame) -> DataFrame:
+    """T2 as a custom stateful operator: one state row per collection,
+    updated incrementally per micro-batch — the applyInPandasWithState
+    form of the reference's extent merge. Update-mode output emits the
+    refreshed extent for exactly the collections seen in the batch."""
+    return stream_df.groupBy("collection").applyInPandasWithState(
+        _extent_state_fn,
+        outputStructType=EXTENT_OUTPUT_SCHEMA,
+        stateStructType=EXTENT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

