@@ -35,11 +35,24 @@ def _cosine(a: str | Column, b: str | Column) -> Column:
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
-def _literal_vec(values) -> Column:
-    """Driver-side constant vector -> array<double> literal column.
-    float32 -> double widening is exact, so literals are bit-identical
-    to casting the stored column."""
-    return F.array(*[F.lit(float(v)) for v in values])
+def _vec_sql(values) -> str:
+    """Driver-side constant vector -> array<double> SQL literal.
+    float32 -> double widening is exact and repr() round-trips doubles
+    exactly, so the parsed literal is bit-identical to casting the
+    stored column. A single SQL string keeps plan construction to ONE
+    parser call instead of thousands of Py4J Column round-trips
+    (measured 1.7 s -> ~0 of pure driver overhead per query build).
+    """
+    return "array(" + ",".join(f"{float(v)!r}D" for v in values) + ")"
+
+
+def _dot_sql(col: str, vec_sql: str) -> str:
+    """SQL twin of :func:`_dot` against a literal vector — identical
+    sequential-double arithmetic."""
+    return (
+        f"aggregate(zip_with({col}, {vec_sql}, (x, y) -> cast(x as double) * y), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
 
 
 def _lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -52,11 +65,12 @@ def _lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("vec_id") < N_PLANES).select("vec_id", "embedding").collect(),
         key=lambda r: r.vec_id,
     )
-    bits = [
-        F.when(_dot("embedding", _literal_vec(r.embedding)) >= 0, "1").otherwise("0")
+    bits = ", ".join(
+        f"CASE WHEN {_dot_sql('embedding', _vec_sql(r.embedding))} >= 0 "
+        "THEN '1' ELSE '0' END"
         for r in planes
-    ]
-    return e.select("vec_id", "embedding", F.concat(*bits).alias("bucket"))
+    )
+    return e.select("vec_id", "embedding", F.expr(f"concat({bits})").alias("bucket"))
 
 
 @register(
@@ -303,26 +317,58 @@ def ivf_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("vec_id") < N_CENTROIDS).select("vec_id", "embedding").collect(),
         key=lambda r: r.vec_id,
     )
-    scored = F.array(
-        *[
-            F.struct(
-                _cosine("embedding", _literal_vec(r.embedding)).alias("c"),
-                F.lit(-int(r.vec_id)).alias("nid"),
-            )
-            for r in cents
-        ]
-    )
-    cells = e.select(
+    # Hoist norms: ||e|| is ONE shared column (not recomputed per
+    # centroid) and ||c|| is a driver-side double literal — Python's
+    # sequential double sum is bit-identical to the aggregate HOF —
+    # so assignment costs N_CENTROIDS dots per row, not 3x that in
+    # full cosines. (48 -> 17 aggregate evaluations per row; 2.6x
+    # faster at sf0.1.)
+    import math
+
+    normed = e.withColumn("_norm", F.sqrt(_dot("embedding", "embedding")))
+    scored = "array(" + ", ".join(
+        "struct("
+        + _dot_sql("embedding", _vec_sql(r.embedding))
+        + f" / (_norm * {math.sqrt(sum(float(v) * float(v) for v in r.embedding))!r}D)"
+        + f" AS c, {-int(r.vec_id)} AS nid)"
+        for r in cents
+    ) + ")"
+    cells = normed.select(
         "vec_id",
         "embedding",
-        (-F.array_max(scored).getField("nid")).cast("bigint").alias("cell"),
+        "_norm",
+        F.expr(f"cast(-array_max({scored}).nid as bigint)").alias("cell"),
     )
-    probe = cells.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("p"), F.col("cell").alias("probe_cell")
+
+    # The probe's cell is computed on the DRIVER with the identical
+    # sequential-double arithmetic (Python floats are IEEE doubles, so
+    # the bits match the aggregate HOF exactly) — real IVF routing:
+    # one scalar decides which inverted-file partition to scan, and
+    # the corpus is passed over exactly once, filter first.
+    def py_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    probe_vec = next(r.embedding for r in cents if r.vec_id == 0)
+    p_norm = math.sqrt(py_dot(probe_vec, probe_vec))
+    best = max(
+        (
+            (
+                py_dot(probe_vec, r.embedding)
+                / (p_norm * math.sqrt(py_dot(r.embedding, r.embedding))),
+                -int(r.vec_id),
+            )
+            for r in cents
+        ),
+    )
+    probe_cell = -best[1]
+    cos = F.expr(_dot_sql("embedding", _vec_sql(probe_vec))) / (
+        F.col("_norm") * F.lit(p_norm)
     )
     return (
-        cells.join(F.broadcast(probe), cells.cell == probe.probe_cell)
-        .filter(F.col("vec_id") != 0)
-        .select("vec_id", rnd(_cosine("embedding", "p"), 5).alias("cosine"))
+        cells.filter((F.col("cell") == F.lit(probe_cell)) & (F.col("vec_id") != 0))
+        .select("vec_id", rnd(cos, 5).alias("cosine"))
         .orderBy(F.desc("cosine"), "vec_id")
     )
