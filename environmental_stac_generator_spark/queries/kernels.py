@@ -218,3 +218,39 @@ def streaming_stateful_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.createDataFrame(rows, sw.EXTENT_OUTPUT_SCHEMA)
+
+
+@register(
+    "asset_probe",
+    None,
+    doc="S5/S6 + F12: distributed format/dtype/byte-order probe over "
+    "an asset tree (pure-header TIFF parse, Zarr JSON, NetCDF magic) "
+    "— one binaryFile map stage (ref stac/utils.py:96-133).",
+)
+def asset_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import struct as _struct
+
+    from environmental_stac_generator_spark.sources import raster_probe as rp
+
+    base = Path(tempfile.mkdtemp(prefix="envstac_assets_"))
+    end, bom = "<", b"II"
+    entries = [(256, 3, 1, 2), (257, 3, 1, 2), (258, 3, 1, 32),
+               (277, 3, 1, 2), (339, 3, 1, 3)]
+    ifd = _struct.pack(end + "H", len(entries))
+    for tag, typ, count, val in entries:
+        ifd += (
+            _struct.pack(end + "HHI", tag, typ, count)
+            + _struct.pack(end + "H", val)
+            + b"\x00\x00"
+        )
+    ifd += _struct.pack(end + "I", 0)
+    (base / "band.tif").write_bytes(bom + _struct.pack(end + "HI", 42, 8) + ifd)
+    (base / "store").mkdir()
+    (base / "store" / "zarr.json").write_bytes(
+        _json.dumps({"zarr_format": 3, "node_type": "array", "data_type": "float64"}).encode()
+    )
+    (base / "thumb.jpg").write_bytes(b"\xff\xd8\xff\xe0demo")
+    return rp.probe_assets(spark, str(base)).select(
+        "format", "dtype", "bit_depth", "byte_order", "band_count"
+    )
