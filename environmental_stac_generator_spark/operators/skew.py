@@ -1,0 +1,98 @@
+"""Skew mitigation: salted aggregation and salted broadcast-free join.
+
+At 100 TB a handful of hot keys (one collection getting most files,
+one return-flag dominating lineitem) turn a single reducer into the
+job's critical path. Two standard remedies, expressed so results are
+bit-identical to the unsalted plans:
+
+- :func:`salted_agg` — two-stage aggregation: partial aggregate on
+  (keys + salt) spreads a hot key over ``n_salt`` reducers, then a
+  cheap final aggregate on the true keys combines the partials.
+  Exact for algebraic aggregates (sum/count/min/max, avg via
+  sum+count).
+- :func:`salted_join` — replicate the small side once per salt value
+  and join on (key, salt): every hot-key row of the big side lands on
+  a different reducer. The salt is ``pmod(hash(...), n)`` over a
+  deterministic column, never ``rand()``, so plans are replayable and
+  oracle-checkable.
+
+AQE's skew-join splitting (session.py) handles sort-merge skew
+adaptively; these operators are for the cases AQE cannot see —
+aggregation skew, and joins whose skew appears only after upstream
+transforms.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+# (partial_expr, final_expr) per supported aggregate: partial runs on
+# (keys + salt), final re-combines partials on the true keys.
+_ALGEBRAIC = {
+    "sum": (F.sum, F.sum),
+    "count": (lambda c: F.count(F.lit(1)), F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def with_salt(df: DataFrame, from_col: str, n_salt: int, salt_col: str = "_salt") -> DataFrame:
+    """Deterministic salt in [0, n_salt): pmod(hash(col), n)."""
+    return df.withColumn(salt_col, F.pmod(F.hash(F.col(from_col)), F.lit(n_salt)))
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_from: str,
+    n_salt: int = 32,
+) -> DataFrame:
+    """Two-stage skew-safe aggregation.
+
+    ``aggs`` maps output column -> (agg_name, input_column) with
+    agg_name in {sum, count, min, max, avg}. avg decomposes into
+    sum+count so the final division is exact regardless of how rows
+    were spread over salts.
+    """
+    partials = []
+    finals = []
+    post = []
+    for out, (name, col) in aggs.items():
+        if name == "avg":
+            partials += [F.sum(col).alias(f"__s_{out}"), F.count(F.lit(1)).alias(f"__c_{out}")]
+            finals += [F.sum(f"__s_{out}").alias(f"__s_{out}"), F.sum(f"__c_{out}").alias(f"__c_{out}")]
+            post.append((F.col(f"__s_{out}") / F.col(f"__c_{out}")).alias(out))
+        elif name in _ALGEBRAIC:
+            p, f = _ALGEBRAIC[name]
+            partials.append(p(col).alias(out))
+            finals.append(f(out).alias(out))
+            post.append(F.col(out))
+        else:
+            raise ValueError(f"unsupported salted aggregate {name!r}")
+    salted = with_salt(df, salt_from, n_salt)
+    stage1 = salted.groupBy(*keys, "_salt").agg(*partials)
+    stage2 = stage1.groupBy(*keys).agg(*finals)
+    return stage2.select(*[F.col(k) for k in keys], *post)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_from: str,
+    n_salt: int = 32,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: the small side is replicated ``n_salt``
+    times (explode of a sequence literal — map-side, no shuffle of the
+    big side beyond the join's own exchange on (key, salt))."""
+    replicated = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    return (
+        with_salt(big, salt_from, n_salt)
+        .join(replicated, [key, "_salt"], how)
+        .drop("_salt")
+    )

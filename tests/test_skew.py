@@ -1,0 +1,67 @@
+"""Salted aggregation/join: exactness + plan-shape checks."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from environmental_stac_generator_spark.operators.skew import salted_agg, salted_join
+
+
+def test_salted_agg_exact_on_skewed_data(spark):
+    # one hot key (90% of rows) + a long tail
+    rows = [("hot", float(i % 7)) for i in range(900)] + [
+        (f"k{i}", float(i)) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "key string, v double")
+    out = {
+        r["key"]: r
+        for r in salted_agg(
+            df,
+            keys=["key"],
+            aggs={
+                "s": ("sum", "v"),
+                "n": ("count", "v"),
+                "lo": ("min", "v"),
+                "hi": ("max", "v"),
+                "m": ("avg", "v"),
+            },
+            salt_from="v",
+            n_salt=8,
+        ).collect()
+    }
+    assert out["hot"]["n"] == 900
+    assert out["hot"]["lo"] == 0.0 and out["hot"]["hi"] == 6.0
+    expected_sum = sum(float(i % 7) for i in range(900))
+    assert abs(out["hot"]["s"] - expected_sum) < 1e-9
+    assert abs(out["hot"]["m"] - expected_sum / 900) < 1e-12
+    assert out["k5"]["n"] == 1 and out["k5"]["s"] == 5.0
+
+
+def test_salted_agg_plan_has_two_stages(spark):
+    df = spark.range(1000).select(
+        (F.col("id") % 3).cast("string").alias("key"), F.col("id").cast("double").alias("v")
+    )
+    plan = (
+        salted_agg(df, ["key"], {"s": ("sum", "v")}, salt_from="v", n_salt=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # partial stage keyed by (key, _salt), final stage keyed by key only
+    assert "_salt" in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_salted_join_matches_plain_join(spark):
+    big = spark.createDataFrame(
+        [("a", i) for i in range(500)] + [("b", i) for i in range(20)],
+        "key string, payload int",
+    )
+    small = spark.createDataFrame([("a", 1), ("b", 2)], "key string, dim int")
+    salted = salted_join(big, small, key="key", salt_from="payload", n_salt=8)
+    plain = big.join(small, "key")
+    assert salted.count() == plain.count() == 520
+    assert (
+        salted.groupBy("key").agg(F.sum("dim").alias("s")).orderBy("key").collect()
+        == plain.groupBy("key").agg(F.sum("dim").alias("s")).orderBy("key").collect()
+    )
