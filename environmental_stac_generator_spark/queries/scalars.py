@@ -457,3 +457,33 @@ def config_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("removed").alias("drift"), "collection", "forecast_frequency"
     )
     return added.unionByName(removed)
+
+
+@register(
+    "json_props_extract",
+    """
+    SELECT event_type,
+           CAST(count(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50)
+                AS BIGINT) AS n_high,
+           floor((avg(CAST(json_extract_string(props, '$.k') AS INT))) * 10000.0 + 0.5)
+             / 10000.0 AS avg_k,
+           max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    doc="P6 semi-structured analog: parse the events.props JSON map "
+    "with a typed from_json schema, then aggregate — the dynamic-attrs "
+    "pattern (ref utils.py:273-281) as a schema-on-read column. "
+    "from_json is codegen'd; no Python touches the hot path.",
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("k") > 50, 1)).alias("n_high"),
+            rnd(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
