@@ -254,3 +254,37 @@ def asset_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rp.probe_assets(spark, str(base)).select(
         "format", "dtype", "bit_depth", "byte_order", "band_count"
     )
+
+
+@register(
+    "partitioned_roundtrip",
+    None,
+    doc="Hive-partitioned forecast store: partitionBy(collection, "
+    "forecast_date) + sortWithinPartitions(leadtime) write, then a "
+    "partition-pruned read (PartitionFilters) of one (collection, "
+    "date) — the Spark-native form of the reference's directory "
+    "layout (ref stac/generator.py:404-405,689-701).",
+)
+def partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from environmental_stac_generator_spark.sinks.table import (
+        read_partition,
+        write_partitioned,
+    )
+
+    base = Path(tempfile.mkdtemp(prefix="envstac_store_"))
+    long_df = (
+        load(spark, sf_dir, "orders")
+        .limit(2000)
+        .select(
+            F.concat(F.lit("coll_"), F.col("o_orderpriority")).alias("collection"),
+            F.col("o_orderdate").alias("forecast_reference_time"),
+            (F.col("o_orderkey") % 5).cast("int").alias("leadtime_idx"),
+            F.lit("sic_mean").alias("variable"),
+            F.col("o_totalprice").alias("value"),
+        )
+    )
+    write_partitioned(long_df, base / "store")
+    first = long_df.select("collection").orderBy("collection").first()["collection"]
+    return read_partition(spark, base / "store", first).select(
+        "collection", "leadtime_idx", "variable"
+    )
