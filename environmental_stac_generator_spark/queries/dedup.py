@@ -198,9 +198,10 @@ def _band_cols(k0: int) -> tuple[str, str]:
       ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
     """,
     doc="MinHash-LSH banding: band hash = md5 of the band's minhashes, "
-    "computed MAP-SIDE from the wide signature (no groupBy shuffle); "
-    "docs sharing any (band, band_hash) bucket become candidate "
-    "near-dup pairs. The only shuffle is the bucket equi-join.",
+    "computed MAP-SIDE from the wide signature; docs sharing any "
+    "(band, band_hash) bucket become candidate pairs, generated "
+    "map-side from grouped buckets — ONE shuffle total over the "
+    "signatures (a self-join would scan the corpus twice).",
 )
 def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = _signature_wide(spark, sf_dir)
@@ -210,16 +211,24 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = wide.select(
         "doc_id", F.expr(f"stack({N_BANDS}, {stack_args}) AS (band, band_hash)")
     ).select("doc_id", F.col("band").cast("int").alias("band"), "band_hash")
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # ONE shuffle: bucket members per (band, band_hash), ordered pairs
+    # generated map-side (a self-join would recompute the signature
+    # scan for each side — no exchange reuse across projections).
+    grouped = (
+        bands.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (a, i) -> "
+                    "transform(slice(ds, i + 2, size(ds)), b -> struct(a AS doc_a, b AS doc_b))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
 

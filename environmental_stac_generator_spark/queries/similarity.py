@@ -247,22 +247,34 @@ def ann_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "same-signature groups; skewed mega-buckets can be salted.",
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE shuffle total: group members per bucket, then generate the
+    # ordered pairs map-side with array HOFs (a self-join would scan
+    # and re-bucket the corpus twice — Spark does not reuse the
+    # exchange across differently-projected join sides). Mega-bucket
+    # memory is the standard LSH caveat; skewed signatures get salted
+    # upstream (operators/skew.py).
     buckets = _lsh_bucketed(spark, sf_dir)
-    a = buckets.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("bucket"),
-        F.col("embedding").alias("emb_a"),
+    grouped = (
+        buckets.groupBy("bucket")
+        .agg(F.sort_array(F.collect_list(F.struct("vec_id", "embedding"))).alias("ms"))
+        .filter(F.size("ms") >= 2)
     )
-    b = buckets.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("bucket"),
-        F.col("embedding").alias("emb_b"),
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ms, (a, i) -> "
+                "transform(slice(ms, i + 2, size(ms)), b -> struct(a, b))))"
+            )
+        ).alias("p")
+    ).select(
+        F.col("p.a.vec_id").alias("vec_a"),
+        F.col("p.b.vec_id").alias("vec_b"),
+        F.col("p.a.embedding").alias("emb_a"),
+        F.col("p.b.embedding").alias("emb_b"),
     )
     cos = _cosine("emb_a", "emb_b")
     return (
-        a.join(b, "bucket")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(cos >= 0.35)
+        pairs.filter(cos >= 0.35)
         .select("vec_a", "vec_b", rnd(cos, 5).alias("cosine"))
         .orderBy("vec_a", "vec_b")
     )
