@@ -94,10 +94,15 @@ def find_coord(names: list[str], candidates: tuple[str, ...]) -> str | None:
     return None
 
 
-def xarray_decoder(path: str, content: bytes) -> Iterator[pd.DataFrame]:
+def xarray_decoder(path: str, content: bytes | None) -> Iterator[pd.DataFrame]:
     """Real NetCDF decode via xarray/h5netcdf (ref S1). Emits one long
     chunk per (variable, time, leadtime) slab so peak memory is one
-    2-D grid. Raises if the raster stack is not installed."""
+    2-D grid. Raises if the raster stack is not installed.
+
+    With ``content=None`` (the default scan mode) the file is opened
+    LAZILY by path — xarray reads each slab on demand, so a multi-GB
+    file never materializes in executor memory (SURVEY §7 hard-point
+    a). Bytes are accepted for sources where only a stream exists."""
     try:
         import io
 
@@ -108,7 +113,8 @@ def xarray_decoder(path: str, content: bytes) -> Iterator[pd.DataFrame]:
             "decoder (see fake_decoder) in environments without them"
         ) from exc
 
-    ds = xr.open_dataset(io.BytesIO(content), decode_coords="all")
+    src = io.BytesIO(content) if content is not None else path.removeprefix("file:")
+    ds = xr.open_dataset(src, decode_coords="all")
     names = list(ds.coords) + list(ds.dims)
     x = find_coord(names, X_CANDIDATES)
     y = find_coord(names, Y_CANDIDATES)
@@ -187,12 +193,19 @@ def scan_netcdf(
     path: str,
     decoder: Decoder | None = None,
     glob: str = "*.nc",
+    with_content: bool = False,
 ) -> DataFrame:
     """Distributed NetCDF -> long-format scan (S1/U1).
 
     One task per file; each task streams slab-sized chunks through
     Arrow. Downstream groupBy/agg sees ordinary rows — all of
     SURVEY §2's relational operators apply unchanged.
+
+    By default only ``path`` is projected from the binaryFile listing
+    (column pruning elides the content read entirely) and the decoder
+    opens the file lazily — executor memory holds one slab, not one
+    file. ``with_content=True`` ships whole files through the scan for
+    decoders that need a byte stream.
     """
     dec = decoder or xarray_decoder
     files = (
@@ -202,22 +215,26 @@ def scan_netcdf(
     def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for _, row in pdf.iterrows():
-                yield from dec(row["path"], row["content"])
+                yield from dec(row["path"], row["content"] if with_content else None)
 
-    return files.select("path", "content").mapInPandas(explode, schema=LONG_SCHEMA)
+    cols = ["path", "content"] if with_content else ["path"]
+    return files.select(*cols).mapInPandas(explode, schema=LONG_SCHEMA)
 
 
 def scan_netcdf_metadata(
     spark: SparkSession,
     path: str,
-    meta_decoder: Callable[[str, bytes], dict] | None = None,
+    meta_decoder: Callable[[str, bytes | None], dict] | None = None,
     glob: str = "*.nc",
+    with_content: bool = False,
 ) -> DataFrame:
     """Attribute-only scan — the analog of the reference's cheap
     attr-only open for hemisphere detection (``utils.py:68-70``):
-    reads headers, never data slabs."""
+    reads headers, never data slabs. Default is path-only (column
+    pruning skips the content read; a lazy open fetches just the
+    header); ``with_content=True`` for stream-only decoders."""
 
-    def default_meta(path: str, content: bytes) -> dict:
+    def default_meta(path: str, content: bytes | None) -> dict:
         seed = int.from_bytes(hashlib.md5(path.encode()).digest()[:4], "big")
         return {
             "path": path,
@@ -238,11 +255,15 @@ def scan_netcdf_metadata(
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [dec(r["path"], r["content"]) for _, r in pdf.iterrows()]
+            rows = [
+                dec(r["path"], r["content"] if with_content else None)
+                for _, r in pdf.iterrows()
+            ]
             if rows:
                 yield pd.DataFrame(rows)
 
-    return files.select("path", "content").mapInPandas(extract, schema=FILE_META_SCHEMA)
+    cols = ["path", "content"] if with_content else ["path"]
+    return files.select(*cols).mapInPandas(extract, schema=FILE_META_SCHEMA)
 
 
 def list_files(spark: SparkSession, path: str, glob: str = "*.nc") -> DataFrame:

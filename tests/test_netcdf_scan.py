@@ -54,3 +54,24 @@ def test_find_coord():
     assert netcdf.find_coord(["lon", "lat"], netcdf.X_CANDIDATES) == "lon"
     assert netcdf.find_coord(["xc", "x"], netcdf.X_CANDIDATES) == "xc"
     assert netcdf.find_coord(["foo"], netcdf.X_CANDIDATES) is None
+
+
+def test_content_pruned_from_scan_by_default(spark, tmp_path):
+    landing = tmp_path / "nc_prune"
+    landing.mkdir()
+    (landing / "a.nc").write_bytes(b"CDF\x01fake")
+    df = netcdf.scan_netcdf(spark, str(landing), decoder=netcdf.fake_decoder())
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # path-only projection: the binaryFile content column never loads
+    assert "ReadSchema: struct<path:string>" in plan
+    assert df.count() > 0
+
+    meta = netcdf.scan_netcdf_metadata(spark, str(landing))
+    mplan = meta._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<path:string>" in mplan
+
+    full = netcdf.scan_netcdf(
+        spark, str(landing), decoder=netcdf.fake_decoder(), with_content=True
+    )
+    fplan = full._jdf.queryExecution().executedPlan().toString()
+    assert "content" in fplan.split("ReadSchema:")[-1]
