@@ -39,6 +39,12 @@ HEADLINE = [
     "cosine_topk",
     "ivf_ann_probe",
     "quality_score",
+    "dedup_exact",
+    "simhash",
+    "salted_agg",
+    "tumbling_window_agg",
+    "session_window_agg",
+    "json_props_extract",
 ]
 
 

@@ -81,8 +81,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash universal-hash family h_k(x) = (a_k·x + b_k) mod P over a
 # single 32-bit base hash per shingle. One md5 per shingle instead of
 # one per (shingle, k) — measured 2.3x faster at sf0.1, and the ratio
-# grows with k. a_k < 2^31 and x < P < 2^33 keep a_k·x inside int64
-# in both engines (no overflow, bit-identical arithmetic).
+# grows with k. a_k < 2^31 and x < 2^32 (32-bit md5 prefix; the % P
+# is a formality since x < P always) keep a_k·x + b_k inside int64 in
+# both engines (no overflow, bit-identical arithmetic); see
+# tests/test_properties.py for the machine-checked bound.
 MINHASH_P = 4294967311  # smallest prime > 2^32
 _M31 = 2147483647
 A_COEF = [((2 * k + 1) * 1103515245 + 12345) % _M31 for k in range(N_HASHES)]

@@ -1,0 +1,90 @@
+"""Property-based checks (hypothesis) for exactness claims the
+oracle comparisons rely on.
+
+The reference has no property tests (SURVEY §5); these pin the two
+invariants our scale rewrites depend on: salting never changes an
+algebraic aggregate, and the affine MinHash family is a permutation
+(injective) over its modulus.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from environmental_stac_generator_spark.queries.dedup import (
+    A_COEF,
+    B_COEF,
+    MINHASH_P,
+    N_HASHES,
+)
+
+
+@st.composite
+def keyed_rows(draw):
+    n = draw(st.integers(min_value=1, max_value=30))
+    keys = st.sampled_from(["a", "b", "hot"])
+    vals = st.integers(min_value=-1000, max_value=1000)
+    return [(draw(keys), float(draw(vals))) for _ in range(n)]
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=keyed_rows(), n_salt=st.integers(min_value=1, max_value=8))
+def test_salted_agg_equals_plain_agg(spark, rows, n_salt):
+    from environmental_stac_generator_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(rows, "key string, v double")
+    salted = {
+        r["key"]: (r["s"], r["n"], r["lo"], r["hi"])
+        for r in salted_agg(
+            df,
+            keys=["key"],
+            aggs={"s": ("sum", "v"), "n": ("count", "v"), "lo": ("min", "v"), "hi": ("max", "v")},
+            salt_from="v",
+            n_salt=n_salt,
+        ).collect()
+    }
+    import pyspark.sql.functions as F
+
+    plain = {
+        r["key"]: (r["s"], r["n"], r["lo"], r["hi"])
+        for r in df.groupBy("key")
+        .agg(
+            F.sum("v").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .collect()
+    }
+    assert salted == plain
+
+
+# Base hashes are 32-bit md5 prefixes, so the real input domain is
+# [0, 2^32) — strictly inside Z_P (P = 2^32 + 15). That bound, not P,
+# is what keeps a_k·x inside int64.
+_BASE_MAX = 2**32 - 1
+
+
+@given(
+    x=st.integers(min_value=0, max_value=_BASE_MAX),
+    y=st.integers(min_value=0, max_value=_BASE_MAX),
+    k=st.integers(min_value=0, max_value=N_HASHES - 1),
+)
+@settings(max_examples=200, deadline=None)
+def test_affine_family_is_permutation(x, y, k):
+    """(a_k·x + b_k) mod P is injective over Z_P (P prime, a_k != 0
+    mod P), so distinct base hashes never collide after permutation —
+    minima are a true MinHash, not a lossy rehash. And the int64
+    intermediate a_k·x never overflows on the real input domain."""
+    hx = (A_COEF[k] * x + B_COEF[k]) % MINHASH_P
+    hy = (A_COEF[k] * y + B_COEF[k]) % MINHASH_P
+    assert (hx == hy) == (x == y)
+    assert A_COEF[k] * x + B_COEF[k] <= 2**63 - 1
+
+
+def test_coefficients_fit_int64():
+    assert all(0 < a < 2**31 for a in A_COEF)
+    assert all(0 <= b < MINHASH_P for b in B_COEF)
+    # max product on the real domain: (2^31-1)·(2^32-1) + b < 2^63-1
+    assert (2**31 - 1) * _BASE_MAX + max(B_COEF) < 2**63 - 1
