@@ -288,3 +288,42 @@ def partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_partition(spark, base / "store", first).select(
         "collection", "leadtime_idx", "variable"
     )
+
+
+@register(
+    "stac_catalog_roundtrip",
+    None,
+    doc="S3 + K4: write the item/collection JSON tree to disk, read "
+    "it back with spark.read.json (recursive, multiLine), and "
+    "traverse item->collection links — the resume/incremental path "
+    "(ref Catalog.from_file, stac/generator.py:130-131).",
+)
+def stac_catalog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from environmental_stac_generator_spark.operators import forecast as fc
+    from environmental_stac_generator_spark.plans import stac_catalog as sc
+    from environmental_stac_generator_spark.sinks import stac_json as sj
+    from environmental_stac_generator_spark.sources import netcdf
+
+    long_df = netcdf.scan_netcdf(spark, _fake_landing(), decoder=netcdf.fake_decoder())
+    info = fc.forecast_info(long_df)
+    stats = fc.band_statistics(long_df)
+    items = sc.build_items(fc.leadtime_counts(long_df), info)
+    cogs = sc.build_cog_assets(stats, items)
+    assets = (
+        cogs.unionByName(sc.build_netcdf_assets(items))
+        .unionByName(sc.build_thumbnail_assets(cogs))
+    )
+    out = Path(tempfile.mkdtemp(prefix="envstac_cat_")) / "catalog"
+    sj.save_items(sc.items_to_json(items, assets), out)
+    sj.save_collections(sc.collections_to_json(sc.build_collections(info)), out)
+    tree = sj.load_catalog_tree(spark, out)
+    # link traversal: items (type=Feature) joined to their collection
+    # docs (type=Collection) on the collection id
+    docs = tree.select("type", "id", "collection")
+    its = docs.filter(F.col("type") == "Feature").select(
+        F.col("id").alias("item_id"), "collection"
+    )
+    colls = docs.filter(F.col("type") == "Collection").select(
+        F.col("id").alias("collection")
+    )
+    return its.join(colls, "collection").select("collection", "item_id")

@@ -5,6 +5,7 @@ from __future__ import annotations
 import json
 
 import pandas as pd
+import pyspark.sql.functions as F
 import pytest
 
 from environmental_stac_generator_spark.operators import forecast as fc
@@ -128,3 +129,30 @@ def test_collections_to_json(info):
     doc = json.loads(sc.collections_to_json(colls).first()["json"])
     assert doc["type"] == "Collection"
     assert doc["extent"]["temporal"]["interval"][0][0].endswith("Z")
+
+
+def test_catalog_roundtrip_traversal(spark, long_df, info, tmp_path):
+    from environmental_stac_generator_spark.operators import forecast as fc
+    from environmental_stac_generator_spark.sinks import stac_json as sj
+
+    items = sc.build_items(fc.leadtime_counts(long_df), info)
+    cogs = sc.build_cog_assets(fc.band_statistics(long_df), items)
+    out = tmp_path / "catalog"
+    sj.save_items(sc.items_to_json(items, cogs), out)
+    sj.save_collections(sc.collections_to_json(sc.build_collections(info)), out)
+    tree = sj.load_catalog_tree(spark, out)
+    types = {r["type"] for r in tree.select("type").distinct().collect()}
+    assert types == {"Feature", "Collection"}
+    n_items = items.count()
+    joined = (
+        tree.filter(tree.type == "Feature")
+        .select("id", "collection")
+        .join(
+            tree.filter(tree.type == "Collection").select(
+                F.col("id").alias("collection")
+            ),
+            "collection",
+        )
+    )
+    # every item's collection link resolves in the read-back tree
+    assert joined.count() == n_items
