@@ -56,6 +56,7 @@ def load_registry() -> dict[str, QuerySpec]:
         kernels,
         scalars,
         similarity,
+        sketches,
         skew,
         text,
         windows,
