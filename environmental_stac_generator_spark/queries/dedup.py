@@ -334,3 +334,87 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in range(16)
     ]
     return hashed.select("doc_id", F.concat(*bit_cols).alias("simhash"))
+
+
+def _duck_bands_cte() -> str:
+    """Shared CTE chain producing the bands table (doc_id, band,
+    band_hash) — mirrors _signature_wide + map-side banding."""
+    wide_cols = ", ".join(f"{_duck_min(k)} AS h{k}" for k in range(N_HASHES))
+    band_case = " ".join(
+        f"WHEN {b} THEN {_band_cols(b * BAND_SIZE)[1]}" for b in range(N_BANDS)
+    )
+    return f"""{_DUCK_HASHED},
+    wide AS (SELECT doc_id, {wide_cols} FROM hashed),
+    bands AS (
+      SELECT doc_id, CAST(b AS INT) AS band,
+             CASE b {band_case} END AS band_hash
+      FROM wide CROSS JOIN range({N_BANDS}) r(b)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    )"""
+
+
+@register(
+    "duplicate_clusters",
+    f"""
+    WITH RECURSIVE {_duck_bands_cte()},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON r.node = e.src
+    )
+    SELECT node AS doc_id, min(label) AS cluster_id
+    FROM reach GROUP BY node
+    ORDER BY doc_id
+    """,
+    doc="Duplicate clustering: connected components over the LSH "
+    "candidate-pair graph via iterative min-label propagation "
+    "(Pregel-lite: each round joins labels across edges and keeps the "
+    "min; converges in O(graph diameter) rounds — near-dup graphs are "
+    "shallow). The survivor set is min(doc_id) per cluster. Oracle: "
+    "recursive-CTE reachability in DuckDB.",
+)
+def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = lsh_candidate_pairs(spark, sf_dir)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint()  # cut lineage: edges are reused every round
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    # min-label propagation to fixpoint; diameter of near-dup clusters
+    # is tiny, so this loops a handful of times regardless of corpus
+    # size. localCheckpoint keeps each round's plan constant-size.
+    while True:
+        prop = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+            .unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            prop.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = prop
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")).orderBy(
+        "doc_id"
+    )
