@@ -58,6 +58,7 @@ def load_registry() -> dict[str, QuerySpec]:
         similarity,
         sketches,
         skew,
+        temporal,
         text,
         windows,
     )
