@@ -261,3 +261,43 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "time_rollup",
+    """
+    SELECT coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+           coalesce(event_type, 'ALL') AS event_type,
+           CAST(grouping(date_trunc('day', ts)) * 2 + grouping(event_type) AS BIGINT)
+             AS grouping_level,
+           CAST(count(*) AS BIGINT) AS n_events,
+           floor((sum(value)) * 100.0 + 0.5) / 100.0 AS sum_value
+    FROM events
+    GROUP BY ROLLUP (date_trunc('day', ts), event_type)
+    """,
+    doc="Hypertable-style rollup: one pass produces the (day, type), "
+    "(day), and grand-total aggregate levels via GROUP BY ROLLUP — "
+    "Spark expands grouping sets map-side, so the multi-granularity "
+    "continuous aggregate costs one shuffle, not one per level.",
+)
+def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", "ts")
+    )
+    return (
+        ev.rollup("day", "event_type")
+        .agg(
+            (F.grouping("day") * 2 + F.grouping("event_type"))
+            .cast("bigint")
+            .alias("grouping_level"),
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.coalesce(F.date_format("day", "yyyy-MM-dd"), F.lit("ALL")).alias("day"),
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            "grouping_level",
+            "n_events",
+            "sum_value",
+        )
+    )
