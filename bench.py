@@ -45,6 +45,11 @@ HEADLINE = [
     "tumbling_window_agg",
     "session_window_agg",
     "json_props_extract",
+    "asof_join_events",
+    "range_join_tiers",
+    "time_rollup",
+    "exact_percentiles",
+    "duplicate_clusters",
 ]
 
 
