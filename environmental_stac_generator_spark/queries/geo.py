@@ -14,6 +14,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from environmental_stac_generator_spark.functions.geo import ensure_utc, reproject_bbox
+from environmental_stac_generator_spark.functions.rounding import rnd
 from environmental_stac_generator_spark.registry import register
 from environmental_stac_generator_spark.tables import load
 
@@ -66,4 +67,48 @@ def ensure_utc_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.date_format(F.min(utc), fmt).alias("first_utc"),
         F.date_format(F.max(utc), fmt).alias("last_utc"),
+    )
+
+
+@register(
+    "zorder_spatial",
+    """
+    WITH q AS (
+      SELECT least(255, greatest(0, CAST(floor((value - 0.0) / (500.0 / 256)) AS BIGINT))) AS xq,
+             least(255, greatest(0, CAST(floor((CAST(user_id AS DOUBLE) - 0.0) / (256.0 / 256)) AS BIGINT))) AS yq,
+             value
+      FROM events
+    ),
+    sx AS (
+      SELECT value,
+             (((((xq | (xq << 4)) & 3855) | (((xq | (xq << 4)) & 3855) << 2)) & 13107)
+              | ((((((xq | (xq << 4)) & 3855) | (((xq | (xq << 4)) & 3855) << 2)) & 13107)) << 1)) & 21845 AS sxq,
+             (((((yq | (yq << 4)) & 3855) | (((yq | (yq << 4)) & 3855) << 2)) & 13107)
+              | ((((((yq | (yq << 4)) & 3855) | (((yq | (yq << 4)) & 3855) << 2)) & 13107)) << 1)) & 21845 AS syq
+      FROM q
+    )
+    SELECT CAST((sxq | (syq << 1)) >> 10 AS BIGINT) AS z_bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           floor((avg(value)) * 10000.0 + 0.5) / 10000.0 AS avg_value
+    FROM sx
+    GROUP BY 1
+    """,
+    doc="Z-order spatial index: Morton interleave of quantized "
+    "(value, user_id) cells via the mask-shift bit ladder — identical "
+    "int64 arithmetic in both engines. Sorting the store by this "
+    "column clusters 2-D neighborhoods so parquet min/max stats prune "
+    "spatial range scans (the lakehouse Z-ORDER technique).",
+)
+def zorder_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from environmental_stac_generator_spark.functions.zorder import zorder_col
+
+    ev = load(spark, sf_dir, "events")
+    z = zorder_col("value", "cast(user_id as double)", (0.0, 500.0), (0.0, 256.0))
+    return (
+        ev.withColumn("z", z)
+        .groupBy(F.expr("z >> 10").cast("bigint").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            rnd(F.avg("value"), 4).alias("avg_value"),
+        )
     )

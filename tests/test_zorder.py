@@ -1,0 +1,54 @@
+"""Z-order index: bit-exactness vs a reference implementation and the
+locality property that motivates it."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from environmental_stac_generator_spark.functions.zorder import morton_sql, zorder_col
+
+
+def _py_spread(v: int) -> int:
+    v = (v | (v << 4)) & 0x0F0F
+    v = (v | (v << 2)) & 0x3333
+    v = (v | (v << 1)) & 0x5555
+    return v
+
+
+def _py_morton(x: int, y: int) -> int:
+    return _py_spread(x) | (_py_spread(y) << 1)
+
+
+def test_morton_matches_reference(spark):
+    cells = [(x, y) for x in (0, 1, 3, 5, 127, 255) for y in (0, 2, 5, 200, 255)]
+    df = spark.createDataFrame(cells, "xq bigint, yq bigint").withColumn(
+        "z", F.expr(morton_sql("xq", "yq"))
+    )
+    for r in df.collect():
+        assert r["z"] == _py_morton(r["xq"], r["yq"]), (r["xq"], r["yq"])
+
+
+def test_morton_is_bijective_on_grid(spark):
+    df = (
+        spark.range(256 * 256)
+        .select((F.col("id") % 256).alias("xq"), (F.col("id") / 256).cast("bigint").alias("yq"))
+        .withColumn("z", F.expr(morton_sql("xq", "yq")))
+    )
+    stats = df.agg(
+        F.countDistinct("z").alias("n"), F.min("z").alias("lo"), F.max("z").alias("hi")
+    ).first()
+    assert stats["n"] == 256 * 256
+    assert stats["lo"] == 0 and stats["hi"] == 256 * 256 - 1
+
+
+def test_zorder_improves_range_locality(spark):
+    # All points in a small 2-D box must fall in a narrow band of the
+    # z-curve relative to the full code space — that band is what
+    # parquet min/max pruning skips to.
+    pts = [(float(x), float(y)) for x in range(16, 32) for y in range(16, 32)]
+    df = spark.createDataFrame(pts, "x double, y double").withColumn(
+        "z", zorder_col("x", "y", (0.0, 256.0), (0.0, 256.0))
+    )
+    lo, hi = df.agg(F.min("z"), F.max("z")).first()
+    # a 16x16 box aligned to a z-quadrant spans exactly 256 codes
+    assert hi - lo + 1 == 256
