@@ -418,3 +418,54 @@ def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")).orderBy(
         "doc_id"
     )
+
+
+@register(
+    "lsh_verified_pairs",
+    f"""
+    WITH {_duck_bands_cte()},
+    sets AS (
+      SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM shingled
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, count(*) AS i
+      FROM pairs p
+      JOIN sets a ON a.doc_id = p.doc_a
+      JOIN sets b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+      GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           floor((CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i)) * 10000.0 + 0.5) / 10000.0
+             AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+    doc="Verified near-dup pairs: LSH candidates confirmed by exact "
+    "shingle-set Jaccard >= 0.5. The tiny candidate set is broadcast "
+    "against the per-doc shingle arrays, and the set algebra "
+    "(array_intersect/union) runs map-side — the full-precision "
+    "verify step costs O(candidates), never O(n^2).",
+)
+def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sets = (
+        d.withColumn("words", F.split("text", " "))
+        .filter(F.size("words") >= 3)
+        .select("doc_id", F.array_distinct(F.expr(_SPARK_SHINGLES)).alias("sh"))
+    )
+    pairs = lsh_candidate_pairs(spark, sf_dir)
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    joined = a.join(F.broadcast(pairs), "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union
+    return (
+        joined.filter(jac >= 0.5)
+        .select("doc_a", "doc_b", rnd(jac, 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
