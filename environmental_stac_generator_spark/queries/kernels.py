@@ -327,3 +327,46 @@ def stac_catalog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("collection")
     )
     return its.join(colls, "collection").select("collection", "item_id")
+
+
+@register(
+    "bucketed_colocated_join",
+    None,
+    doc="Bucketed co-located join: both tables written bucketBy(8, "
+    "key).sortBy(key), then joined with ZERO exchanges on either side "
+    "— the write-time shuffle is amortized over every later join "
+    "(plan asserted in tests/test_bucketed.py).",
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from environmental_stac_generator_spark.sinks.bucketed import (
+        colocated_join,
+        write_bucketed,
+    )
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    write_bucketed(orders, "q_b_orders", "o_orderkey", 8)
+    write_bucketed(lineitem, "q_b_lineitem", "o_orderkey", 8)
+    try:
+        out = (
+            colocated_join(spark, "q_b_orders", "q_b_lineitem", "o_orderkey")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_lines"))
+        )
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        spark.sql("DROP TABLE IF EXISTS q_b_orders")
+        spark.sql("DROP TABLE IF EXISTS q_b_lineitem")
+        wh = Path(spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"))
+        shutil.rmtree(wh / "q_b_orders", ignore_errors=True)
+        shutil.rmtree(wh / "q_b_lineitem", ignore_errors=True)
+        try:  # remove the warehouse dir itself when empty
+            wh.rmdir()
+        except OSError:
+            pass
+    return spark.createDataFrame(rows, schema)
