@@ -397,8 +397,12 @@ def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # min-label propagation to fixpoint; diameter of near-dup clusters
     # is tiny, so this loops a handful of times regardless of corpus
     # size. localCheckpoint keeps each round's plan constant-size.
+    # Convergence check: labels only ever decrease, so the label sum
+    # strictly decreases until the fixpoint — one cheap aggregate per
+    # round instead of a join + count.
+    prev_sum = labels.agg(F.sum("label")).first()[0]
     while True:
-        prop = (
+        labels = (
             edges.join(labels, edges.src == labels.node)
             .select(F.col("dst").alias("node"), "label")
             .unionByName(labels)
@@ -406,15 +410,10 @@ def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
-        changed = (
-            prop.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = prop
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")).orderBy(
         "doc_id"
     )
