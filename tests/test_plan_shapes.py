@@ -1,0 +1,80 @@
+"""Plan-shape regression tests.
+
+The scale properties PLANS.md documents are load-bearing: a refactor
+that silently turns a broadcast join into a shuffle join or adds an
+exchange to a map-side signature would still pass value checks while
+losing 100 TB viability. These tests pin the plan shapes.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from environmental_stac_generator_spark.registry import load_registry
+
+REG = load_registry()
+
+
+def _plan(spark, sf_dir, name):
+    return REG[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def _shuffles(plan: str) -> int:
+    return len(re.findall(r"Exchange (hash|range)partitioning", plan))
+
+
+# (query, max shuffles, must-broadcast?) — shuffle budgets, not exact
+# counts, so plan improvements don't fail the suite.
+BUDGETS = [
+    ("q1_pricing_summary", 1, False),
+    ("band_stats", 1, False),
+    ("dedup_exact", 1, False),
+    ("tumbling_window_agg", 1, False),
+    ("orders_lineitem_join", 1, True),
+    ("star_join_enrich", 1, True),
+    ("skip_existing_items", 1, True),
+    ("upsert_merge", 1, True),
+    ("salted_join", 1, True),
+]
+
+
+@pytest.mark.parametrize("name,max_shuffles,needs_bcast", BUDGETS, ids=[b[0] for b in BUDGETS])
+def test_shuffle_budget_and_broadcast(spark, sf_dir, name, max_shuffles, needs_bcast):
+    plan = _plan(spark, sf_dir, name)
+    assert _shuffles(plan) <= max_shuffles, plan
+    if needs_bcast:
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+
+
+@pytest.mark.parametrize("name", ["minhash_signatures", "simhash", "ann_lsh_buckets", "quality_score"])
+def test_map_side_only(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert _shuffles(plan) == 0, plan
+
+
+def test_asof_is_window_not_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "asof_join_events")
+    assert "Join" not in plan, plan
+    assert _shuffles(plan) <= 1
+
+
+def test_range_join_is_hash_not_nested_loop(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "range_join_tiers")
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_no_python_in_sql_oracle_plans(spark, sf_dir):
+    # every SQL-oracle query must stay JVM-side; pandas/Arrow nodes
+    # belong only to the rows-only codec kernels
+    offenders = []
+    for name, spec in REG.items():
+        if spec.sql is None or name in ("bbox_reproject",):  # F13's tiny pandas UDF is by design
+            continue
+        plan = _plan(spark, sf_dir, name)
+        if any(m in plan for m in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas", "MapInPandas")):
+            offenders.append(name)
+    assert offenders == []
