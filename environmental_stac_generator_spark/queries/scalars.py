@@ -49,11 +49,19 @@ def freq_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = li.select(
         F.concat(F.col("l_linenumber").cast("string"), unit).alias("freq")
     )
-    return src.groupBy(
-        "freq",
-        F.regexp_extract("freq", FREQ_PATTERN, 1).cast("double").alias("freq_value"),
-        F.regexp_extract("freq", FREQ_PATTERN, 2).alias("freq_unit"),
-    ).agg(F.count(F.lit(1)).alias("n"))
+    # Parse AFTER the aggregation: freq functionally determines
+    # (value, unit), so the regex runs once per distinct frequency
+    # string (~30) instead of once per row (~600k at sf0.1).
+    return (
+        src.groupBy("freq")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "freq",
+            F.regexp_extract("freq", FREQ_PATTERN, 1).cast("double").alias("freq_value"),
+            F.regexp_extract("freq", FREQ_PATTERN, 2).alias("freq_unit"),
+            "n",
+        )
+    )
 
 
 @register(
