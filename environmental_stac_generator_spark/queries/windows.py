@@ -301,3 +301,44 @@ def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@register(
+    "event_cube",
+    """
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(CAST(user_id % 10 AS VARCHAR), 'ALL') AS user_bucket,
+           CAST(grouping(event_type) * 2 + grouping(user_id % 10) AS BIGINT)
+             AS grouping_level,
+           CAST(count(*) AS BIGINT) AS n_events,
+           floor((sum(value)) * 100.0 + 0.5) / 100.0 AS sum_value
+    FROM events
+    GROUP BY CUBE (event_type, user_id % 10)
+    """,
+    doc="CUBE over (event_type, user bucket): all four grouping sets "
+    "in one pass with map-side expansion — one shuffle for the whole "
+    "lattice instead of one scan per marginal.",
+)
+def event_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").withColumn(
+        "user_bucket_raw", (F.col("user_id") % 10)
+    )
+    return (
+        ev.cube("event_type", "user_bucket_raw")
+        .agg(
+            (F.grouping("event_type") * 2 + F.grouping("user_bucket_raw"))
+            .cast("bigint")
+            .alias("grouping_level"),
+            F.count(F.lit(1)).alias("n_events"),
+            rnd(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("user_bucket_raw").cast("string"), F.lit("ALL")).alias(
+                "user_bucket"
+            ),
+            "grouping_level",
+            "n_events",
+            "sum_value",
+        )
+    )
