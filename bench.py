@@ -87,10 +87,56 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cog_pipeline": _cog_pipeline_throughput(spark),
             }
         )
     )
     spark.stop()
+
+
+def _cog_pipeline_throughput(spark) -> dict:
+    """The reference's actual workload: NetCDF cells -> per-leadtime
+    multi-band COGs (BASELINE.md: 432x432x93x2 ~ 34.7M cells/file on
+    a 4-worker pool). Measures our scan->grid->encode pipeline in
+    cells/sec with the deterministic codec, so the number tracks the
+    Spark plumbing (shuffle, grouping, Arrow) rather than zlib."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from environmental_stac_generator_spark.sinks.raster import encode_cogs
+    from environmental_stac_generator_spark.sources import netcdf
+
+    from environmental_stac_generator_spark.sinks.raster import encode_cogs_grids
+
+    base = Path(tempfile.mkdtemp(prefix="envstac_bench_cog_"))
+    landing = base / "bench_in"
+    n_files, grid, n_lead, n_vars = 4, 216, 12, 2
+    for i in range(n_files):
+        (landing / f"coll{i}").mkdir(parents=True)
+        (landing / f"coll{i}" / "fc.nc").write_bytes(bytes([i]))
+    src = str(landing / "*")
+    dec = netcdf.fake_decoder(grid=grid, n_lead=n_lead)
+    cells = n_files * grid * grid * n_lead * n_vars
+
+    t0 = time.perf_counter()
+    encode_cogs(
+        netcdf.scan_netcdf(spark, src, decoder=dec), base / "cogs_long"
+    ).write.mode("overwrite").format("noop").save()
+    sec_long = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    encode_cogs_grids(
+        netcdf.scan_netcdf_grids(spark, src, decoder=dec), base / "cogs_grid"
+    ).write.mode("overwrite").format("noop").save()
+    sec_grid = time.perf_counter() - t0
+
+    shutil.rmtree(base, ignore_errors=True)
+    return {
+        "cells": cells,
+        "long_rows": {"sec": round(sec_long, 3), "cells_per_sec": int(cells / sec_long)},
+        "packed_grids": {"sec": round(sec_grid, 3), "cells_per_sec": int(cells / sec_grid)},
+    }
 
 
 if __name__ == "__main__":

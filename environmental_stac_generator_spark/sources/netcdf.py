@@ -275,3 +275,64 @@ def list_files(spark: SparkSession, path: str, glob: str = "*.nc") -> DataFrame:
         .load(path)
         .select("path", "length", "modificationTime")
     )
+
+
+GRID_SCHEMA = (
+    "collection string, path string, forecast_reference_time timestamp, "
+    "leadtime_idx int, variable string, ny int, nx int, "
+    "ys binary, xs binary, `values` binary"
+)
+
+
+def scan_netcdf_grids(
+    spark: SparkSession,
+    path: str,
+    decoder: Decoder | None = None,
+    glob: str = "*.nc",
+    with_content: bool = False,
+) -> DataFrame:
+    """S1/U1 packed fast path: one row per (variable, init, leadtime)
+    SLAB — the 2-D array as float64 bytes in north-up (y desc, x asc)
+    order — instead of one row per cell. Downstream COG encoding
+    (``sinks.raster.encode_cogs_grids``) then shuffles packed slabs,
+    not cells: ~50x less shuffle volume at identical output bytes.
+    The long form (``scan_netcdf``) remains the relational surface
+    for stats/bbox queries; this is the bulk-movement path."""
+    dec = decoder or xarray_decoder
+    files = (
+        spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
+    )
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                content = row["content"] if with_content else None
+                for chunk in dec(row["path"], content):
+                    y = chunk["yc"].to_numpy()
+                    x = chunk["xc"].to_numpy()
+                    v = chunk["value"].to_numpy(dtype="float64")
+                    order = np.lexsort((x, -y))  # y desc, x asc
+                    ys = np.sort(np.unique(y))[::-1]
+                    xs = np.sort(np.unique(x))
+                    ny, nx = len(ys), len(xs)
+                    yield pd.DataFrame(
+                        [
+                            {
+                                "collection": chunk["collection"].iloc[0],
+                                "path": chunk["path"].iloc[0],
+                                "forecast_reference_time": chunk[
+                                    "forecast_reference_time"
+                                ].iloc[0],
+                                "leadtime_idx": int(chunk["leadtime_idx"].iloc[0]),
+                                "variable": chunk["variable"].iloc[0],
+                                "ny": ny,
+                                "nx": nx,
+                                "ys": ys.astype("float64").tobytes(),
+                                "xs": xs.astype("float64").tobytes(),
+                                "values": v[order].tobytes(),
+                            }
+                        ]
+                    )
+
+    cols = ["path", "content"] if with_content else ["path"]
+    return files.select(*cols).mapInPandas(pack, schema=GRID_SCHEMA)

@@ -94,3 +94,30 @@ def test_write_netcdf_slices(long_df, tmp_path):
     assert data.startswith(b"FAKENC_1")
     # path layout netcdf/{collection}/{date}/{ts}.nc (ref :689-701)
     assert "/netcdf/icenet_test/" in r["path"]
+
+
+def test_grid_fast_path_byte_identical(spark, tmp_path):
+    from environmental_stac_generator_spark.sinks.raster import encode_cogs_grids
+
+    # one collection per subdir so (collection, init, leadtime) groups
+    # never merge cells from two files (same-key collisions are
+    # ill-defined in the long path too)
+    landing = tmp_path / "grid_landing"
+    for i in range(2):
+        (landing / f"coll{i}").mkdir(parents=True)
+        (landing / f"coll{i}" / "fc.nc").write_bytes(bytes([i]))
+    landing = landing / "*"
+    dec = netcdf.fake_decoder(grid=8, n_lead=3)
+
+    long_df = netcdf.scan_netcdf(spark, str(landing), decoder=dec)
+    slow = {
+        (r["collection"], r["leadtime_idx"], r["path"].rsplit("/", 1)[-1]): r["multihash"]
+        for r in raster.encode_cogs(long_df, tmp_path / "out_long").collect()
+    }
+    grids = netcdf.scan_netcdf_grids(spark, str(landing), decoder=dec)
+    fast = {
+        (r["collection"], r["leadtime_idx"], r["path"].rsplit("/", 1)[-1]): r["multihash"]
+        for r in encode_cogs_grids(grids, tmp_path / "out_grid").collect()
+    }
+    # same files, byte-identical content, via ~50x less shuffle
+    assert slow == fast and len(slow) == 6
