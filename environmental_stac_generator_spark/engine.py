@@ -109,27 +109,39 @@ class EnvStacEngine:
             if self.packed_encode:
                 # bulk path: re-scan as packed slabs — decode twice,
                 # shuffle 50x less (the reference also opens each file
-                # twice; here the second pass buys the cheap shuffle)
-                cog_source = netcdf.scan_netcdf_grids(
+                # twice; here the second pass buys the cheap shuffle).
+                # One persisted slab scan feeds BOTH sinks.
+                grids = netcdf.scan_netcdf_grids(
                     self.spark, input_path, decoder=self.decoder
-                )
-                encode = raster.encode_cogs_grids
+                ).persist()
+                cog_results = raster.encode_cogs_grids(
+                    grids,
+                    self.output_dir,
+                    encoder=self.cog_encoder,
+                    overwrite=overwrite,
+                    leadtime_unit=unit,
+                    leadtime_step=step,
+                ).persist()
+                cog_results.count()
+                nc_results = raster.write_netcdf_slices_grids(
+                    grids, self.output_dir, overwrite=overwrite
+                ).persist()
+                nc_results.count()
+                grids.unpersist()
             else:
-                cog_source = long_df
-                encode = raster.encode_cogs
-            cog_results = encode(
-                cog_source,
-                self.output_dir,
-                encoder=self.cog_encoder,
-                overwrite=overwrite,
-                leadtime_unit=unit,
-                leadtime_step=step,
-            ).persist()
-            cog_results.count()
-            nc_results = raster.write_netcdf_slices(
-                long_df, self.output_dir, overwrite=overwrite
-            ).persist()
-            nc_results.count()
+                cog_results = raster.encode_cogs(
+                    long_df,
+                    self.output_dir,
+                    encoder=self.cog_encoder,
+                    overwrite=overwrite,
+                    leadtime_unit=unit,
+                    leadtime_step=step,
+                ).persist()
+                cog_results.count()
+                nc_results = raster.write_netcdf_slices(
+                    long_df, self.output_dir, overwrite=overwrite
+                ).persist()
+                nc_results.count()
             results["cog_results"] = cog_results
             results["netcdf_results"] = nc_results
         return results

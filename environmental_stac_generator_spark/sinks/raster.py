@@ -417,3 +417,61 @@ def skip_existing_outputs(planned: DataFrame, out_dir: str | Path, spark) -> Dat
         planned["path"] == F.regexp_replace("_existing_path", "^file:", ""),
         "left_anti",
     )
+
+
+def fake_netcdf_grids_encoder(pdf: pd.DataFrame, meta: dict) -> bytes:
+    """Packed-slab twin of :func:`fake_netcdf_encoder` — byte-identical
+    output: slabs ordered by (variable, leadtime), each flipped back to
+    y-ascending to match the long path's (yc, xc) sort."""
+    ordered = pdf.sort_values(["variable", "leadtime_idx"])
+    parts = [
+        np.flipud(
+            np.frombuffer(r["values"], dtype="float64").reshape(r["ny"], r["nx"])
+        ).ravel()
+        for _, r in ordered.iterrows()
+    ]
+    return b"FAKENC_1" + zlib.compress(np.concatenate(parts).tobytes(), 9)
+
+
+def write_netcdf_slices_grids(
+    grids_df: DataFrame,
+    out_dir: str | Path,
+    encoder: Callable[[pd.DataFrame, dict], bytes] = fake_netcdf_grids_encoder,
+    overwrite: bool = True,
+) -> DataFrame:
+    """K1/U3 fast path over packed slabs (see
+    ``sources.netcdf.scan_netcdf_grids``): the shuffle moves one row
+    per (variable, leadtime) slab instead of every cell, producing
+    byte-identical slice files (asserted in tests)."""
+    out = str(out_dir)
+
+    def encode_group(key, pdf: pd.DataFrame):
+        collection, ref_time = key
+        d = Path(out) / "netcdf" / str(collection) / str(pd.Timestamp(ref_time).date())
+        stamp = pd.Timestamp(ref_time).strftime("%Y-%m-%dT%H-%M-%SZ")
+        nc_path = d / f"{stamp}.nc"
+        if nc_path.exists() and not overwrite:
+            data = nc_path.read_bytes()
+            skipped = True
+        else:
+            data = encoder(pdf, {"collection": collection})
+            d.mkdir(parents=True, exist_ok=True)
+            nc_path.write_bytes(data)
+            skipped = False
+        return pd.DataFrame(
+            [
+                {
+                    "collection": collection,
+                    "forecast_reference_time": ref_time,
+                    "path": str(nc_path),
+                    "n_variables": pdf["variable"].nunique(),
+                    "size": len(data),
+                    "multihash": multihash_md5(data),
+                    "skipped": skipped,
+                }
+            ]
+        )
+
+    return grids_df.groupBy("collection", "forecast_reference_time").applyInPandas(
+        encode_group, schema=NETCDF_RESULT_SCHEMA
+    )

@@ -121,3 +121,27 @@ def test_grid_fast_path_byte_identical(spark, tmp_path):
     }
     # same files, byte-identical content, via ~50x less shuffle
     assert slow == fast and len(slow) == 6
+
+
+def test_netcdf_slices_grid_path_byte_identical(spark, tmp_path):
+    from environmental_stac_generator_spark.sinks.raster import write_netcdf_slices_grids
+
+    landing = tmp_path / "ncg"
+    for i in range(2):
+        (landing / f"c{i}").mkdir(parents=True)
+        (landing / f"c{i}" / "fc.nc").write_bytes(bytes([i]))
+    src = str(landing / "*")
+    dec = netcdf.fake_decoder(grid=8, n_lead=3)
+    slow = {
+        r["path"].rsplit("/", 3)[-3]: r["multihash"]
+        for r in raster.write_netcdf_slices(
+            netcdf.scan_netcdf(spark, src, decoder=dec), tmp_path / "out_l"
+        ).collect()
+    }
+    fast = {
+        r["path"].rsplit("/", 3)[-3]: r["multihash"]
+        for r in write_netcdf_slices_grids(
+            netcdf.scan_netcdf_grids(spark, src, decoder=dec), tmp_path / "out_g"
+        ).collect()
+    }
+    assert slow == fast and len(slow) == 2
