@@ -79,10 +79,20 @@ class EnvStacEngine:
             Path(self.output_dir) / "config.json",
             {self.catalog_name: {"forecast_frequency": forecast_frequency}},
         )
-        long_df = self.scan(input_path)
-        # the reference re-opens each file per stage (a missed
-        # optimization, SURVEY §4) — we scan once and reuse
-        long_df = long_df.persist()
+        if self.packed_encode:
+            # ONE slab-level scan feeds everything: the long relation
+            # is derived JVM-side (posexplode), so per-cell data never
+            # crosses a Python boundary, and both raster sinks regroup
+            # packed slabs instead of cells.
+            grids = netcdf.scan_netcdf_grids(
+                self.spark, input_path, decoder=self.decoder
+            ).persist()
+            long_df = netcdf.long_from_grids(grids)
+        else:
+            grids = None
+            # the reference re-opens each file per stage (a missed
+            # optimization, SURVEY §4) — we scan once and reuse
+            long_df = self.scan(input_path).persist()
         info = self.forecast_info(long_df)
         stats = self.band_statistics(long_df)
         collections = sc.build_collections(info, license=self.license)
@@ -107,13 +117,6 @@ class EnvStacEngine:
             # sinks are actions: materialize now (persist so callers
             # can inspect the result rows without re-encoding)
             if self.packed_encode:
-                # bulk path: re-scan as packed slabs — decode twice,
-                # shuffle 50x less (the reference also opens each file
-                # twice; here the second pass buys the cheap shuffle).
-                # One persisted slab scan feeds BOTH sinks.
-                grids = netcdf.scan_netcdf_grids(
-                    self.spark, input_path, decoder=self.decoder
-                ).persist()
                 cog_results = raster.encode_cogs_grids(
                     grids,
                     self.output_dir,
@@ -127,7 +130,6 @@ class EnvStacEngine:
                     grids, self.output_dir, overwrite=overwrite
                 ).persist()
                 nc_results.count()
-                grids.unpersist()
             else:
                 cog_results = raster.encode_cogs(
                     long_df,

@@ -333,11 +333,11 @@ def encode_cogs_grids(
             bands = list(sub["variable"])
             ny = int(sub["ny"].iloc[0])
             nx = int(sub["nx"].iloc[0])
-            ys = np.frombuffer(sub["ys"].iloc[0], dtype="float64")
-            xs = np.frombuffer(sub["xs"].iloc[0], dtype="float64")
+            ys = np.asarray(sub["ys"].iloc[0], dtype="float64")
+            xs = np.asarray(sub["xs"].iloc[0], dtype="float64")
             arr = np.stack(
                 [
-                    np.frombuffer(b, dtype="float64").reshape(ny, nx)
+                    np.asarray(b, dtype="float64").reshape(ny, nx)
                     for b in sub["values"]
                 ]
             )
@@ -426,7 +426,7 @@ def fake_netcdf_grids_encoder(pdf: pd.DataFrame, meta: dict) -> bytes:
     ordered = pdf.sort_values(["variable", "leadtime_idx"])
     parts = [
         np.flipud(
-            np.frombuffer(r["values"], dtype="float64").reshape(r["ny"], r["nx"])
+            np.asarray(r["values"], dtype="float64").reshape(r["ny"], r["nx"])
         ).ravel()
         for _, r in ordered.iterrows()
     ]

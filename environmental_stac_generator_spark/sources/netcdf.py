@@ -280,7 +280,7 @@ def list_files(spark: SparkSession, path: str, glob: str = "*.nc") -> DataFrame:
 GRID_SCHEMA = (
     "collection string, path string, forecast_reference_time timestamp, "
     "leadtime_idx int, variable string, ny int, nx int, "
-    "ys binary, xs binary, `values` binary"
+    "ys array<double>, xs array<double>, `values` array<double>"
 )
 
 
@@ -327,12 +327,46 @@ def scan_netcdf_grids(
                                 "variable": chunk["variable"].iloc[0],
                                 "ny": ny,
                                 "nx": nx,
-                                "ys": ys.astype("float64").tobytes(),
-                                "xs": xs.astype("float64").tobytes(),
-                                "values": v[order].tobytes(),
+                                "ys": ys.astype("float64"),
+                                "xs": xs.astype("float64"),
+                                "values": v[order],
                             }
                         ]
                     )
 
     cols = ["path", "content"] if with_content else ["path"]
     return files.select(*cols).mapInPandas(pack, schema=GRID_SCHEMA)
+
+
+def long_from_grids(grids_df: DataFrame) -> DataFrame:
+    """Packed slabs -> the long cell relation, entirely JVM-side
+    (posexplode + element_at inside whole-stage codegen). Combined
+    with :func:`scan_netcdf_grids` this means per-CELL data never
+    crosses a Python boundary: Python touches one row per slab, and
+    the ~10^4-10^6 cells per slab are exploded by Tungsten. Produces
+    the same rows as :func:`scan_netcdf` (order aside)."""
+    e = F.posexplode("values")
+    return (
+        grids_df.select(
+            "collection",
+            "path",
+            "forecast_reference_time",
+            "leadtime_idx",
+            "variable",
+            "ny",
+            "nx",
+            "ys",
+            "xs",
+            e.alias("i", "value"),
+        )
+        .select(
+            "collection",
+            "path",
+            "forecast_reference_time",
+            "leadtime_idx",
+            "variable",
+            F.element_at("ys", (F.col("i") / F.col("nx")).cast("int") + 1).alias("yc"),
+            F.element_at("xs", (F.col("i") % F.col("nx")) + 1).alias("xc"),
+            "value",
+        )
+    )

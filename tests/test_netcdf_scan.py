@@ -75,3 +75,29 @@ def test_content_pruned_from_scan_by_default(spark, tmp_path):
     )
     fplan = full._jdf.queryExecution().executedPlan().toString()
     assert "content" in fplan.split("ReadSchema:")[-1]
+
+
+def test_long_from_grids_matches_long_scan(spark, tmp_path):
+    landing = tmp_path / "lfg"
+    landing.mkdir()
+    (landing / "fc0.nc").write_bytes(b"\x00")
+    dec = netcdf.fake_decoder(grid=8, n_lead=2)
+    cols = ["collection", "forecast_reference_time", "leadtime_idx",
+            "variable", "yc", "xc", "value"]
+    direct = (
+        netcdf.scan_netcdf(spark, str(landing), decoder=dec)
+        .select(cols).toPandas().sort_values(cols[:6]).reset_index(drop=True)
+    )
+    derived = (
+        netcdf.long_from_grids(netcdf.scan_netcdf_grids(spark, str(landing), decoder=dec))
+        .select(cols).toPandas().sort_values(cols[:6]).reset_index(drop=True)
+    )
+    import pandas.testing as pdt
+
+    pdt.assert_frame_equal(direct, derived)
+    # and the derived path is pure JVM after the slab scan
+    plan = (
+        netcdf.long_from_grids(netcdf.scan_netcdf_grids(spark, str(landing), decoder=dec))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("MapInPandas") == 1  # only the slab scan
