@@ -370,3 +370,28 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         except OSError:
             pass
     return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "multimodal_frame_sample",
+    None,
+    doc="Multimodal video plumbing: per-media sampled frame indices "
+    "(sequence+explode, payload never moves) unioned with the "
+    "metadata-only media summary — binary columns pruned from both.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from environmental_stac_generator_spark.operators import multimodal as mm
+
+    media = mm.synthesize_media(load(spark, sf_dir, "documents"))
+    frames = mm.frame_sample(media, every_n=10)
+    summary = mm.media_summary(media)
+    return (
+        frames.groupBy(F.lit("frames").alias("part"))
+        .agg(F.count(F.lit(1)).cast("double").alias("metric"))
+        .unionByName(
+            summary.select(
+                F.concat(F.lit("summary_"), "kind").alias("part"),
+                F.col("n").cast("double").alias("metric"),
+            )
+        )
+    )
