@@ -63,3 +63,58 @@ def test_range_join_boundaries(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def asof_case(draw):
+    n_l = draw(st.integers(1, 12))
+    n_r = draw(st.integers(0, 12))
+    keys = st.integers(0, 2)
+    secs = st.integers(0, 3600)
+    left = [(i, draw(keys), draw(secs)) for i in range(n_l)]
+    right = [(draw(keys), draw(secs)) for _ in range(n_r)]
+    return left, right
+
+
+@settings(max_examples=12, deadline=None)
+@given(case=asof_case())
+def test_asof_matches_pandas_merge_asof(spark, case):
+    left_rows, right_rows = case
+    base = pd.Timestamp("2025-01-01")
+    left = spark.createDataFrame(
+        [(i, k, (base + pd.Timedelta(seconds=s)).to_pydatetime()) for i, k, s in left_rows],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(k, (base + pd.Timedelta(seconds=s)).to_pydatetime()) for k, s in right_rows],
+        "user_id long, ts timestamp",
+    ) if right_rows else spark.createDataFrame([], "user_id long, ts timestamp")
+    got = {
+        r["event_id"]: r["matched_ts"]
+        for r in as_of_join(left, right, "user_id").collect()
+    }
+    lp = pd.DataFrame(
+        [(i, k, base + pd.Timedelta(seconds=s)) for i, k, s in left_rows],
+        columns=["event_id", "user_id", "ts"],
+    ).sort_values("ts", kind="stable")
+    rp = pd.DataFrame(
+        [(k, base + pd.Timedelta(seconds=s)) for k, s in right_rows],
+        columns=["user_id", "rts"],
+    ).sort_values("rts", kind="stable")
+    if rp.empty:
+        expected = {i: None for i, _, _ in left_rows}
+    else:
+        m = pd.merge_asof(
+            lp, rp, left_on="ts", right_on="rts", by="user_id",
+            direction="backward", allow_exact_matches=True,
+        )
+        expected = {
+            int(r["event_id"]): (None if pd.isna(r["rts"]) else r["rts"])
+            for _, r in m.iterrows()
+        }
+    got_n = {k: (pd.Timestamp(v) if v is not None else None) for k, v in got.items()}
+    assert got_n == expected
