@@ -118,3 +118,35 @@ def test_asof_matches_pandas_merge_asof(spark, case):
         }
     got_n = {k: (pd.Timestamp(v) if v is not None else None) for k, v in got.items()}
     assert got_n == expected
+
+
+@st.composite
+def range_case(draw):
+    n_vals = draw(st.integers(1, 25))
+    vals = [draw(st.floats(0, 400, allow_nan=False)) for _ in range(n_vals)]
+    bounds = sorted(
+        {draw(st.floats(0, 400, allow_nan=False)) for _ in range(draw(st.integers(2, 5)))}
+    )
+    tiers = [
+        (bounds[i], bounds[i + 1], f"t{i}") for i in range(len(bounds) - 1)
+        if bounds[i] < bounds[i + 1]
+    ]
+    return vals, tiers
+
+
+@settings(max_examples=12, deadline=None)
+@given(case=range_case())
+def test_range_join_matches_plain_filter_join(spark, case):
+    vals, tiers = case
+    if not tiers:
+        return
+    rows = spark.createDataFrame([(v,) for v in vals], "value double")
+    tiers_df = spark.createDataFrame(tiers, "lo double, hi double, tier string")
+    got = sorted(
+        (r["value"], r["tier"])
+        for r in range_join(rows, tiers_df, "value", bucket_width=37.0).collect()
+    )
+    expected = sorted(
+        (v, t) for v in vals for lo, hi, t in tiers if lo <= v < hi
+    )
+    assert got == expected
