@@ -18,7 +18,7 @@ REPO = Path(__file__).resolve().parent
 if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
 
-from environmental_stac_generator_spark.registry import load_registry
+from environmental_stac_generator_spark.registry import load_full_registry
 from environmental_stac_generator_spark.session import get_spark
 
 # Representative of every operator family: scan+agg, joins, windows,
@@ -62,7 +62,7 @@ def main() -> None:
         shuffle_partitions=int(cpus),
     )
     spark.sparkContext.setLogLevel("ERROR")
-    reg = load_registry()
+    reg = load_full_registry()
 
     # Warm the JVM / IO path once so per-query numbers measure the
     # queries, not session startup.

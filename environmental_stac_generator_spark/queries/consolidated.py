@@ -1,0 +1,549 @@
+"""Driver-facing consolidated registry: SURVEY §2 + §2.11 in ≤50 rows.
+
+The driver's CORRECTNESS check covers the first 50 ``queries()``
+entries, so the full fine-grained registry (85 queries — kept intact
+for tests, bench continuity, and debugging granularity; see
+``registry.load_full_registry``) is consolidated here into 48
+driver-facing entries: 40 SQL-oracle-checked + 8 rows-only kernels.
+
+Two merge shapes, chosen so every absorbed query keeps bit-exact
+verification:
+
+- **column merge** — same table, same row grain: one single-scan
+  projection carries all the absorbed queries' columns (e.g.
+  ``datetime_scalars`` = interval_arith + date_formats +
+  id_templating; ``text_profile`` = token_count + lang_id +
+  doc_fingerprint). No joins on the Spark side; plans unchanged.
+- **typed union** — different grains: each sub-result is projected
+  onto a shared flat schema with a ``part`` discriminator and
+  ``UNION ALL``-ed; the oracle applies the identical projection to
+  the original oracle SQL as a subquery. A value error in ANY
+  absorbed query still flips the merged hash.
+
+Rows-only kernels union as ``(part, payload)`` where payload is
+``to_json(struct(*))`` — flat, sortable output, which also fixes the
+round-1 canonicalizer errors on nested ``attrs map`` /
+``features array`` columns (VERDICT r1 items 2-3).
+
+The old name → consolidated row mapping is documented in COVERAGE.md.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import BinaryType
+
+from environmental_stac_generator_spark.registry import QuerySpec
+
+_DUCK = {"string": "VARCHAR", "bigint": "BIGINT", "double": "DOUBLE", "int": "INTEGER"}
+
+# Shared flat schemas for typed-union merges: (column, type) pairs.
+EXTENT = [("grp", "string"), ("xmin", "double"), ("ymin", "double"),
+          ("xmax", "double"), ("ymax", "double"),
+          ("t_start", "string"), ("t_end", "string")]
+COUNTS = [("k1", "string"), ("k2", "string"), ("n1", "bigint"), ("n2", "bigint")]
+PIVOT = [("k1", "bigint"), ("k2", "bigint"), ("v1", "double"), ("v2", "double"),
+         ("v3", "double"), ("v4", "double"), ("v5", "double")]
+PAIRS = [("a", "bigint"), ("b", "bigint"), ("v", "bigint")]
+NEARDUP = [("doc_id", "bigint"), ("sig", "string"), ("jaccard", "double")]
+SKIP = [("grp", "string"), ("n_new", "bigint")]
+FACTDIM = [("k1", "string"), ("k2", "string"), ("amount", "double"), ("n", "bigint")]
+CLASSIFIER = [("k1", "string"), ("k2", "string"), ("metric", "double"), ("n", "bigint")]
+ROWSCALAR = [("k1", "string"), ("k2", "string"), ("v", "double"), ("s", "string")]
+ANN = [("a", "bigint"), ("b", "bigint"), ("cosine", "double")]
+ORDERED = [("grp", "string"), ("key", "string"), ("aux", "string"), ("idx", "bigint")]
+WINAGG = [("window_start", "string"), ("grp", "string"), ("window_end", "string"),
+          ("n_events", "bigint"), ("sum_value", "double")]
+SKETCH = [("grp", "string"), ("v1", "double"), ("v2", "double"),
+          ("v3", "double"), ("v4", "double")]
+
+Part = tuple[str, str, dict[str, str]]  # (label, source query name, col → src expr)
+
+
+def _union_fn(
+    full: dict[str, QuerySpec], schema: list[tuple[str, str]], parts: list[Part]
+) -> Callable[[SparkSession, str], DataFrame]:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        out = None
+        for label, src, mapping in parts:
+            base = full[src].fn(spark, sf_dir)
+            cols = [F.lit(label).alias("part")]
+            for name, typ in schema:
+                expr = mapping.get(name)
+                col = F.lit(None) if expr is None else F.expr(expr)
+                cols.append(col.cast(typ).alias(name))
+            proj = base.select(*cols)
+            out = proj if out is None else out.unionByName(proj)
+        return out
+
+    return fn
+
+
+def _union_sql(
+    full: dict[str, QuerySpec], schema: list[tuple[str, str]], parts: list[Part]
+) -> str:
+    sels = []
+    for i, (label, src, mapping) in enumerate(parts):
+        cols = ", ".join(
+            f"CAST({mapping.get(name, 'NULL')} AS {_DUCK[typ]}) AS {name}"
+            for name, typ in schema
+        )
+        sels.append(
+            f"SELECT '{label}' AS part, {cols} FROM (\n{full[src].sql}\n) AS _p{i}"
+        )
+    return "\nUNION ALL\n".join(sels)
+
+
+def _merged(full, name, schema, parts, doc) -> QuerySpec:
+    return QuerySpec(
+        fn=_union_fn(full, schema, parts), sql=_union_sql(full, schema, parts), doc=doc
+    )
+
+
+def _json_rows_fn(
+    full: dict[str, QuerySpec], parts: list[tuple[str, str]]
+) -> Callable[[SparkSession, str], DataFrame]:
+    """Rows-only merge: each kernel's output becomes flat
+    (part, payload-JSON) rows — stable 2-column schema, no nested
+    types for the driver canonicalizer to choke on."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        out = None
+        for label, src in parts:
+            df = full[src].fn(spark, sf_dir)
+            keep = [f.name for f in df.schema.fields if not isinstance(f.dataType, BinaryType)]
+            proj = df.select(
+                F.lit(label).alias("part"),
+                F.to_json(F.struct(*[F.col(c) for c in keep])).alias("payload"),
+            )
+            out = proj if out is None else out.unionByName(proj)
+        return out
+
+    return fn
+
+
+def _kernel(full, name, parts, doc) -> QuerySpec:
+    return QuerySpec(fn=_json_rows_fn(full, parts), sql=None, doc=doc)
+
+
+_CACHE: dict[str, QuerySpec] | None = None
+
+
+def build(full: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
+    global _CACHE
+    if _CACHE is not None:
+        return _CACHE
+
+    from environmental_stac_generator_spark.queries import scalars as _sc
+    from environmental_stac_generator_spark.queries import text as _tx
+
+    keep = lambda n: (n, full[n])  # noqa: E731
+
+    reg: dict[str, QuerySpec] = dict(
+        [
+            # ---- aggregates / arrays (A1-A8, N1-N6) ----------------
+            keep("q1_pricing_summary"),
+            keep("band_stats"),
+            (
+                "collection_extent",
+                _merged(
+                    full,
+                    "collection_extent",
+                    EXTENT,
+                    [
+                        ("bbox", "bbox_agg",
+                         {"grp": "l_returnflag", "xmin": "xmin", "ymin": "ymin",
+                          "xmax": "xmax", "ymax": "ymax"}),
+                        ("temporal", "temporal_extent",
+                         {"grp": "o_orderpriority", "t_start": "extent_start",
+                          "t_end": "extent_end"}),
+                        ("merged", "extent_merge",
+                         {"grp": "o_orderpriority", "t_start": "merged_start",
+                          "t_end": "merged_end"}),
+                        ("utc", "ensure_utc_ts",
+                         {"grp": "event_type", "t_start": "first_utc",
+                          "t_end": "last_utc"}),
+                    ],
+                    doc="A1 bbox + A2 temporal extent + J8 extent merge + F4 "
+                    "ensure_utc as one typed union (absorbs bbox_agg, "
+                    "temporal_extent, extent_merge, ensure_utc_ts).",
+                ),
+            ),
+            (
+                "agg_counts",
+                _merged(
+                    full,
+                    "agg_counts",
+                    COUNTS,
+                    [
+                        ("dir_size", "dir_size_sum",
+                         {"k1": "source", "n1": "total_bytes", "n2": "n_files"}),
+                        ("leadtime_count", "leadtime_count",
+                         {"k1": "event_type", "n1": "n_distinct", "n2": "n_rows"}),
+                        ("distinct_keys", "distinct_keys",
+                         {"k1": "event_type", "k2": "user_bucket"}),
+                        ("dedupe_guard", "dedupe_guard", {"n1": "n_unique"}),
+                    ],
+                    doc="A5 dir-size sum + A6 leadtime count + W4 distinct "
+                    "keys/dedupe guard (absorbs dir_size_sum, leadtime_count, "
+                    "distinct_keys, dedupe_guard).",
+                ),
+            ),
+            keep("overview_pyramid"),
+            (
+                "band_pivot",
+                _merged(
+                    full,
+                    "band_pivot",
+                    PIVOT,
+                    [
+                        ("events", "band_pivot",
+                         {"k1": "user_bucket", "v1": "click", "v2": "error",
+                          "v3": "purchase", "v4": "signup", "v5": "view"}),
+                        ("grid", "grid_to_wide",
+                         {"k1": "yc", "k2": "xc", "v1": "band_a", "v2": "band_n",
+                          "v3": "band_r"}),
+                    ],
+                    doc="N1 band stacking: long→wide pivot + the cell-level "
+                    "grid regroup (absorbs band_pivot, grid_to_wide).",
+                ),
+            ),
+            keep("geojson_bbox"),
+            keep("explode_embeddings"),
+            # ---- dedup family (§2.11) ------------------------------
+            keep("dedup_exact"),
+            (
+                "minhash_lsh",
+                _merged(
+                    full,
+                    "minhash_lsh",
+                    PAIRS,
+                    [
+                        ("sig", "minhash_signatures",
+                         {"a": "doc_id", "b": "k", "v": "minhash"}),
+                        ("pair", "lsh_candidate_pairs",
+                         {"a": "doc_a", "b": "doc_b"}),
+                    ],
+                    doc="MinHash signatures + LSH banding candidate pairs "
+                    "(absorbs minhash_signatures, lsh_candidate_pairs; both "
+                    "map-side, pairs from grouped buckets — one shuffle).",
+                ),
+            ),
+            keep("lsh_verified_pairs"),
+            (
+                "text_near_dup",
+                _merged(
+                    full,
+                    "text_near_dup",
+                    NEARDUP,
+                    [
+                        ("simhash", "simhash", {"doc_id": "doc_id", "sig": "simhash"}),
+                        ("ngram", "ngram_jaccard_vs_probe",
+                         {"doc_id": "doc_id", "jaccard": "jaccard"}),
+                    ],
+                    doc="SimHash signatures + n-gram Jaccard probe ranking "
+                    "(absorbs simhash, ngram_jaccard_vs_probe).",
+                ),
+            ),
+            keep("duplicate_clusters"),
+            # ---- geo / layout --------------------------------------
+            keep("bbox_reproject"),
+            keep("zorder_spatial"),
+            # ---- joins (J1-J8) -------------------------------------
+            (
+                "skip_existing",
+                _merged(
+                    full,
+                    "skip_existing",
+                    SKIP,
+                    [
+                        ("collections", "skip_existing_collections",
+                         {"grp": "o_orderstatus", "n_new": "n_new"}),
+                        ("items", "skip_existing_items",
+                         {"grp": "l_returnflag", "n_new": "n_new"}),
+                    ],
+                    doc="J4/J5 skip-existing via bulk anti-join, single and "
+                    "composite keys (absorbs skip_existing_collections, "
+                    "skip_existing_items).",
+                ),
+            ),
+            keep("get_or_create_collections"),
+            keep("upsert_merge"),
+            (
+                "fact_dim_join",
+                _merged(
+                    full,
+                    "fact_dim_join",
+                    FACTDIM,
+                    [
+                        ("star", "star_join_enrich",
+                         {"k1": "region_name", "k2": "nation_name",
+                          "amount": "total_bal", "n": "n_customers"}),
+                        ("fact", "orders_lineitem_join",
+                         {"k1": "o_orderpriority", "amount": "revenue",
+                          "n": "n_lines"}),
+                    ],
+                    doc="J3 dimension lookup star join (broadcast) + fact-fact "
+                    "equi-join on the shuffle key (absorbs star_join_enrich, "
+                    "orders_lineitem_join).",
+                ),
+            ),
+            # ---- scalar functions (P3-P8, F1-F17, C1) --------------
+            (
+                "datetime_scalars",
+                QuerySpec(
+                    fn=_sc.datetime_scalars,
+                    sql=_sc.DATETIME_SCALARS_SQL,
+                    doc="F2 calendar-interval arithmetic + F3 the 4 datetime "
+                    "string formats + F7 id templating in ONE single-scan "
+                    "projection (absorbs interval_arith, date_formats, "
+                    "id_templating).",
+                ),
+            ),
+            (
+                "classifier_scalars",
+                _merged(
+                    full,
+                    "classifier_scalars",
+                    CLASSIFIER,
+                    [
+                        ("freq", "freq_parse",
+                         {"k1": "freq", "k2": "freq_unit", "metric": "freq_value",
+                          "n": "n"}),
+                        ("hemisphere", "hemisphere",
+                         {"k1": "hemisphere", "n": "n"}),
+                        ("unit", "unit_rescale",
+                         {"k1": "units", "metric": "total_metres", "n": "n"}),
+                        ("mime", "mime_guess",
+                         {"k1": "ext", "k2": "media_type", "n": "n"}),
+                        ("title", "title_string",
+                         {"k1": "r_regionkey", "k2": "title"}),
+                    ],
+                    doc="F1 frequency parse + P7 hemisphere + P8/F16 unit "
+                    "rescale + F11 MIME guess + F6 title derivation (absorbs "
+                    "freq_parse, hemisphere, unit_rescale, mime_guess, "
+                    "title_string).",
+                ),
+            ),
+            (
+                "row_scalars",
+                _merged(
+                    full,
+                    "row_scalars",
+                    ROWSCALAR,
+                    [
+                        ("floor2dp", "floor_2dp",
+                         {"k1": "event_id", "v": "value_floored"}),
+                        ("coord", "coord_coalesce",
+                         {"k1": "l_orderkey", "k2": "l_linenumber", "v": "coord_x"}),
+                        ("href", "href_rewrite",
+                         {"k1": "doc_id", "k2": "href", "s": "rewritten"}),
+                    ],
+                    doc="F15 2dp floor + P3 coordinate coalesce + F8 href "
+                    "rewrite, per-row scalar kernels (absorbs floor_2dp, "
+                    "coord_coalesce, href_rewrite).",
+                ),
+            ),
+            keep("md5_multihash"),
+            keep("json_props_extract"),
+            keep("config_guard"),
+            # ---- similarity search (§2.11) -------------------------
+            keep("cosine_topk"),
+            keep("knn_join"),
+            (
+                "ann_lsh",
+                _merged(
+                    full,
+                    "ann_lsh",
+                    ANN,
+                    [
+                        ("probe", "ann_lsh_probe",
+                         {"a": "vec_id", "cosine": "cosine"}),
+                        ("near_dup", "embedding_near_dup",
+                         {"a": "vec_a", "b": "vec_b", "cosine": "cosine"}),
+                    ],
+                    doc="Random-hyperplane LSH ANN: bucket-probe ranking + "
+                    "embedding-cosine near-dup pairs from bucket groups "
+                    "(absorbs ann_lsh_probe, embedding_near_dup; "
+                    "ann_lsh_buckets is their shared map stage).",
+                ),
+            ),
+            keep("ivf_ann_probe"),
+            # ---- sketches / skew / temporal ------------------------
+            keep("exact_percentiles"),
+            keep("salted_agg"),
+            keep("salted_join"),
+            keep("asof_join_events"),
+            keep("range_join_tiers"),
+            # ---- text analysis (§2.11) -----------------------------
+            keep("quality_score"),
+            (
+                "text_profile",
+                QuerySpec(
+                    fn=_tx.text_profile,
+                    sql=_tx.TEXT_PROFILE_SQL,
+                    doc="One-scan text analysis: token counting (whitespace + "
+                    "BPE-ish regex), language-ID heuristic, and content "
+                    "fingerprints (absorbs token_count, lang_id, "
+                    "doc_fingerprint).",
+                ),
+            ),
+            # ---- windows / ordering (W1-W4, P4-P5) -----------------
+            (
+                "ordered_select",
+                _merged(
+                    full,
+                    "ordered_select",
+                    ORDERED,
+                    [
+                        ("leadtime_idx", "leadtime_index",
+                         {"grp": "o_orderpriority", "key": "o_orderkey",
+                          "aux": "init_date", "idx": "leadtime_idx"}),
+                        ("band_idx", "band_index",
+                         {"grp": "o_orderpriority", "key": "o_orderstatus",
+                          "idx": "bidx"}),
+                        ("time_slice", "time_slice_select",
+                         {"grp": "o_orderstatus", "key": "o_orderkey",
+                          "aux": "o_custkey"}),
+                        ("first", "first_per_group",
+                         {"grp": "o_custkey", "key": "first_orderkey",
+                          "aux": "first_orderdate"}),
+                    ],
+                    doc="W1 positional leadtime index + N2 band index + P4 "
+                    "time-equality slice + W2 first-per-group (absorbs "
+                    "leadtime_index, band_index, time_slice_select, "
+                    "first_per_group).",
+                ),
+            ),
+            (
+                "windowed_aggs",
+                _merged(
+                    full,
+                    "windowed_aggs",
+                    WINAGG,
+                    [
+                        ("tumbling", "tumbling_window_agg",
+                         {"window_start": "window_start", "grp": "event_type",
+                          "n_events": "n_events", "sum_value": "sum_value"}),
+                        ("sliding", "sliding_window_agg",
+                         {"window_start": "window_start",
+                          "n_events": "n_events", "sum_value": "sum_value"}),
+                        ("session", "session_window_agg",
+                         {"window_start": "session_start", "grp": "user_id",
+                          "window_end": "session_end",
+                          "n_events": "n_events", "sum_value": "sum_value"}),
+                    ],
+                    doc="Event-time windows: tumbling 1-day + sliding 2d/1d + "
+                    "session (6h gap) aggregations (absorbs "
+                    "tumbling_window_agg, sliding_window_agg, "
+                    "session_window_agg; streaming twins in streaming_suite).",
+                ),
+            ),
+            keep("time_rollup"),
+            keep("event_cube"),
+            # ---- rows-only kernels (S/K/T/U families) --------------
+            (
+                "netcdf_scan",
+                _kernel(
+                    full,
+                    "netcdf_scan",
+                    [("long", "netcdf_scan_long"), ("meta", "netcdf_metadata_scan")],
+                    doc="S1/U1 NetCDF explode to long rows + attr-only "
+                    "metadata scan (absorbs netcdf_scan_long, "
+                    "netcdf_metadata_scan; attrs map serialized to JSON "
+                    "payload).",
+                ),
+            ),
+            (
+                "raster_encode",
+                _kernel(
+                    full,
+                    "raster_encode",
+                    [("cog", "cog_encode"), ("ncslice", "netcdf_slice_write")],
+                    doc="K1/K2/U2/U3 applyInPandas grid rebuild → COG encode "
+                    "and per-init-time NetCDF slice write (absorbs "
+                    "cog_encode, netcdf_slice_write).",
+                ),
+            ),
+            (
+                "stac_pipeline",
+                _kernel(
+                    full,
+                    "stac_pipeline",
+                    [("items", "stac_item_documents"),
+                     ("roundtrip", "stac_catalog_roundtrip")],
+                    doc="K4/N6/S3 STAC item JSON assembly + catalog write/"
+                    "read-back/link-traversal roundtrip (absorbs "
+                    "stac_item_documents, stac_catalog_roundtrip).",
+                ),
+            ),
+            (
+                "streaming_suite",
+                _kernel(
+                    full,
+                    "streaming_suite",
+                    [("incremental", "streaming_incremental_merge"),
+                     ("windowed", "streaming_windowed_counts"),
+                     ("stateful", "streaming_stateful_extent")],
+                    doc="T1-T4: incremental file-source merge (foreachBatch "
+                    "idempotent sink), watermarked windowed counts, and "
+                    "applyInPandasWithState running extent (absorbs the three "
+                    "streaming_* entries).",
+                ),
+            ),
+            (
+                "multimodal_pipeline",
+                _kernel(
+                    full,
+                    "multimodal_pipeline",
+                    [("features", "multimodal_features"),
+                     ("frames", "multimodal_frame_sample")],
+                    doc="Multimodal: Arrow-batched decode/feature kernel + "
+                    "video frame-sampling plumbing (absorbs "
+                    "multimodal_features, multimodal_frame_sample; feature "
+                    "array serialized to JSON payload).",
+                ),
+            ),
+            keep("asset_probe"),
+            (
+                "storage_layout",
+                _kernel(
+                    full,
+                    "storage_layout",
+                    [("partitioned", "partitioned_roundtrip"),
+                     ("bucketed", "bucketed_colocated_join")],
+                    doc="Hive-partitioned store write + partition-pruned read, "
+                    "and bucketed zero-exchange co-located join (absorbs "
+                    "partitioned_roundtrip, bucketed_colocated_join).",
+                ),
+            ),
+            (
+                "approx_sketches",
+                QuerySpec(
+                    fn=_union_fn(
+                        full,
+                        SKETCH,
+                        [
+                            ("hll", "hll_cardinality",
+                             {"grp": "l_returnflag", "v1": "approx_orders",
+                              "v2": "approx_parts"}),
+                            ("gk", "approx_percentiles",
+                             {"grp": "l_returnflag", "v1": "p25", "v2": "p50",
+                              "v3": "p75", "v4": "p95"}),
+                        ],
+                    ),
+                    sql=None,
+                    doc="HyperLogLog++ cardinalities + Greenwald-Khanna "
+                    "approximate percentiles (engine-specific sketches — "
+                    "rows-only; error bounds pinned in tests/test_sketches.py; "
+                    "absorbs hll_cardinality, approx_percentiles).",
+                ),
+            ),
+        ]
+    )
+    assert len(reg) <= 50, f"driver window exceeded: {len(reg)}"
+    _CACHE = reg
+    return reg

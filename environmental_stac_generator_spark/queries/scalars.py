@@ -150,19 +150,8 @@ def unit_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
     "end-of-month).",
 )
 def interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load(spark, sf_dir, "orders")
-    return o.select(
-        "o_orderkey",
-        F.date_format(
-            F.expr(
-                "o_orderdate + make_interval(0, 0, 0, CAST(o_orderkey % 93 AS INT), 0, 0, 0)"
-            ),
-            "yyyy-MM-dd HH:mm",
-        ).alias("valid_time"),
-        F.date_format(
-            F.add_months("o_orderdate", (F.col("o_custkey") % 12).cast("int")),
-            "yyyy-MM-dd",
-        ).alias("end_month"),
+    return datetime_scalars(spark, sf_dir).select(
+        "o_orderkey", "valid_time", "end_month"
     )
 
 
@@ -181,15 +170,8 @@ def interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(ref utils.py:190-210, stac/generator.py:671-678,865-868).",
 )
 def date_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load(spark, sf_dir, "orders")
-    d = F.col("o_orderdate")
-    return o.select(
-        "o_orderkey",
-        F.date_format(d, "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("iso_str"),
-        F.date_format(d, "yyyy-MM-dd_HH:mm").alias("underscore_str"),
-        F.date_format(d, "yyyy-MM-dd HH:mm").alias("space_str"),
-        F.date_format(d, "yyyy-MM-dd'T'HH-mm-ss'Z'").alias("fname_str"),
-        F.date_format(d, "yyyy-MM-dd").alias("date_str"),
+    return datetime_scalars(spark, sf_dir).select(
+        "o_orderkey", "iso_str", "underscore_str", "space_str", "fname_str", "date_str"
     )
 
 
@@ -231,21 +213,8 @@ def title_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     "{collection}/{date}/{id}.tif (ref stac/generator.py:695,871-875,689-701).",
 )
 def id_templating(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load(spark, sf_dir, "orders")
-    ts = F.date_format("o_orderdate", "yyyy-MM-dd'T'HH-mm-ss'Z'")
-    item_id = F.concat(F.lit("forecast_init_"), ts)
-    return o.select(
-        "o_orderkey",
-        item_id.alias("item_id"),
-        F.concat(item_id, F.lit("_lead_"), (F.col("o_orderkey") % 93).cast("string")).alias(
-            "asset_id"
-        ),
-        F.format_string(
-            "%s/%s/%s.tif",
-            F.col("o_orderpriority"),
-            F.date_format("o_orderdate", "yyyy-MM-dd"),
-            F.col("o_orderkey").cast("string"),
-        ).alias("cog_path"),
+    return datetime_scalars(spark, sf_dir).select(
+        "o_orderkey", "item_id", "asset_id", "cog_path"
     )
 
 
@@ -366,6 +335,69 @@ def floor_2dp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Merged per-row datetime/string scalar suite (F2 + F3 + F7): one
+# single-scan projection over orders combining interval_arith,
+# date_formats and id_templating — the consolidated registry exposes
+# this as ``datetime_scalars`` so all three §2.7 functions share one
+# driver correctness row without extra scans or joins on the Spark
+# side (the oracle joins the three sub-selects on o_orderkey, which
+# is fine — the oracle never needs to scale).
+DATETIME_SCALARS_SQL = """
+    SELECT o_orderkey,
+           strftime(o_orderdate + to_days(CAST(o_orderkey % 93 AS INT)),
+                    '%Y-%m-%d %H:%M') AS valid_time,
+           strftime(o_orderdate + to_months(CAST(o_custkey % 12 AS INT)),
+                    '%Y-%m-%d') AS end_month,
+           strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ')  AS iso_str,
+           strftime(o_orderdate, '%Y-%m-%d_%H:%M')      AS underscore_str,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M')      AS space_str,
+           strftime(o_orderdate, '%Y-%m-%dT%H-%M-%SZ')  AS fname_str,
+           strftime(o_orderdate, '%Y-%m-%d')            AS date_str,
+           'forecast_init_' || strftime(o_orderdate, '%Y-%m-%dT%H-%M-%SZ') AS item_id,
+           'forecast_init_' || strftime(o_orderdate, '%Y-%m-%dT%H-%M-%SZ')
+             || '_lead_' || CAST(o_orderkey % 93 AS VARCHAR) AS asset_id,
+           o_orderpriority || '/' || strftime(o_orderdate, '%Y-%m-%d') || '/'
+             || CAST(o_orderkey AS VARCHAR) || '.tif' AS cog_path
+    FROM orders
+    """
+
+
+def datetime_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2+F3+F7 in one codegen'd map pass over orders (no joins)."""
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    ts = F.date_format(d, "yyyy-MM-dd'T'HH-mm-ss'Z'")
+    item_id = F.concat(F.lit("forecast_init_"), ts)
+    return o.select(
+        "o_orderkey",
+        F.date_format(
+            F.expr(
+                "o_orderdate + make_interval(0, 0, 0, CAST(o_orderkey % 93 AS INT), 0, 0, 0)"
+            ),
+            "yyyy-MM-dd HH:mm",
+        ).alias("valid_time"),
+        F.date_format(
+            F.add_months("o_orderdate", (F.col("o_custkey") % 12).cast("int")),
+            "yyyy-MM-dd",
+        ).alias("end_month"),
+        F.date_format(d, "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("iso_str"),
+        F.date_format(d, "yyyy-MM-dd_HH:mm").alias("underscore_str"),
+        F.date_format(d, "yyyy-MM-dd HH:mm").alias("space_str"),
+        F.date_format(d, "yyyy-MM-dd'T'HH-mm-ss'Z'").alias("fname_str"),
+        F.date_format(d, "yyyy-MM-dd").alias("date_str"),
+        item_id.alias("item_id"),
+        F.concat(item_id, F.lit("_lead_"), (F.col("o_orderkey") % 93).cast("string")).alias(
+            "asset_id"
+        ),
+        F.format_string(
+            "%s/%s/%s.tif",
+            F.col("o_orderpriority"),
+            F.date_format("o_orderdate", "yyyy-MM-dd"),
+            F.col("o_orderkey").cast("string"),
+        ).alias("cog_path"),
+    )
+
+
 @register(
     "json_attr_filter",
     """
@@ -432,19 +464,27 @@ def coord_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT r_regionkey AS collection,
              CASE WHEN r_regionkey = 0 THEN 'CHANGED' ELSE r_name END
                AS forecast_frequency
-      FROM region
+      FROM region WHERE r_regionkey <> 1
+    ),
+    stored_scoped AS (
+      SELECT * FROM stored
+      WHERE collection IN (SELECT collection FROM current)
     )
     SELECT * FROM (
       SELECT 'added' AS drift, collection, forecast_frequency
-      FROM (SELECT * FROM current EXCEPT ALL SELECT * FROM stored)
+      FROM (SELECT * FROM current EXCEPT ALL SELECT * FROM stored_scoped)
       UNION ALL
       SELECT 'removed' AS drift, collection, forecast_frequency
-      FROM (SELECT * FROM stored EXCEPT ALL SELECT * FROM current)
+      FROM (SELECT * FROM stored_scoped EXCEPT ALL SELECT * FROM current)
     )
     """,
-    doc="C1/F17 config consistency guard: DeepDiff(stored, current) as "
-    "two-way EXCEPT ALL; nonempty => ConfigMismatchError "
-    "(ref stac/generator.py:425-459).",
+    doc="C1/F17 config consistency guard, per-collection like the "
+    "reference's DeepDiff of one collection's entry (ref "
+    "stac/generator.py:425-459): only collections present in the "
+    "CURRENT run are validated — a stored config that also holds "
+    "OTHER collections' entries (collection 1 here) raises nothing, "
+    "and brand-new collections are allowed. Drift on a shared "
+    "collection (key 0) still surfaces as added+removed rows.",
 )
 def config_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, sf_dir, "region")
@@ -452,16 +492,21 @@ def config_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_regionkey").alias("collection"),
         F.col("r_name").alias("forecast_frequency"),
     )
-    current = r.select(
+    current = r.filter(F.col("r_regionkey") != 1).select(
         F.col("r_regionkey").alias("collection"),
         F.when(F.col("r_regionkey") == 0, "CHANGED")
         .otherwise(F.col("r_name"))
         .alias("forecast_frequency"),
     )
-    added = current.exceptAll(stored).select(
+    # Reference semantics: diff is scoped to the collections this run
+    # touches — stored-only entries are other pipelines' business.
+    stored_scoped = stored.join(
+        F.broadcast(current.select("collection")), "collection", "left_semi"
+    )
+    added = current.exceptAll(stored_scoped).select(
         F.lit("added").alias("drift"), "collection", "forecast_frequency"
     )
-    removed = stored.exceptAll(current).select(
+    removed = stored_scoped.exceptAll(current).select(
         F.lit("removed").alias("drift"), "collection", "forecast_frequency"
     )
     return added.unionByName(removed)
@@ -475,13 +520,17 @@ def config_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS n_high,
            floor((avg(CAST(json_extract_string(props, '$.k') AS INT))) * 10000.0 + 0.5)
              / 10000.0 AS avg_k,
-           max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+           max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS k_total,
+           count(json_extract(props, '$.k')) AS n_valid
     FROM events GROUP BY event_type
     """,
     doc="P6 semi-structured analog: parse the events.props JSON map "
     "with a typed from_json schema, then aggregate — the dynamic-attrs "
     "pattern (ref utils.py:273-281) as a schema-on-read column. "
-    "from_json is codegen'd; no Python touches the hot path.",
+    "from_json is codegen'd; no Python touches the hot path. Also "
+    "carries the serializability-filter aggregates (k_total over "
+    "parseable attrs, n_valid) so P6's filter form shares this row.",
 )
 def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
@@ -493,5 +542,7 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("k") > 50, 1)).alias("n_high"),
             rnd(F.avg("k"), 4).alias("avg_k"),
             F.max("k").alias("max_k"),
+            F.sum("k").alias("k_total"),
+            F.count("k").alias("n_valid"),
         )
     )

@@ -27,25 +27,24 @@ LANG_MARKERS = {
 }
 
 
-@register(
-    "token_count",
-    """
+TOKEN_COUNT_SQL = """
     SELECT doc_id,
            len(string_split(text, ' ')) AS ws_tokens,
            len(regexp_extract_all(text, '[a-z0-9]+')) AS re_tokens,
            length(text) AS n_chars
     FROM documents
-    """,
+    """
+
+
+@register(
+    "token_count",
+    TOKEN_COUNT_SQL,
     doc="Token counting: whitespace tokenizer + BPE-ish regex "
     "tokenizer + char count, all codegen'd string ops.",
 )
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.size(F.split("text", " ")).alias("ws_tokens"),
-        F.size(F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).alias("re_tokens"),
-        F.length("text").alias("n_chars"),
+    return text_profile(spark, sf_dir).select(
+        "doc_id", "ws_tokens", "re_tokens", "n_chars"
     )
 
 
@@ -145,15 +144,84 @@ def _duck_marker_count(markers: list[str]) -> str:
     "expressed as a single aggregation.",
 )
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Map-side marker counts via array filter — no explode/shuffle.
+    return text_profile(spark, sf_dir).select("doc_id", "predicted_lang")
+
+
+@register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(lower(text)) AS exact_fp,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+                               ' ')) AS bow_fp
+    FROM documents
+    """,
+    doc="Document fingerprinting: exact content hash + bag-of-words "
+    "hash (order-insensitive) — the rolling-hash family's relational "
+    "stand-ins for dedup keys.",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_profile(spark, sf_dir).select("doc_id", "exact_fp", "bow_fp")
+
+
+# Merged single-scan text profile (token_count + lang_id +
+# doc_fingerprint): the consolidated registry's ``text_profile`` row.
+# All metrics are array/string expressions over the in-row token list
+# — one codegen'd map pass over the corpus, no joins, no shuffle.
+# The oracle joins the three per-doc sub-selects on doc_id (the
+# oracle never needs to scale).
+_LANG_ID_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    scores AS (
+      SELECT doc_id,
+             {_duck_marker_count(LANG_MARKERS["en"])} AS s_en,
+             {_duck_marker_count(LANG_MARKERS["db"])} AS s_db,
+             {_duck_marker_count(LANG_MARKERS["ops"])} AS s_ops,
+             {_duck_marker_count(LANG_MARKERS["qry"])} AS s_qry,
+             {_duck_marker_count(LANG_MARKERS["sys"])} AS s_sys
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN s_en >= s_db AND s_en >= s_ops AND s_en >= s_qry
+                     AND s_en >= s_sys THEN 'en'
+                WHEN s_db >= s_ops AND s_db >= s_qry AND s_db >= s_sys THEN 'db'
+                WHEN s_ops >= s_qry AND s_ops >= s_sys THEN 'ops'
+                WHEN s_qry >= s_sys THEN 'qry'
+                ELSE 'sys' END AS predicted_lang
+    FROM scores
+    """
+
+_FINGERPRINT_SQL = """
+    SELECT doc_id,
+           md5(lower(text)) AS exact_fp,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+                               ' ')) AS bow_fp
+    FROM documents
+    """
+
+TEXT_PROFILE_SQL = f"""
+    SELECT t.doc_id, t.ws_tokens, t.re_tokens, t.n_chars,
+           l.predicted_lang, f.exact_fp, f.bow_fp
+    FROM ({TOKEN_COUNT_SQL}) t
+    JOIN ({_LANG_ID_SQL}) l ON t.doc_id = l.doc_id
+    JOIN ({_FINGERPRINT_SQL}) f ON t.doc_id = f.doc_id
+    """
+
+
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan text analysis: token counts, language-ID heuristic,
+    and content fingerprints as a single projection over documents."""
     d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split("text", " ").alias("ts"))
-    scores = toks.select(
+    scored = d.select(
         "doc_id",
+        "text",
+        F.split("text", " ").alias("ts"),
         *[
             F.size(
                 F.expr(
-                    "filter(ts, t -> array_contains(array("
+                    "filter(split(text, ' '), t -> array_contains(array("
                     + ", ".join(f"'{m}'" for m in markers)
                     + "), t))"
                 )
@@ -175,30 +243,14 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(s["qry"] >= s["sys"], "qry")
         .otherwise("sys")
     )
-    return scores.select("doc_id", predicted.alias("predicted_lang"))
-
-
-@register(
-    "doc_fingerprint",
-    """
-    SELECT doc_id,
-           md5(lower(text)) AS exact_fp,
-           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
-                               ' ')) AS bow_fp
-    FROM documents
-    """,
-    doc="Document fingerprinting: exact content hash + bag-of-words "
-    "hash (order-insensitive) — the rolling-hash family's relational "
-    "stand-ins for dedup keys.",
-)
-def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    return d.select(
+    return scored.select(
         "doc_id",
+        F.size("ts").alias("ws_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).alias("re_tokens"),
+        F.length("text").alias("n_chars"),
+        predicted.alias("predicted_lang"),
         F.md5(F.lower("text").cast("binary")).alias("exact_fp"),
         F.md5(
-            F.concat_ws(
-                " ", F.array_sort(F.array_distinct(F.split("text", " ")))
-            ).cast("binary")
+            F.concat_ws(" ", F.array_sort(F.array_distinct("ts"))).cast("binary")
         ).alias("bow_fp"),
     )

@@ -121,10 +121,14 @@ def dedupe_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "equality filter (ref stac/generator.py:665).",
 )
 def time_slice_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lazy single-plan form: the min-date scalar is a broadcast join
+    # against a 1-row aggregate, not an eager .first() action — one
+    # job, and at scale the aggregate side is a map-side partial min.
     o = load(spark, sf_dir, "orders")
-    min_date = o.agg(F.min("o_orderdate")).first()[0]
-    return o.filter(F.col("o_orderdate") == F.lit(min_date)).select(
-        "o_orderkey", "o_custkey", "o_orderstatus"
+    min_date = o.agg(F.min("o_orderdate").alias("_min_date"))
+    return (
+        o.join(F.broadcast(min_date), o.o_orderdate == min_date._min_date)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
     )
 
 

@@ -1,16 +1,36 @@
 """The core correctness gate: every registered query must match its
-DuckDB oracle at sf0.001 (the driver runs the same check at sf0.01)."""
+DuckDB oracle at sf0.001 (the driver runs the same check at sf0.01).
+
+Covers BOTH registry views: the fine-grained full registry (debugging
+granularity — a failure names the exact operator) and the
+consolidated driver-facing entries (what the driver actually hashes,
+including the typed-union merge projections)."""
 
 from __future__ import annotations
 
 import pytest
 
-from environmental_stac_generator_spark.registry import load_registry
+from environmental_stac_generator_spark.registry import (
+    load_full_registry,
+    load_registry,
+)
 from tests.oracle import compare, run_duckdb
 
-REG = load_registry()
+FULL = load_full_registry()
+CONSOLIDATED = load_registry()
+# full registry first, then the merged driver-facing entries
+REG = {**FULL, **{n: s for n, s in CONSOLIDATED.items() if n not in FULL}}
 SQL_QUERIES = sorted(name for name, spec in REG.items() if spec.sql is not None)
 ROWS_ONLY = sorted(name for name, spec in REG.items() if spec.sql is None)
+
+
+def test_driver_window():
+    """The driver checks the first 50 queries() entries — the whole
+    consolidated registry must fit, SQL-checked entries first."""
+    names = list(CONSOLIDATED)
+    assert len(names) <= 50
+    sql_flags = [CONSOLIDATED[n].sql is not None for n in names]
+    assert all(sql_flags[: sql_flags.count(True)]), "SQL entries must lead"
 
 
 @pytest.mark.parametrize("name", SQL_QUERIES)

@@ -12,9 +12,14 @@ import re
 
 import pytest
 
-from environmental_stac_generator_spark.registry import load_registry
+from environmental_stac_generator_spark.registry import (
+    load_full_registry,
+    load_registry,
+)
 
-REG = load_registry()
+FULL = load_full_registry()
+CONSOLIDATED = load_registry()
+REG = {**FULL, **{n: s for n, s in CONSOLIDATED.items() if n not in FULL}}
 
 
 def _plan(spark, sf_dir, name):
