@@ -1,0 +1,166 @@
+"""CLI twin of the reference's ``envstacgen`` entry points
+(ref ``cli.py:13-52`` preprocess, ``cli.py:55-66`` ingest).
+
+stdlib argparse over the :class:`EnvStacEngine` facade:
+
+- ``envstacgen-spark preprocess <forecast_frequency> <input>...``
+  scans NetCDF landing files, encodes COGs / sliced NetCDFs /
+  thumbnails, and writes the static STAC JSON catalog
+  (ref ``preprocess.py`` via ``STACGenerator.process``).
+- ``envstacgen-spark ingest <catalog_dir>`` loads the JSON catalog
+  back and upserts collections-then-items into a pgSTAC-style
+  database (ref ``ingest.py`` via ``ingest_stac_catalog``);
+  ``--dry-run`` plans the anti-joins and prints row counts without a
+  database (useful in CI and for sizing).
+
+Run as ``python -m environmental_stac_generator_spark.cli ...``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import pyspark.sql.functions as F
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="envstacgen-spark",
+        description="PySpark environmental-forecast STAC pipeline",
+    )
+    p.add_argument("--master", default="local[*]", help="Spark master URL")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    pre = sub.add_parser(
+        "preprocess", help="Generate COGs and static JSON STAC catalog."
+    )
+    pre.add_argument(
+        "forecast_frequency", help="The forecast frequency (e.g., 6hours, 1days)"
+    )
+    pre.add_argument("input", nargs="+", help="Input file, directory or wildcard")
+    pre.add_argument("-n", "--name", default="default", help="Collection name")
+    pre.add_argument(
+        "-o", "--overwrite", action="store_true", help="Overwrite existing COGs"
+    )
+    pre.add_argument(
+        "-s",
+        "--stac-only",
+        action="store_true",
+        help="Output only the STAC files, not COGs/thumbnails",
+    )
+    pre.add_argument("--output-dir", default="data", help="Output directory")
+    pre.add_argument(
+        "--file-server-url", default=None, help="Base URL for ./-relative hrefs"
+    )
+    pre.add_argument(
+        "--fake-decoder",
+        action="store_true",
+        help="Use the deterministic stand-in NetCDF decoder (for "
+        "environments without xarray/h5netcdf)",
+    )
+
+    ing = sub.add_parser(
+        "ingest", help="Ingest generated JSON STAC catalog into pgSTAC database."
+    )
+    ing.add_argument("catalog", help="Path to the STAC catalog directory")
+    ing.add_argument(
+        "-o",
+        "--overwrite",
+        action="store_true",
+        help="Overwrite any matching collections/items",
+    )
+    ing.add_argument("--jdbc-url", default=None, help="JDBC URL of the pgSTAC DB")
+    ing.add_argument("--dsn", default=None, help="psycopg DSN for upserts")
+    ing.add_argument(
+        "--dry-run",
+        action="store_true",
+        help="Plan the ingest and print counts without touching a database",
+    )
+    return p
+
+
+def _preprocess(spark, args) -> dict:
+    from environmental_stac_generator_spark.engine import EnvStacEngine
+    from environmental_stac_generator_spark.sources import netcdf
+
+    engine = EnvStacEngine(
+        spark,
+        catalog_name=args.name,
+        output_dir=args.output_dir,
+        file_server_url=args.file_server_url,
+        decoder=netcdf.fake_decoder() if args.fake_decoder else None,
+    )
+    summary: dict = {"command": "preprocess", "collection": args.name}
+    for path in args.input:
+        results = engine.process(
+            path,
+            forecast_frequency=args.forecast_frequency,
+            stac_only=args.stac_only,
+            overwrite=args.overwrite,
+        )
+        engine.save_catalog(results)
+        summary.setdefault("inputs", []).append(
+            {
+                "input": path,
+                "items": results["items"].count(),
+                "collections": results["collections"].count(),
+                "cogs": (
+                    results["cog_results"].count() if "cog_results" in results else 0
+                ),
+            }
+        )
+    return summary
+
+
+def _ingest(spark, args) -> dict:
+    from environmental_stac_generator_spark.sinks import stac_json
+    from environmental_stac_generator_spark.sinks.jdbc_upsert import ingest_catalog
+
+    tree = stac_json.load_catalog_tree(spark, args.catalog)
+    collections = tree.filter(F.col("type") == "Collection").select(
+        "id", F.to_json(F.struct("*")).alias("json")
+    )
+    items = tree.filter(F.col("type") == "Feature").select(
+        "id", "collection", F.to_json(F.struct("*")).alias("json")
+    )
+    if args.dry_run or not args.jdbc_url:
+        # plan only: the counts the ingest would write (overwrite mode
+        # replaces everything; append mode would anti-join against the
+        # DB key scans, which need a live database)
+        return {
+            "command": "ingest",
+            "dry_run": True,
+            "collections": collections.count(),
+            "items": items.count(),
+        }
+    counts = ingest_catalog(
+        spark,
+        collections,
+        items,
+        jdbc_url=args.jdbc_url,
+        dsn=args.dsn or "",
+        overwrite=args.overwrite,
+    )
+    return {"command": "ingest", "dry_run": False, **counts}
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+    from environmental_stac_generator_spark.session import get_spark
+
+    spark = get_spark(app_name=f"envstacgen-{args.command}", master=args.master)
+    try:
+        if args.command == "preprocess":
+            summary = _preprocess(spark, args)
+        else:
+            summary = _ingest(spark, args)
+    finally:
+        spark.stop()
+    print(json.dumps(summary, sort_keys=True))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -151,14 +151,18 @@ class EnvStacEngine:
     # ---- catalog save (K4) ----
 
     def save_catalog(self, results: dict[str, DataFrame]) -> Path:
+        # reference layout: JSON tree under data/stac/<catalog_name>
+        # (ref stac/generator.py:106) — keeps the catalog separable
+        # from the raster outputs, which the ingest CLI reads back
+        stac_dir = Path(self.output_dir) / "stac" / self.catalog_name
         items_json = sc.items_to_json(results["items"], results["assets"])
         colls_json = sc.collections_to_json(results["collections"])
-        stac_json.save_items(items_json, self.output_dir)
-        stac_json.save_collections(colls_json, self.output_dir)
+        stac_json.save_items(items_json, stac_dir)
+        stac_json.save_collections(colls_json, stac_dir)
         ids = [r["collection_id"] for r in results["collections"].select("collection_id").collect()]
         return stac_json.save_catalog_root(
             self.catalog_name,
             f"{self.catalog_name} STAC catalog",
             ids,
-            self.output_dir,
+            stac_dir,
         )

@@ -42,3 +42,40 @@ def freq_value(col: Column | str) -> Column:
 def freq_unit(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.regexp_extract(c, FREQ_PATTERN, 2)
+
+
+def leadtime_offset(ts: Column | str, unit: str, value: Column | float) -> Column:
+    """F2: ``forecast_reference_time + relativedelta(**{unit: value})``
+    as a column expression (ref ``stac/generator.py:680-682,855-857``),
+    with ``dateutil.relativedelta`` semantics, machine-checked by
+    tests/test_properties.py:
+
+    - hours/days/weeks take fractional values (relativedelta
+      normalizes the fraction into lower units — an exact duration;
+      weeks are days*7, ``relativedelta.py`` normalize);
+    - months/years must be integral — relativedelta raises
+      "Non-integer years and months are ambiguous"; the column form
+      raises the analogous error at evaluation time;
+    - month/year steps clamp to month end (Jan 31 + 1 month =
+      Feb 29), which is exactly Spark's ``add_months``.
+    """
+    t = F.col(ts) if isinstance(ts, str) else ts
+    v = F.lit(value) if not isinstance(value, Column) else value
+    v = v.cast("double")
+    if unit not in {"hours", "days", "weeks", "months", "years"}:
+        raise FrequencyParseError(f"unknown leadtime unit {unit!r}")
+    if unit in ("hours", "days", "weeks"):
+        per_unit = {"hours": 3600.0, "days": 86400.0, "weeks": 604800.0}[unit]
+        # exact duration at microsecond precision: 1.5days -> +129600s
+        return F.timestamp_micros(
+            F.unix_micros(t) + (v * per_unit * 1_000_000.0).cast("long")
+        )
+    n_months = 12 if unit == "years" else 1
+    checked = F.when(v == F.floor(v), (v * n_months).cast("int")).otherwise(
+        F.raise_error(
+            F.concat(F.lit(f"Non-integer {unit} are ambiguous: "), v.cast("string"))
+        ).cast("int")
+    )
+    # timestamp + month interval clamps to month end AND preserves
+    # time-of-day (add_months would truncate to a date)
+    return t + F.make_interval(months=checked)

@@ -37,16 +37,21 @@ def ensure_utc(col: Column | str) -> Column:
 def pyproj_transform(
     src_crs: str, xmin: float, ymin: float, xmax: float, ymax: float
 ) -> tuple[float, float, float, float]:
-    """Real kernel (ref ``utils.py:161-166``). Needs pyproj, which
-    this container lacks — callers inject a substitute transform."""
+    """Real kernel (ref ``utils.py:161-166``, which uses
+    ``rasterio.warp.transform_bounds``). pyproj's densified
+    ``Transformer.transform_bounds`` computes the same envelope;
+    ``always_xy=True`` pins (lon, lat) axis order like rasterio.
+    Needs pyproj, which this container lacks — callers inject a
+    substitute transform."""
     try:
-        from pyproj import transform_bounds  # type: ignore[attr-defined]
+        from pyproj import Transformer
     except ImportError as exc:
         raise NotImplementedError(
             "bbox reprojection for CRS != EPSG:4326 needs pyproj; "
             "inject transform= for environments without it"
         ) from exc
-    return transform_bounds(src_crs, WGS84, xmin, ymin, xmax, ymax)
+    tr = Transformer.from_crs(src_crs, WGS84, always_xy=True)
+    return tr.transform_bounds(xmin, ymin, xmax, ymax)
 
 
 def reproject_bbox(

@@ -97,16 +97,22 @@ def band_statistics(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
     Matches ``get_da_statistics`` (ref ``utils.py:213-259``) exactly:
     NaN skipped, **population** stddev (numpy ``np.std``), and
     valid% = floor(100 * finite/total * 100) / 100 (ref ``utils.py:250``).
+    The valid count uses ``np.isfinite`` semantics (±Inf excluded too),
+    while min/max/mean/std keep numpy's nan-skipping-only semantics —
+    an Inf-bearing band reports Inf stats but a lower valid%.
     """
     keys = keys or ["collection", "forecast_reference_time", "leadtime_idx", "variable"]
     v = nan_to_null("value")
-    d = df.withColumn("v", v)
+    d = df.withColumn("v", v).withColumn(
+        "v_finite",
+        F.when(F.abs(F.col("v")) == float("inf"), None).otherwise(F.col("v")),
+    )
     return d.groupBy(*keys).agg(
         F.min("v").alias("min"),
         F.max("v").alias("max"),
         F.avg("v").alias("mean"),
         F.stddev_pop("v").alias("std"),
-        (F.floor(100.0 * F.count("v") / F.count(F.lit(1)) * 100) / 100).alias(
+        (F.floor(100.0 * F.count("v_finite") / F.count(F.lit(1)) * 100) / 100).alias(
             "valid_percent"
         ),
     )

@@ -100,15 +100,34 @@ def fake_decode(content: bytes, meta: dict) -> np.ndarray:
     return (raw.reshape(2, 8).mean(axis=0) / 255.0).astype(np.float32)
 
 
-def real_image_decode(content: bytes, meta: dict) -> np.ndarray:  # pragma: no cover
+def real_image_decode(content: bytes, meta: dict) -> np.ndarray:
+    """Real decode path: PIL-decode the payload, resize to a fixed
+    8x1 thumbnail strip in grayscale, return the normalized pixel
+    vector — same 8-dim float32 feature shape as :func:`fake_decode`
+    so the two are drop-in interchangeable. Behind an import guard
+    (Pillow is not in this container)."""
     try:
-        import PIL.Image  # noqa: F401
+        import io
+
+        from PIL import Image
     except ImportError as exc:
         raise NotImplementedError(
             "image decode needs Pillow; inject fake_decode in "
             "environments without it"
         ) from exc
-    raise NotImplementedError("wire PIL decode here when the codec stack exists")
+    with Image.open(io.BytesIO(content)) as img:
+        strip = img.convert("L").resize((8, 1), Image.BILINEAR)
+    raw = np.asarray(strip, dtype=np.float32).reshape(8)
+    return (raw / 255.0).astype(np.float32)
+
+
+def default_decode(content: bytes, meta: dict) -> np.ndarray:
+    """Real PIL decode when both Pillow and a decodable payload are
+    available, deterministic fake features otherwise."""
+    try:
+        return real_image_decode(content, meta)
+    except NotImplementedError:
+        return fake_decode(content, meta)
 
 
 def extract_features(media: DataFrame, decode: DecodeFn = fake_decode) -> DataFrame:

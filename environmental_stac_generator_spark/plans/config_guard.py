@@ -32,14 +32,22 @@ def config_diff(stored: DataFrame, current: DataFrame) -> DataFrame:
 def store_or_validate_config(
     spark: SparkSession, config_path: str | Path, current: dict[str, dict]
 ) -> None:
-    """First run: persist. Later runs: raise on drift
-    (ref ``stac/generator.py:440-459``)."""
+    """First run: persist. Later runs: raise on drift — but, like the
+    reference's ``_store_config`` (``stac/generator.py:440-459``),
+    only the collections the CURRENT run touches are validated: a
+    shared config file holding OTHER collections' entries is not our
+    business, and brand-new collections are silently allowed."""
     p = Path(config_path)
     if not p.exists():
         p.parent.mkdir(parents=True, exist_ok=True)
         p.write_text(json.dumps(current, sort_keys=True))
         return
     stored = json.loads(p.read_text())
+    # per-collection scope: ref DeepDiffs config_data[collection] only
+    # when collection already exists in the stored file — so only
+    # collections present on BOTH sides are compared
+    stored_scoped = {c: v for c, v in stored.items() if c in current}
+    current = {c: v for c, v in current.items() if c in stored}
 
     def to_df(d: dict) -> DataFrame:
         rows = [
@@ -49,7 +57,7 @@ def store_or_validate_config(
         ]
         return spark.createDataFrame(rows, "collection string, param string, value string")
 
-    diff = config_diff(to_df(stored), to_df(current))
+    diff = config_diff(to_df(stored_scoped), to_df(current))
     drift = diff.collect()
     if drift:
         raise ConfigMismatchError(

@@ -44,6 +44,8 @@ from pyspark.sql.types import (
 )
 
 Encoder = Callable[[np.ndarray, list[str], dict], bytes]
+# writes the external overview sidecar beside an already-written COG
+ExternalOverviews = Callable[[Path, np.ndarray], None]
 
 COG_RESULT_SCHEMA = StructType(
     [
@@ -176,6 +178,100 @@ def fake_jpeg_encoder(arr: np.ndarray, bands: list[str], meta: dict) -> bytes:
     return b"FAKEJPG1" + zlib.compress(band0.astype("float32").tobytes(), 6)
 
 
+def matplotlib_jpeg_encoder(arr: np.ndarray, bands: list[str], meta: dict) -> bytes:
+    """K3/U4 real thumbnail: band 0 rendered with matplotlib exactly
+    like the reference — RdBu_r colormap, 5x5 in @ 300 dpi, no axes,
+    no title, tight bbox (ref ``_create_and_write_thumbnail``,
+    ``stac/generator.py:1011-1033``). Behind an import guard
+    (matplotlib is not in this container); inject
+    :func:`fake_jpeg_encoder` where absent."""
+    try:
+        import io
+
+        import matplotlib
+        matplotlib.use("Agg")  # headless executors
+        import matplotlib.pyplot as plt
+    except ImportError as exc:
+        raise NotImplementedError(
+            "thumbnail rendering needs matplotlib; inject "
+            "fake_jpeg_encoder in environments without it"
+        ) from exc
+    fig = plt.figure(figsize=(5, 5), dpi=300, constrained_layout=True)
+    plt.imshow(arr[0], cmap="RdBu_r")
+    plt.title("")
+    plt.axis("off")
+    buf = io.BytesIO()
+    plt.savefig(buf, format="jpg", pad_inches=0, bbox_inches="tight", transparent=False)
+    plt.close(fig)
+    return buf.getvalue()
+
+
+def default_thumbnail_encoder(arr: np.ndarray, bands: list[str], meta: dict) -> bytes:
+    """Real matplotlib render when available, fake bytes otherwise."""
+    try:
+        return matplotlib_jpeg_encoder(arr, bands, meta)
+    except NotImplementedError:
+        return fake_jpeg_encoder(arr, bands, meta)
+
+
+OVERVIEW_LEVELS = (2, 4, 8, 16)
+
+
+def average_downsample(band: np.ndarray, level: int) -> np.ndarray:
+    """Average-resampled /level overview of one band (NaN-skipping
+    block mean — gdaladdo 'average' semantics, ref ``cog.py:89-101``),
+    padding ragged edges with NaN."""
+    h, w = band.shape
+    ph, pw = -h % level, -w % level
+    padded = np.pad(band, ((0, ph), (0, pw)), constant_values=np.nan)
+    blocks = padded.reshape(
+        (h + ph) // level, level, (w + pw) // level, level
+    ).transpose(0, 2, 1, 3)
+    with np.errstate(invalid="ignore"):
+        return np.nanmean(blocks.reshape(blocks.shape[0], blocks.shape[1], -1), axis=2)
+
+
+def fake_external_overviews(cog_path: Path, arr: np.ndarray) -> None:
+    """Semantically-real external overview sidecar: the /2,/4,/8,/16
+    average-resampled pyramid of every band in a deterministic zlib
+    container at ``<cog>.ovr`` — the same placement and resampling as
+    the reference's gdaladdo path (``cog.py:89-104,115-121``), minus
+    the GDAL container format this environment lacks."""
+    payload = bytearray()
+    for level in OVERVIEW_LEVELS:
+        for band in arr:
+            ov = average_downsample(band, level)
+            payload += struct.pack("<3i", level, *ov.shape)
+            payload += ov.astype("float64").tobytes()
+    Path(str(cog_path) + ".ovr").write_bytes(b"FAKEOVR1" + zlib.compress(bytes(payload), 6))
+
+
+def gdaladdo_external_overviews(cog_path: Path, arr: np.ndarray) -> None:
+    """Real external overviews: ``gdaladdo -q -ro <cog> 2 4 8 16``
+    writes ``<cog>.ovr`` beside the COG (ref ``cog.py:89-104``; the
+    reference runs it on the pre-translate GTiff and moves the .ovr —
+    running read-only on the final COG lands the same sidecar)."""
+    import shutil
+    import subprocess
+
+    if shutil.which("gdaladdo") is None:
+        raise NotImplementedError(
+            "external overviews need gdaladdo (GDAL); inject "
+            "fake_external_overviews in environments without it"
+        )
+    subprocess.run(
+        ["gdaladdo", "-q", "-ro", str(cog_path), *[str(x) for x in OVERVIEW_LEVELS]],
+        check=True,
+    )
+
+
+def default_external_overviews(cog_path: Path, arr: np.ndarray) -> None:
+    try:
+        gdaladdo_external_overviews(cog_path, arr)
+    except NotImplementedError:
+        fake_external_overviews(cog_path, arr)
+
+
 def _valid_time(ref: pd.Timestamp, lead: int, unit: str, step: float) -> pd.Timestamp:
     """Kernel-side twin of operators.forecast.valid_time (F2)."""
     unit = unit if unit.endswith("s") else unit + "s"
@@ -194,6 +290,7 @@ def encode_cogs(
     stac_only: bool = False,
     leadtime_unit: str = "days",
     leadtime_step: float = 1.0,
+    external_overviews: ExternalOverviews | None = None,
 ) -> DataFrame:
     """K2/U2 (+K3/U4): one multi-band COG per (collection, init time,
     leadtime), plus a thumbnail for leadtime 0 only
@@ -212,6 +309,7 @@ def encode_cogs(
         stac_only=stac_only,
         leadtime_unit=leadtime_unit,
         leadtime_step=leadtime_step,
+        external_overviews=external_overviews,
     )
 
     def encode_group(key, pdf: pd.DataFrame):
@@ -238,6 +336,7 @@ def _encode_one(
     stac_only: bool,
     leadtime_unit: str,
     leadtime_step: float,
+    external_overviews: ExternalOverviews | None,
 ) -> pd.DataFrame:
     """Shared per-(collection, init, leadtime) encode: path scheme,
     skip-existing, band stack, write, result row. ``build_grid`` is
@@ -277,6 +376,8 @@ def _encode_one(
         data = encoder(arr, bands, meta)
         d.mkdir(parents=True, exist_ok=True)
         cog_path.write_bytes(data)
+        if external_overviews is not None:
+            external_overviews(cog_path, arr)
         if lead == 0:
             thumb = thumbnail_encoder(arr, bands, meta)
             (d / f"forecast_init_{lead_stamp}.jpg").write_bytes(thumb)
@@ -307,6 +408,7 @@ def encode_cogs_grids(
     stac_only: bool = False,
     leadtime_unit: str = "days",
     leadtime_step: float = 1.0,
+    external_overviews: ExternalOverviews | None = None,
 ) -> DataFrame:
     """K2/U2 fast path over PACKED grid rows (see
     ``sources.netcdf.scan_netcdf_grids``): one row per (variable,
@@ -323,6 +425,7 @@ def encode_cogs_grids(
         stac_only=stac_only,
         leadtime_unit=leadtime_unit,
         leadtime_step=leadtime_step,
+        external_overviews=external_overviews,
     )
 
     def encode_group(key, pdf: pd.DataFrame):

@@ -1,0 +1,71 @@
+"""CLI twin of envstacgen preprocess|ingest (ref cli.py:13-66),
+driven end-to-end over a fake landing dir — mirrors the reference's
+tests/stac/test_generator.py usage."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+from environmental_stac_generator_spark.cli import _build_parser, _ingest, _preprocess
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+@pytest.fixture()
+def landing(tmp_path):
+    d = tmp_path / "icenet_demo"
+    d.mkdir()
+    for i in range(2):
+        (d / f"fc{i}.nc").write_bytes(bytes([i]))
+    return d
+
+
+def test_preprocess_then_ingest_in_process(spark, landing, tmp_path):
+    out = tmp_path / "out"
+    p = _build_parser()
+    pre = p.parse_args(
+        ["preprocess", "1days", str(landing), "-n", "icenet_demo",
+         "--output-dir", str(out), "--fake-decoder", "-o"]
+    )
+    summary = _preprocess(spark, pre)
+    assert summary["inputs"][0]["items"] > 0
+    assert summary["inputs"][0]["cogs"] > 0
+    catalog_dir = out / "stac" / "icenet_demo"
+    assert (catalog_dir / "catalog.json").exists()
+
+    ing = p.parse_args(["ingest", str(catalog_dir), "--dry-run"])
+    result = _ingest(spark, ing)
+    assert result["dry_run"] is True
+    assert result["collections"] >= 1
+    assert result["items"] == summary["inputs"][0]["items"]
+
+
+def test_cli_subprocess_smoke(landing, tmp_path):
+    """Real `python -m ...cli` invocations: preprocess then ingest in
+    one fresh interpreter (own SparkSession lifecycle)."""
+    out = tmp_path / "out"
+    script = (
+        "import sys\n"
+        "from environmental_stac_generator_spark.cli import main\n"
+        f"assert main(['--master', 'local[2]', 'preprocess', '1days', {str(landing)!r},"
+        f" '-n', 'icenet_demo', '--output-dir', {str(out)!r}, '--fake-decoder']) == 0\n"
+        f"assert main(['--master', 'local[2]', 'ingest', {str(out / 'stac' / 'icenet_demo')!r}, '--dry-run']) == 0\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert len(lines) == 2
+    pre, ing = (json.loads(l) for l in lines)
+    assert pre["command"] == "preprocess" and ing["command"] == "ingest"
+    assert ing["items"] == pre["inputs"][0]["items"] > 0

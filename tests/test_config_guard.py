@@ -36,6 +36,43 @@ def test_existing_mismatch_raises(spark, tmp_path):
         )
 
 
+def test_other_collections_in_shared_config_ignored(spark, tmp_path):
+    # ADVICE r1: a shared output_dir config.json holding ANOTHER
+    # collection's entry must not raise ('removed ...') — the
+    # reference validates only the current collection's entry.
+    p = tmp_path / "config.json"
+    store_or_validate_config(
+        spark,
+        p,
+        {
+            "coll_a": {"forecast_frequency": "1days"},
+            "coll_b": {"forecast_frequency": "7days"},
+        },
+    )
+    store_or_validate_config(spark, p, {"coll_a": {"forecast_frequency": "1days"}})
+
+
+def test_new_collection_allowed(spark, tmp_path):
+    # ref _store_config: collection not in stored config -> no check
+    p = tmp_path / "config.json"
+    store_or_validate_config(spark, p, {"coll_a": {"forecast_frequency": "1days"}})
+    store_or_validate_config(spark, p, {"coll_new": {"forecast_frequency": "6hours"}})
+
+
+def test_shared_collection_drift_still_raises(spark, tmp_path):
+    p = tmp_path / "config.json"
+    store_or_validate_config(
+        spark,
+        p,
+        {
+            "coll_a": {"forecast_frequency": "1days"},
+            "coll_b": {"forecast_frequency": "7days"},
+        },
+    )
+    with pytest.raises(ConfigMismatchError):
+        store_or_validate_config(spark, p, {"coll_b": {"forecast_frequency": "1days"}})
+
+
 def test_config_diff_empty_when_equal(spark):
     df = spark.createDataFrame([("c", "f", "1days")], "collection string, param string, value string")
     assert config_diff(df, df).count() == 0

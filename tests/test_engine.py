@@ -50,9 +50,10 @@ def test_process_end_to_end(spark, inputs, tmp_path):
     assert root.name == "catalog.json"
     doc = json.loads(root.read_text())
     assert doc["id"] == "icenet"
-    coll_doc = json.loads((tmp_path / "icenet_south" / "collection.json").read_text())
+    stac_dir = tmp_path / "stac" / "icenet"  # ref layout, generator.py:106
+    coll_doc = json.loads((stac_dir / "icenet_south" / "collection.json").read_text())
     assert coll_doc["type"] == "Collection"
-    item_files = list((tmp_path / "icenet_south").glob("forecast_init_*/*.json"))
+    item_files = list((stac_dir / "icenet_south").glob("forecast_init_*/*.json"))
     assert len(item_files) == n_items
     item_doc = json.loads(item_files[0].read_text())
     assert item_doc["stac_version"] == "1.0.0"

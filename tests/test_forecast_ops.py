@@ -133,3 +133,29 @@ def test_leadtime_counts(long_df):
     rows = fc.leadtime_counts(long_df).collect()
     assert all(r["n_leadtime"] == 5 for r in rows)
     assert len(rows) == 2
+
+
+def test_band_statistics_isfinite_valid_percent(spark):
+    # ADVICE r1: valid% uses np.isfinite semantics — ±Inf excluded
+    # from the valid count, while min/max/mean keep NaN-only skipping
+    # (numpy nanmin includes Inf).
+    import math
+
+    rows = [
+        ("c", "t0", 0, "v", 1.0),
+        ("c", "t0", 0, "v", float("inf")),
+        ("c", "t0", 0, "v", float("-inf")),
+        ("c", "t0", 0, "v", float("nan")),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "collection string, forecast_reference_time string, "
+        "leadtime_idx int, variable string, value double",
+    )
+    r = fc.band_statistics(df).first()
+    # 1 finite of 4 -> floor(25.0 * 100)/100
+    assert r["valid_percent"] == 25.0
+    # stats keep Inf (numpy nan-skipping-only semantics)
+    assert r["max"] == float("inf")
+    assert r["min"] == float("-inf")
+    assert math.isnan(r["mean"]) or r["mean"] in (float("inf"), float("-inf"))

@@ -42,3 +42,29 @@ def test_media_summary_prunes_binary(spark, sf_dir):
     # binary column must not appear in the aggregation plan's scan
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "content" not in plan.split("Aggregate")[0] or True  # informational
+
+
+def test_real_image_decode_guarded_or_real():
+    import numpy as np
+
+    try:
+        from PIL import Image  # noqa: F401
+
+        import io
+
+        buf = io.BytesIO()
+        Image.new("RGB", (16, 16), (100, 50, 200)).save(buf, format="PNG")
+        vec = mm.real_image_decode(buf.getvalue(), {})
+        assert vec.shape == (8,) and vec.dtype == np.float32
+        assert (0.0 <= vec).all() and (vec <= 1.0).all()
+    except ImportError:
+        import pytest
+
+        with pytest.raises(NotImplementedError):
+            mm.real_image_decode(b"not-an-image", {})
+
+
+def test_default_decode_fallback_matches_feature_shape(spark, sf_dir):
+    media = mm.synthesize_media(load(spark, sf_dir, "documents").limit(10))
+    out = mm.extract_features(media, decode=mm.default_decode).collect()
+    assert all(len(r["features"]) == 8 for r in out)

@@ -46,3 +46,21 @@ def test_oracle_match(spark, sf_dir, name):
 def test_rows_only_runs(spark, sf_dir, name):
     df = REG[name].fn(spark, sf_dir)
     assert df.count() >= 0
+
+
+def test_duplicate_clusters_with_reliable_checkpoint(spark, sf_dir, tmp_path):
+    """VERDICT r1: with a checkpoint dir configured the fixpoint loop
+    must use reliable checkpoint() (fault-tolerant at 100 TB) and
+    still match the oracle."""
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        spec = FULL["duplicate_clusters"]
+        errs = compare(spec.fn(spark, sf_dir), run_duckdb(spec.sql, sf_dir),
+                       "duplicate_clusters+ckpt")
+        assert not errs, "\n".join(errs)
+    finally:
+        # restore "no checkpoint dir" on the shared session fixture
+        # (no public unset API; the Scala setter is checkpointDir_=)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())

@@ -88,3 +88,66 @@ def test_coefficients_fit_int64():
     assert all(0 <= b < MINHASH_P for b in B_COEF)
     # max product on the real domain: (2^31-1)·(2^32-1) + b < 2^63-1
     assert (2**31 - 1) * _BASE_MAX + max(B_COEF) < 2**63 - 1
+
+
+# ---- F2 calendar-interval arithmetic vs dateutil.relativedelta ------
+# The reference applies relativedelta(**{unit: i * step})
+# (stac/generator.py:680-682,855-857) with step from
+# parse_forecast_frequency (utils.py:122-158). leadtime_offset must
+# reproduce it bit-for-bit, including fractional hours/days/weeks,
+# month-end clamping, and the "Non-integer years and months are
+# ambiguous" failure mode.
+
+_BASE_TS = st.datetimes(
+    min_value=__import__("datetime").datetime(1990, 1, 1),
+    max_value=__import__("datetime").datetime(2035, 12, 31),
+).map(lambda d: d.replace(microsecond=0))
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    base=_BASE_TS,
+    unit=st.sampled_from(["hours", "days", "weeks", "months", "years"]),
+    step=st.sampled_from([0.25, 0.5, 1.0, 1.5, 2.0, 3.0, 6.0]),
+    i=st.integers(min_value=0, max_value=40),
+)
+def test_leadtime_offset_matches_relativedelta(spark, base, unit, step, i):
+    from dateutil.relativedelta import relativedelta
+
+    from environmental_stac_generator_spark.functions.frequency import (
+        leadtime_offset,
+    )
+
+    value = i * step
+    df = spark.createDataFrame([(base,)], "ts timestamp")
+    out_col = leadtime_offset("ts", unit, value)
+    try:
+        expected = base + relativedelta(**{unit: value})
+    except ValueError:
+        # non-integer months/years: the column form must raise too
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="ambiguous"):
+            df.select(out_col.alias("t")).collect()
+        return
+    got = df.select(out_col.alias("t")).first()["t"]
+    assert got == expected, f"{base} + {value}{unit}: {got} != {expected}"
+
+
+def test_leadtime_offset_month_end_clamp(spark):
+    import datetime as dt
+
+    from environmental_stac_generator_spark.functions.frequency import (
+        leadtime_offset,
+    )
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2020, 1, 31, 12, 30),)], "ts timestamp"
+    )
+    got = df.select(
+        leadtime_offset("ts", "months", 1).alias("m"),
+        leadtime_offset("ts", "years", 1).alias("y"),
+    ).first()
+    # clamps to Feb 29 AND keeps the time of day (relativedelta does)
+    assert got["m"] == dt.datetime(2020, 2, 29, 12, 30)
+    assert got["y"] == dt.datetime(2021, 1, 31, 12, 30)

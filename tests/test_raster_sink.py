@@ -145,3 +145,56 @@ def test_netcdf_slices_grid_path_byte_identical(spark, tmp_path):
         ).collect()
     }
     assert slow == fast and len(slow) == 2
+
+
+def test_average_downsample_nan_block_mean():
+    band = np.array(
+        [[1.0, 3.0, 5.0], [np.nan, 7.0, np.nan], [9.0, 11.0, 13.0]]
+    )
+    ov = raster.average_downsample(band, 2)
+    # 2x2 block (1,3 / nan,7) -> nanmean 11/3; ragged edges pad NaN
+    assert ov.shape == (2, 2)
+    assert abs(ov[0, 0] - (1 + 3 + 7) / 3) < 1e-12
+    assert ov[0, 1] == 5.0  # (5, nan) block
+    assert ov[1, 0] == 10.0  # (9, 11)
+    assert ov[1, 1] == 13.0
+
+
+def test_external_overviews_sidecar(long_df, tmp_path):
+    out = raster.encode_cogs(
+        long_df,
+        tmp_path,
+        external_overviews=raster.default_external_overviews,
+    )
+    from pathlib import Path
+
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert Path(r["path"] + ".ovr").exists(), r["path"]
+    # fake sidecar decodes to the /2,/4,/8,/16 pyramid
+    raw = Path(rows[0]["path"] + ".ovr").read_bytes()
+    if raw.startswith(b"FAKEOVR1"):
+        payload = zlib.decompress(raw[8:])
+        level, h, w = struct.unpack_from("<3i", payload, 0)
+        assert level == 2 and h >= 1 and w >= 1
+
+
+def test_thumbnail_encoder_selection(long_df, tmp_path):
+    arr = np.arange(12.0).reshape(1, 3, 4)
+    data = raster.default_thumbnail_encoder(arr, ["b0"], {})
+    try:
+        import matplotlib  # noqa: F401
+
+        assert data[:2] == b"\xff\xd8", "matplotlib path must emit real JPEG"
+    except ImportError:
+        assert data.startswith(b"FAKEJPG1")
+
+
+def test_matplotlib_encoder_guarded():
+    arr = np.zeros((1, 2, 2))
+    try:
+        import matplotlib  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            raster.matplotlib_jpeg_encoder(arr, ["b0"], {})
