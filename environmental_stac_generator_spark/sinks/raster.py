@@ -272,6 +272,81 @@ def default_external_overviews(cog_path: Path, arr: np.ndarray) -> None:
         fake_external_overviews(cog_path, arr)
 
 
+# F14: full-raster reprojection inside the K2 kernel (ref _write_cog's
+# `da_multiband.rio.reproject("EPSG:4326")`, stac/generator.py:1006-1007).
+# (arr, ys, xs, meta) -> (arr', ys', xs', meta') in the target CRS.
+GridReproject = Callable[
+    [np.ndarray, np.ndarray, np.ndarray, dict],
+    tuple[np.ndarray, np.ndarray, np.ndarray, dict],
+]
+
+
+def rasterio_grid_reproject(
+    arr: np.ndarray, ys: np.ndarray, xs: np.ndarray, meta: dict
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, dict]:
+    """Real F14 kernel: warp every band to EPSG:4326 with rasterio
+    (nearest resampling, NaN nodata), recomputing the coordinate
+    vectors from the destination transform. Behind an import guard
+    (no GDAL stack in this container)."""
+    try:
+        from rasterio.transform import from_bounds
+        from rasterio.warp import Resampling, calculate_default_transform, reproject
+    except ImportError as exc:
+        raise NotImplementedError(
+            "full-raster reprojection needs rasterio; grids already in "
+            "EPSG:4326 skip it (passthrough_grid_reproject)"
+        ) from exc
+    src_crs = meta.get("crs") or "EPSG:4326"
+    n_bands, h, w = arr.shape
+    left, right = float(xs.min()), float(xs.max())
+    bottom, top = float(ys.min()), float(ys.max())
+    src_transform = from_bounds(left, bottom, right, top, w, h)
+    dst_transform, dw, dh = calculate_default_transform(
+        src_crs, "EPSG:4326", w, h, left=left, bottom=bottom, right=right, top=top
+    )
+    out = np.full((n_bands, dh, dw), np.nan)
+    for i in range(n_bands):
+        reproject(
+            arr[i],
+            out[i],
+            src_transform=src_transform,
+            src_crs=src_crs,
+            dst_transform=dst_transform,
+            dst_crs="EPSG:4326",
+            resampling=Resampling.nearest,
+            src_nodata=np.nan,
+            dst_nodata=np.nan,
+        )
+    # pixel-center coordinate vectors from the destination transform
+    new_xs = np.array([dst_transform * (c + 0.5, 0.5) for c in range(dw)])[:, 0]
+    new_ys = np.array([dst_transform * (0.5, r + 0.5) for r in range(dh)])[:, 1]
+    return out, new_ys, new_xs, {**meta, "crs": "EPSG:4326"}
+
+
+def passthrough_grid_reproject(
+    arr: np.ndarray, ys: np.ndarray, xs: np.ndarray, meta: dict
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, dict]:
+    """Grids already in EPSG:4326 pass through bit-exact (the
+    reference also skips reprojection then); any other CRS needs the
+    real kernel."""
+    crs = meta.get("crs")
+    if crs in (None, "EPSG:4326"):
+        return arr, ys, xs, {**meta, "crs": "EPSG:4326"}
+    raise NotImplementedError(
+        f"cannot reproject {crs} without rasterio; use "
+        "rasterio_grid_reproject or inject a kernel"
+    )
+
+
+def default_grid_reproject(
+    arr: np.ndarray, ys: np.ndarray, xs: np.ndarray, meta: dict
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, dict]:
+    try:
+        return rasterio_grid_reproject(arr, ys, xs, meta)
+    except NotImplementedError:
+        return passthrough_grid_reproject(arr, ys, xs, meta)
+
+
 def _valid_time(ref: pd.Timestamp, lead: int, unit: str, step: float) -> pd.Timestamp:
     """Kernel-side twin of operators.forecast.valid_time (F2)."""
     unit = unit if unit.endswith("s") else unit + "s"
@@ -291,6 +366,7 @@ def encode_cogs(
     leadtime_unit: str = "days",
     leadtime_step: float = 1.0,
     external_overviews: ExternalOverviews | None = None,
+    reproject: GridReproject | None = None,
 ) -> DataFrame:
     """K2/U2 (+K3/U4): one multi-band COG per (collection, init time,
     leadtime), plus a thumbnail for leadtime 0 only
@@ -310,6 +386,7 @@ def encode_cogs(
         leadtime_unit=leadtime_unit,
         leadtime_step=leadtime_step,
         external_overviews=external_overviews,
+        reproject=reproject,
     )
 
     def encode_group(key, pdf: pd.DataFrame):
@@ -337,6 +414,7 @@ def _encode_one(
     leadtime_unit: str,
     leadtime_step: float,
     external_overviews: ExternalOverviews | None,
+    reproject: GridReproject | None,
 ) -> pd.DataFrame:
     """Shared per-(collection, init, leadtime) encode: path scheme,
     skip-existing, band stack, write, result row. ``build_grid`` is
@@ -370,6 +448,11 @@ def _encode_one(
         )
     arr, bands, ys, xs = build_grid()
     meta = {"collection": collection, "ys": ys, "xs": xs}
+    if reproject is not None:
+        # F14: warp to EPSG:4326 before encoding (ref _write_cog's
+        # reproject branch, stac/generator.py:1006-1007)
+        arr, ys, xs, meta = reproject(arr, ys, xs, meta)
+        meta.update(ys=ys, xs=xs)
     if stac_only:
         data = b""
     else:
@@ -409,6 +492,7 @@ def encode_cogs_grids(
     leadtime_unit: str = "days",
     leadtime_step: float = 1.0,
     external_overviews: ExternalOverviews | None = None,
+    reproject: GridReproject | None = None,
 ) -> DataFrame:
     """K2/U2 fast path over PACKED grid rows (see
     ``sources.netcdf.scan_netcdf_grids``): one row per (variable,
@@ -426,6 +510,7 @@ def encode_cogs_grids(
         leadtime_unit=leadtime_unit,
         leadtime_step=leadtime_step,
         external_overviews=external_overviews,
+        reproject=reproject,
     )
 
     def encode_group(key, pdf: pd.DataFrame):

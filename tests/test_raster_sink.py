@@ -198,3 +198,35 @@ def test_matplotlib_encoder_guarded():
     except ImportError:
         with pytest.raises(NotImplementedError):
             raster.matplotlib_jpeg_encoder(arr, ["b0"], {})
+
+
+def test_reproject_kernel_applied(long_df, tmp_path):
+    # F14: injected warp kernel runs inside the K2 encode kernel
+    calls = []
+
+    def mark_kernel(arr, ys, xs, meta):
+        calls.append(arr.shape)
+        return arr * 2.0, ys, xs, {**meta, "crs": "EPSG:4326"}
+
+    plain = raster.encode_cogs(long_df, tmp_path / "a").collect()
+    warped = raster.encode_cogs(
+        long_df, tmp_path / "b", reproject=mark_kernel
+    ).collect()
+    # kernel ran once per (init, leadtime) group and changed the bytes
+    by_key = {(r["forecast_reference_time"], r["leadtime_idx"]): r["multihash"] for r in plain}
+    for r in warped:
+        assert by_key[(r["forecast_reference_time"], r["leadtime_idx"])] != r["multihash"]
+
+
+def test_passthrough_reproject_semantics():
+    arr = np.ones((1, 2, 2))
+    ys, xs = np.array([1.0, 0.0]), np.array([0.0, 1.0])
+    out, oys, oxs, meta = raster.passthrough_grid_reproject(arr, ys, xs, {"crs": "EPSG:4326"})
+    assert (out == arr).all() and meta["crs"] == "EPSG:4326"
+    with pytest.raises(NotImplementedError):
+        raster.passthrough_grid_reproject(arr, ys, xs, {"crs": "EPSG:6931"})
+    try:
+        import rasterio  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            raster.rasterio_grid_reproject(arr, ys, xs, {"crs": "EPSG:6931"})
