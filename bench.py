@@ -50,6 +50,9 @@ HEADLINE = [
     "time_rollup",
     "exact_percentiles",
     "duplicate_clusters",
+    "stratified_sample",
+    "decontaminate",
+    "token_budget_select",
 ]
 
 

@@ -59,6 +59,8 @@ WINAGG = [("window_start", "string"), ("grp", "string"), ("window_end", "string"
           ("n_events", "bigint"), ("sum_value", "double")]
 SKETCH = [("grp", "string"), ("v1", "double"), ("v2", "double"),
           ("v3", "double"), ("v4", "double")]
+CURATION = [("source", "string"), ("n", "bigint"), ("v1", "bigint"),
+            ("v2", "bigint"), ("doc_id_sum", "bigint")]
 
 Part = tuple[str, str, dict[str, str]]  # (label, source query name, col → src expr)
 
@@ -378,6 +380,32 @@ def build(full: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
             keep("salted_join"),
             keep("asof_join_events"),
             keep("range_join_tiers"),
+            # ---- training-data curation (§2.11) --------------------
+            (
+                "curation_suite",
+                _merged(
+                    full,
+                    "curation_suite",
+                    CURATION,
+                    [
+                        ("stratified", "stratified_sample",
+                         {"source": "source", "n": "n_sampled",
+                          "v1": "first_doc", "v2": "last_doc",
+                          "doc_id_sum": "doc_id_sum"}),
+                        ("decontaminate", "decontaminate",
+                         {"source": "source", "n": "n_clean",
+                          "doc_id_sum": "doc_id_sum"}),
+                        ("token_budget", "token_budget_select",
+                         {"source": "source", "n": "n_selected",
+                          "v1": "tokens", "doc_id_sum": "doc_id_sum"}),
+                    ],
+                    doc="Training-data curation: deterministic stratified "
+                    "sampling (data mixing), benchmark decontamination "
+                    "(3-gram overlap vs eval probes), and token-budget "
+                    "quality selection (absorbs stratified_sample, "
+                    "decontaminate, token_budget_select).",
+                ),
+            ),
             # ---- text analysis (§2.11) -----------------------------
             keep("quality_score"),
             (

@@ -1,0 +1,212 @@
+"""Training-data curation operators (SURVEY §2.11 north-star
+extensions): the selection half of a pretraining pipeline.
+
+- ``stratified_sample`` — deterministic per-source (stratum) sampling
+  by a stable content-independent hash of the key: each source keeps
+  its configured percentage, reproducibly, with zero coordination —
+  the data-mixing primitive. At 100 TB this is a map-side filter; no
+  shuffle, no sort, no RNG state.
+- ``decontaminate`` — drop every document sharing any word 3-gram
+  with an eval/probe set (the standard benchmark-contamination
+  guard). The probe shingle set is tiny and broadcast; the corpus is
+  scanned once and anti-joined — never self-joined.
+- ``token_budget_select`` — greedy quality-ordered selection under a
+  global token budget: rank by quality, running-sum token counts,
+  keep while the budget holds. The running sum is the two-phase
+  range-partitioned prefix sum (``operators.cumulative``), never a
+  single-partition window sort, and only the per-doc metric relation
+  (not the corpus text) is shuffled.
+
+All three are SQL-oracle checked bit-for-bit (md5-based hashing is
+identical in Spark and DuckDB).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from environmental_stac_generator_spark.registry import register
+from environmental_stac_generator_spark.tables import load
+
+# stratum -> keep percentage (a data-mixing recipe)
+SAMPLE_RATES = {"web": 25, "books": 75, "wiki": 50, "code": 100}
+DEFAULT_RATE = 10
+
+# stable 16-bit bucket from the doc key: md5 is bit-identical across
+# engines, and hashing the KEY (not the text) keeps sampling
+# independent of content edits.
+_SPARK_BUCKET = (
+    "cast(conv(substr(md5(cast(doc_id as string)), 1, 4), 16, 10) as bigint) % 100"
+)
+_DUCK_BUCKET = (
+    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100"
+)
+
+
+def _rate_case_duck() -> str:
+    whens = " ".join(
+        f"WHEN '{s}' THEN {r}" for s, r in sorted(SAMPLE_RATES.items())
+    )
+    return f"CASE source {whens} ELSE {DEFAULT_RATE} END"
+
+
+@register(
+    "stratified_sample",
+    f"""
+    WITH sampled AS (
+      SELECT doc_id, source
+      FROM documents
+      WHERE {_DUCK_BUCKET} < {_rate_case_duck()}
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(min(doc_id) AS BIGINT) AS first_doc,
+           CAST(max(doc_id) AS BIGINT) AS last_doc,
+           CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
+    FROM sampled GROUP BY source
+    """,
+    doc="Deterministic stratified sampling: per-source keep-rate "
+    "applied via a stable md5 bucket of the key — the data-mixing "
+    "primitive. Map-side filter; the checksum columns pin the exact "
+    "surviving id set, not just counts.",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    rate = F.lit(DEFAULT_RATE)
+    for s, r in sorted(SAMPLE_RATES.items()):
+        rate = F.when(F.col("source") == s, r).otherwise(rate)
+    sampled = d.filter(F.expr(_SPARK_BUCKET) < rate)
+    return sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        F.sum("doc_id").alias("doc_id_sum"),
+    )
+
+
+N_PROBE_DOCS = 5  # doc_id < 5 stands in for the eval set
+
+
+@register(
+    "decontaminate",
+    f"""
+    WITH words AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ),
+    shingled AS (
+      SELECT doc_id, source,
+             unnest(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+      FROM words WHERE len(w) >= 3
+    ),
+    probe AS (
+      SELECT DISTINCT shingle FROM shingled WHERE doc_id < {N_PROBE_DOCS}
+    ),
+    contaminated AS (
+      SELECT DISTINCT s.doc_id
+      FROM shingled s JOIN probe p ON s.shingle = p.shingle
+      WHERE s.doc_id >= {N_PROBE_DOCS}
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_clean,
+           CAST(sum(d.doc_id) AS BIGINT) AS doc_id_sum
+    FROM documents d
+    WHERE d.doc_id >= {N_PROBE_DOCS}
+      AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = d.doc_id)
+    GROUP BY d.source
+    """,
+    doc="Benchmark decontamination: drop every training document "
+    "sharing any word 3-gram with the (broadcast) eval probe set — "
+    "one corpus scan + shingle anti-join, never an O(n²) compare. "
+    "The id-sum column pins the exact surviving set.",
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from environmental_stac_generator_spark.queries.dedup import _SPARK_SHINGLES
+
+    d = load(spark, sf_dir, "documents")
+    shingled = (
+        d.withColumn("words", F.split("text", " "))
+        .filter(F.size("words") >= 3)
+        .select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle"))
+    )
+    probe = (
+        shingled.filter(F.col("doc_id") < N_PROBE_DOCS).select("shingle").distinct()
+    )
+    contaminated = (
+        shingled.filter(F.col("doc_id") >= N_PROBE_DOCS)
+        .join(F.broadcast(probe), "shingle")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = (
+        d.filter(F.col("doc_id") >= N_PROBE_DOCS)
+        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+    )
+    return clean.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_clean"),
+        F.sum("doc_id").alias("doc_id_sum"),
+    )
+
+
+TOKEN_BUDGET = 20_000
+
+
+@register(
+    "token_budget_select",
+    f"""
+    WITH metrics AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (
+               ORDER BY CAST(n_distinct AS DOUBLE) / n_tokens DESC, doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS cum_tokens
+      FROM metrics
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_selected,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens,
+           CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
+    FROM ranked WHERE cum_tokens <= {TOKEN_BUDGET}
+    GROUP BY source
+    """,
+    doc="Token-budget curation: rank documents by lexical diversity "
+    "(distinct/total token ratio, deterministic id tiebreak), take "
+    "the prefix whose running token sum fits the global budget. The "
+    "running sum uses operators.cumulative.global_running_sum — the "
+    "two-phase range-partitioned prefix sum, NOT a single-partition "
+    "window sort: both passes are fully parallel at 100 TB, and only "
+    "the per-doc metric relation (never the text) is shuffled.",
+)
+def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from environmental_stac_generator_spark.operators.cumulative import (
+        global_running_sum,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    metrics = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        (
+            F.size(F.array_distinct(F.split("text", " "))).cast("double")
+            / F.size(F.split("text", " "))
+        ).alias("ratio"),
+    )
+    order = [F.col("ratio").desc(), F.col("doc_id")]
+    ranked = global_running_sum(metrics, order, "n_tokens", out_col="cum_tokens")
+    return (
+        ranked.filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            F.sum("n_tokens").alias("tokens"),
+            F.sum("doc_id").alias("doc_id_sum"),
+        )
+    )

@@ -51,6 +51,7 @@ def load_full_registry() -> dict[str, QuerySpec]:
     from environmental_stac_generator_spark.queries import (  # noqa: F401
         aggregates,
         arrays,
+        curation,
         dedup,
         geo,
         joins,

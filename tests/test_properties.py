@@ -151,3 +151,39 @@ def test_leadtime_offset_month_end_clamp(spark):
     # clamps to Feb 29 AND keeps the time of day (relativedelta does)
     assert got["m"] == dt.datetime(2020, 2, 29, 12, 30)
     assert got["y"] == dt.datetime(2021, 1, 31, 12, 30)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(1, 500)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    n_parts=st.integers(min_value=1, max_value=6),
+)
+def test_global_running_sum_matches_single_partition_window(spark, rows, n_parts):
+    """The two-phase range-partitioned prefix sum must equal the
+    naive single-partition window cumsum exactly."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from environmental_stac_generator_spark.operators.cumulative import (
+        global_running_sum,
+    )
+
+    df = spark.createDataFrame(rows, "k bigint, v bigint")
+    order = [F.col("k").asc()]
+    got = {
+        r["k"]: r["rt"]
+        for r in global_running_sum(
+            df, order, "v", out_col="rt", num_partitions=n_parts
+        ).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["k"]: r["rt"]
+        for r in df.withColumn("rt", F.sum("v").over(w)).collect()
+    }
+    assert got == want

@@ -36,14 +36,15 @@ AUDIT = [
     "extent_merge", "upsert_merge", "json_props_extract",
     "asof_join_events", "range_join_tiers", "time_rollup", "event_cube",
     "exact_percentiles", "hll_cardinality", "zorder_spatial",
-    "lsh_verified_pairs",
+    "lsh_verified_pairs", "stratified_sample", "decontaminate",
+    "token_budget_select",
 ]
 # consolidated (driver-facing) merged entries worth auditing explicitly
 MERGED = [
     "collection_extent", "agg_counts", "skip_existing", "fact_dim_join",
     "datetime_scalars", "classifier_scalars", "row_scalars", "minhash_lsh",
     "text_near_dup", "ann_lsh", "text_profile", "ordered_select",
-    "windowed_aggs",
+    "windowed_aggs", "curation_suite",
 ]
 
 PY_NODES = ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas", "MapInPandas")
