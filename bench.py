@@ -53,6 +53,7 @@ HEADLINE = [
     "stratified_sample",
     "decontaminate",
     "token_budget_select",
+    "sequence_pack",
 ]
 
 

@@ -398,12 +398,16 @@ def build(full: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
                         ("token_budget", "token_budget_select",
                          {"source": "source", "n": "n_selected",
                           "v1": "tokens", "doc_id_sum": "doc_id_sum"}),
+                        ("seq_pack", "sequence_pack",
+                         {"source": "seq_id", "n": "n_docs",
+                          "v1": "tokens", "doc_id_sum": "doc_id_sum"}),
                     ],
                     doc="Training-data curation: deterministic stratified "
                     "sampling (data mixing), benchmark decontamination "
-                    "(3-gram overlap vs eval probes), and token-budget "
-                    "quality selection (absorbs stratified_sample, "
-                    "decontaminate, token_budget_select).",
+                    "(3-gram overlap vs eval probes), token-budget quality "
+                    "selection, and context-window sequence packing "
+                    "(absorbs stratified_sample, decontaminate, "
+                    "token_budget_select, sequence_pack).",
                 ),
             ),
             # ---- text analysis (§2.11) -----------------------------

@@ -17,7 +17,12 @@ extensions): the selection half of a pretraining pipeline.
   single-partition window sort, and only the per-doc metric relation
   (not the corpus text) is shuffled.
 
-All three are SQL-oracle checked bit-for-bit (md5-based hashing is
+- ``sequence_pack`` — lay documents end-to-end in deterministic id
+  order and assign each to the fixed-length context window its start
+  offset falls in (the pretraining packing pass), again via the
+  parallel prefix sum.
+
+All four are SQL-oracle checked bit-for-bit (md5-based hashing is
 identical in Spark and DuckDB).
 """
 
@@ -206,6 +211,60 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_selected"),
+            F.sum("n_tokens").alias("tokens"),
+            F.sum("doc_id").alias("doc_id_sum"),
+        )
+    )
+
+
+SEQ_LEN = 2_048
+
+
+@register(
+    "sequence_pack",
+    f"""
+    WITH metrics AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    placed AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens
+               AS start_off
+      FROM metrics
+    )
+    SELECT CAST(start_off // {SEQ_LEN} AS BIGINT) AS seq_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens,
+           CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
+    FROM placed GROUP BY 1
+    """,
+    doc="Sequence packing: lay documents end-to-end in deterministic "
+    "id order and assign each to the fixed-length training sequence "
+    "its start offset falls in — the pretraining context-window "
+    "packing pass. The running offset is the two-phase parallel "
+    "prefix sum (operators/cumulative.py), so packing 100 TB needs "
+    "no single-reducer sort; only (doc_id, n_tokens) pairs shuffle.",
+)
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from environmental_stac_generator_spark.operators.cumulative import (
+        global_running_sum,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    metrics = d.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    placed = global_running_sum(
+        metrics, [F.col("doc_id")], "n_tokens", out_col="cum"
+    ).withColumn("start_off", F.col("cum") - F.col("n_tokens"))
+    return (
+        placed.groupBy(
+            F.floor(F.col("start_off") / SEQ_LEN).cast("bigint").alias("seq_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("tokens"),
             F.sum("doc_id").alias("doc_id_sum"),
         )

@@ -181,6 +181,47 @@ def _band_cols(k0: int) -> tuple[str, str]:
     return spark, duck
 
 
+def bucket_pairs(
+    members: DataFrame,
+    bucket_cols: list[str],
+    id_col: str,
+    max_bucket: int = 100_000,
+) -> DataFrame:
+    """Ordered id pairs per bucket, skew-safe.
+
+    Small buckets (the near-dup common case) collect into an in-row
+    sorted array and generate pairs MAP-SIDE — one shuffle, no join.
+    Buckets larger than ``max_bucket`` would blow executor memory as
+    arrays (and produce O(n²) pairs regardless), so they go through a
+    bucket-restricted self-join instead: same result set, no
+    collect_list of a mega-bucket. The size split itself reuses the
+    one grouped pass."""
+    grouped = (
+        members.groupBy(*bucket_cols)
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .persist()
+    )
+    small = grouped.filter(F.size("ds") <= max_bucket)
+    small_pairs = small.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (a, i) -> "
+                "transform(slice(ds, i + 2, size(ds)), b -> struct(a AS doc_a, b AS doc_b))))"
+            )
+        ).alias("p")
+    ).select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+    big = grouped.filter(F.size("ds") > max_bucket).select(
+        *bucket_cols, F.explode("ds").alias(id_col)
+    )
+    a = big.select(*bucket_cols, F.col(id_col).alias("doc_a"))
+    b = big.select(*bucket_cols, F.col(id_col).alias("doc_b"))
+    big_pairs = a.join(b, bucket_cols).filter(F.col("doc_a") < F.col("doc_b")).select(
+        "doc_a", "doc_b"
+    )
+    return small_pairs.unionByName(big_pairs).distinct()
+
+
 @register(
     "lsh_candidate_pairs",
     f"""
@@ -205,7 +246,9 @@ def _band_cols(k0: int) -> tuple[str, str]:
     "map-side from grouped buckets — ONE shuffle total over the "
     "signatures (a self-join would scan the corpus twice).",
 )
-def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lsh_candidate_pairs(
+    spark: SparkSession, sf_dir: str, max_bucket: int = 100_000
+) -> DataFrame:
     wide = _signature_wide(spark, sf_dir)
     stack_args = ", ".join(
         f"{b}, {_band_cols(b * BAND_SIZE)[0]}" for b in range(N_BANDS)
@@ -215,24 +258,9 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("band").cast("int").alias("band"), "band_hash")
     # ONE shuffle: bucket members per (band, band_hash), ordered pairs
     # generated map-side (a self-join would recompute the signature
-    # scan for each side — no exchange reuse across projections).
-    grouped = (
-        bands.groupBy("band", "band_hash")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .filter(F.size("ds") >= 2)
-    )
-    return (
-        grouped.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ds, (a, i) -> "
-                    "transform(slice(ds, i + 2, size(ds)), b -> struct(a AS doc_a, b AS doc_b))))"
-                )
-            ).alias("p")
-        )
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .distinct()
-    )
+    # scan for each side — no exchange reuse across projections);
+    # mega-buckets fall back to the skew-safe join path (bucket_pairs).
+    return bucket_pairs(bands, ["band", "band_hash"], "doc_id", max_bucket)
 
 
 @register(

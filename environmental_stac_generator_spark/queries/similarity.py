@@ -246,32 +246,55 @@ def ann_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "true near-duplicates. At 100 TB the bucket join shuffles only "
     "same-signature groups; skewed mega-buckets can be salted.",
 )
-def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # ONE shuffle total: group members per bucket, then generate the
-    # ordered pairs map-side with array HOFs (a self-join would scan
-    # and re-bucket the corpus twice — Spark does not reuse the
-    # exchange across differently-projected join sides). Mega-bucket
-    # memory is the standard LSH caveat; skewed signatures get salted
-    # upstream (operators/skew.py).
+def embedding_near_dup(
+    spark: SparkSession, sf_dir: str, max_bucket: int = 10_000
+) -> DataFrame:
+    # ONE shuffle total on the common path: group members per bucket,
+    # then generate the ordered pairs map-side with array HOFs (a
+    # self-join would scan and re-bucket the corpus twice — Spark does
+    # not reuse the exchange across differently-projected join sides).
+    # Mega-bucket memory is the standard LSH caveat: buckets larger
+    # than max_bucket (payload here is the whole embedding, so the cap
+    # is tighter than the id-only dedup path) skip the collect and go
+    # through a bucket-restricted self-join — identical pairs, no
+    # executor holding an entire hot bucket in one row.
     buckets = _lsh_bucketed(spark, sf_dir)
     grouped = (
         buckets.groupBy("bucket")
         .agg(F.sort_array(F.collect_list(F.struct("vec_id", "embedding"))).alias("ms"))
         .filter(F.size("ms") >= 2)
+        .persist()
     )
-    pairs = grouped.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ms, (a, i) -> "
-                "transform(slice(ms, i + 2, size(ms)), b -> struct(a, b))))"
-            )
-        ).alias("p")
-    ).select(
-        F.col("p.a.vec_id").alias("vec_a"),
-        F.col("p.b.vec_id").alias("vec_b"),
-        F.col("p.a.embedding").alias("emb_a"),
-        F.col("p.b.embedding").alias("emb_b"),
+    small_pairs = (
+        grouped.filter(F.size("ms") <= max_bucket)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ms, (a, i) -> "
+                    "transform(slice(ms, i + 2, size(ms)), b -> struct(a, b))))"
+                )
+            ).alias("p")
+        )
+        .select(
+            F.col("p.a.vec_id").alias("vec_a"),
+            F.col("p.b.vec_id").alias("vec_b"),
+            F.col("p.a.embedding").alias("emb_a"),
+            F.col("p.b.embedding").alias("emb_b"),
+        )
     )
+    big = grouped.filter(F.size("ms") > max_bucket).select(
+        "bucket", F.explode("ms").alias("m")
+    )
+    big_pairs = (
+        big.select("bucket", F.col("m.vec_id").alias("vec_a"), F.col("m.embedding").alias("emb_a"))
+        .join(
+            big.select("bucket", F.col("m.vec_id").alias("vec_b"), F.col("m.embedding").alias("emb_b")),
+            "bucket",
+        )
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "emb_a", "emb_b")
+    )
+    pairs = small_pairs.unionByName(big_pairs)
     cos = _cosine("emb_a", "emb_b")
     return (
         pairs.filter(cos >= 0.35)

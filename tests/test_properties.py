@@ -187,3 +187,38 @@ def test_global_running_sum_matches_single_partition_window(spark, rows, n_parts
         for r in df.withColumn("rt", F.sum("v").over(w)).collect()
     }
     assert got == want
+
+
+def test_bucket_pairs_join_path_equals_array_path(spark, sf_dir):
+    """Skew-safe mega-bucket fallback: forcing every bucket through
+    the self-join path must produce exactly the map-side array-path
+    pairs."""
+    from environmental_stac_generator_spark.queries.dedup import (
+        lsh_candidate_pairs,
+    )
+
+    array_path = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(spark, sf_dir).collect()
+    }
+    join_path = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(spark, sf_dir, max_bucket=1).collect()
+    }
+    assert array_path == join_path and len(array_path) > 0
+
+
+def test_embedding_near_dup_join_path_equals_array_path(spark, sf_dir):
+    from environmental_stac_generator_spark.queries.similarity import (
+        embedding_near_dup,
+    )
+
+    array_path = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in embedding_near_dup(spark, sf_dir).collect()
+    }
+    join_path = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in embedding_near_dup(spark, sf_dir, max_bucket=1).collect()
+    }
+    assert array_path == join_path and len(array_path) > 0
