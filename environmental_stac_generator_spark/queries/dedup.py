@@ -338,9 +338,10 @@ def ngram_jaccard_vs_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(compare via hamming distance on the bitstring).",
 )
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Map-side only: hash each token once (one transform), then each
-    # bit is an array aggregate of +/-1 votes — no explode, no
-    # shuffle, embarrassingly parallel over the corpus.
+    # Map-side only: hash each token once (one transform), then ONE
+    # aggregate pass carries a 16-wide vote counter (zip_with into the
+    # accumulator array) — no explode, no shuffle, and the token list
+    # is scanned once, not once per bit.
     d = load(spark, sf_dir, "documents")
     hashed = d.select(
         "doc_id",
@@ -349,19 +350,19 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hs"),
     )
     hexset = "('8','9','a','b','c','d','e','f')"
-    bit_cols = [
-        F.when(
-            F.expr(
-                f"aggregate(hs, 0, (acc, h) -> acc + "
-                f"(CASE WHEN substr(h, {b + 1}, 1) IN {hexset} THEN 1 ELSE -1 END))"
-            )
-            >= 0,
-            "1",
-        )
-        .otherwise("0")
-        for b in range(16)
-    ]
-    return hashed.select("doc_id", F.concat(*bit_cols).alias("simhash"))
+    votes = F.expr(
+        "aggregate(hs, array_repeat(0, 16), (acc, h) -> "
+        "zip_with(acc, transform(sequence(1, 16), i -> "
+        f"CASE WHEN substr(h, i, 1) IN {hexset} THEN 1 ELSE -1 END), "
+        "(a, v) -> a + v))"
+    )
+    return hashed.withColumn("votes", votes).select(
+        "doc_id",
+        F.expr(
+            "concat_ws('', transform(votes, v -> "
+            "CASE WHEN v >= 0 THEN '1' ELSE '0' END))"
+        ).alias("simhash"),
+    )
 
 
 def _duck_bands_cte() -> str:
