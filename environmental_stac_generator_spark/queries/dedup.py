@@ -119,11 +119,13 @@ def _duck_min(k: int) -> str:
 
 
 def _signature_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id, h0..h{k-1}: ZERO-shuffle minhash signature — the k
-    minima are array_min over transforms of the in-row shingle array,
-    a pure map stage. The naive explode × k × groupBy version
-    shuffles k × corpus rows; this shuffles nothing, which is the
-    difference between feasible and not at 100 TB."""
+    """doc_id, h0..h{k-1}: ZERO-shuffle minhash signature — ONE
+    aggregate pass over the in-row shingle array carries a k-wide
+    running-minimum accumulator (zip_with + least), a pure map stage
+    that scans the shingles once, not once per permutation. The naive
+    explode × k × groupBy version shuffles k × corpus rows; this
+    shuffles nothing, which is the difference between feasible and
+    not at 100 TB."""
     d = load(spark, sf_dir, "documents")
     docs = (
         d.withColumn("words", F.split("text", " "))
@@ -131,13 +133,18 @@ def _signature_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("shingles", F.expr(_SPARK_SHINGLES))
         .withColumn("hv", F.expr(_SPARK_BASE_HASH))
     )
-    mins = [
-        F.array_min(
-            F.expr(f"transform(hv, x -> ({A_COEF[k]}L * x + {B_COEF[k]}L) % {MINHASH_P}L)")
-        ).alias(f"h{k}")
-        for k in range(N_HASHES)
-    ]
-    return docs.select("doc_id", *mins)
+    a_arr = ", ".join(f"{a}L" for a in A_COEF)
+    b_arr = ", ".join(f"{b}L" for b in B_COEF)
+    agg = F.expr(
+        f"aggregate(hv, array_repeat(9223372036854775807L, {N_HASHES}), "
+        f"(acc, x) -> zip_with(acc, transform(sequence(0, {N_HASHES - 1}), "
+        f"k -> (element_at(array({a_arr}), k + 1) * x "
+        f"+ element_at(array({b_arr}), k + 1)) % {MINHASH_P}L), "
+        "(m, v) -> least(m, v)))"
+    )
+    return docs.withColumn("mh", agg).select(
+        "doc_id", *[F.col("mh")[k].alias(f"h{k}") for k in range(N_HASHES)]
+    )
 
 
 @register(
