@@ -54,6 +54,7 @@ HEADLINE = [
     "decontaminate",
     "token_budget_select",
     "sequence_pack",
+    "repetition_profile",
 ]
 
 

@@ -418,9 +418,11 @@ def build(full: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
                     fn=_tx.text_profile,
                     sql=_tx.TEXT_PROFILE_SQL,
                     doc="One-scan text analysis: token counting (whitespace + "
-                    "BPE-ish regex), language-ID heuristic, and content "
-                    "fingerprints (absorbs token_count, lang_id, "
-                    "doc_fingerprint).",
+                    "BPE-ish regex), language-ID heuristic, content "
+                    "fingerprints, and Gopher-style 2-gram repetition "
+                    "fractions via a map-side sorted-run scan (absorbs "
+                    "token_count, lang_id, doc_fingerprint, "
+                    "repetition_profile).",
                 ),
             ),
             # ---- windows / ordering (W1-W4, P4-P5) -----------------

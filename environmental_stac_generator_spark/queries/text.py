@@ -110,6 +110,87 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REPETITION_SQL = """
+    WITH grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(words)),
+                    i -> words[i] || ' ' || words[i+1])) AS g
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+      WHERE len(words) >= 2
+    ),
+    counts AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+    rep AS (
+      SELECT doc_id, max(c) AS mx,
+             sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup,
+             sum(c) AS n
+      FROM counts GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(r.n, 0) AS BIGINT) AS n_2grams,
+           floor(COALESCE(CAST(r.mx AS DOUBLE) / r.n, 0.0) * 10000.0 + 0.5)
+             / 10000.0 AS top2gram_frac,
+           floor(COALESCE(CAST(r.dup AS DOUBLE) / r.n, 0.0) * 10000.0 + 0.5)
+             / 10000.0 AS dup2gram_frac
+    FROM documents d LEFT JOIN rep r ON d.doc_id = r.doc_id
+    """
+
+# Sorted-run scan over the in-row 2-gram array: ONE aggregate pass
+# over array_sort(grams) carries (prev, run, max-run, dup-positions).
+# Equivalent to explode → groupBy(doc_id, gram) → count, but map-side:
+# nothing corpus-sized ever shuffles, which is what makes repetition
+# filtering feasible on a 100 TB corpus.
+_RUNS_EXPR = (
+    "aggregate(array_sort(grams), "
+    "named_struct('prev', cast(null as string), 'run', 0L, 'mx', 0L, 'dup', 0L), "
+    "(acc, g) -> IF(acc.prev IS NOT NULL AND g = acc.prev, "
+    "named_struct('prev', g, 'run', acc.run + 1L, 'mx', acc.mx, 'dup', acc.dup), "
+    "named_struct('prev', g, 'run', 1L, 'mx', greatest(acc.mx, acc.run), "
+    "'dup', acc.dup + IF(acc.run > 1L, acc.run, 0L))), "
+    "acc -> named_struct('mx', greatest(acc.mx, acc.run), "
+    "'dup', acc.dup + IF(acc.run > 1L, acc.run, 0L)))"
+)
+
+
+def _with_repetition(df: DataFrame, ts: str = "ts") -> DataFrame:
+    """Append (n_2grams, top2gram_frac, dup2gram_frac) to a frame
+    holding an in-row token-array column — pure map-side; the runs
+    struct is projected once so the aggregate runs once per row."""
+    grams = (
+        f"IF(size({ts}) >= 2, transform(sequence(0, size({ts}) - 2), "
+        f"i -> concat_ws(' ', {ts}[i], {ts}[i+1])), "
+        "cast(array() as array<string>))"
+    )
+    staged = df.withColumn("_grams", F.expr(grams)).withColumn(
+        "_runs", F.expr(_RUNS_EXPR.replace("grams", "_grams"))
+    )
+    n = F.size("_grams").cast("long")
+    return staged.select(
+        *df.columns,
+        n.alias("n_2grams"),
+        F.when(n > 0, rnd(F.col("_runs.mx").cast("double") / n, 4))
+        .otherwise(0.0)
+        .alias("top2gram_frac"),
+        F.when(n > 0, rnd(F.col("_runs.dup").cast("double") / n, 4))
+        .otherwise(0.0)
+        .alias("dup2gram_frac"),
+    )
+
+
+@register(
+    "repetition_profile",
+    _REPETITION_SQL,
+    doc="Repetition metrics (the Gopher-style quality filter): "
+    "fraction of token 2-gram positions covered by the most frequent "
+    "2-gram and by any duplicated 2-gram. Computed map-side as a "
+    "sorted-run scan of the in-row gram array — no explode/groupBy "
+    "shuffle of corpus n-grams at any scale.",
+)
+def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("ts"))
+    return _with_repetition(toks).drop("ts")
+
+
 def _duck_marker_count(markers: list[str]) -> str:
     inlist = ", ".join("'" + m + "'" for m in markers)
     return f"sum(CASE WHEN tok IN ({inlist}) THEN 1 ELSE 0 END)"
@@ -179,10 +260,12 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TEXT_PROFILE_SQL = f"""
     SELECT t.doc_id, t.ws_tokens, t.re_tokens, t.n_chars,
-           l.predicted_lang, f.exact_fp, f.bow_fp
+           l.predicted_lang, f.exact_fp, f.bow_fp,
+           r.n_2grams, r.top2gram_frac, r.dup2gram_frac
     FROM ({TOKEN_COUNT_SQL}) t
     JOIN ({_LANG_ID_SQL}) l ON t.doc_id = l.doc_id
     JOIN ({_FINGERPRINT_SQL}) f ON t.doc_id = f.doc_id
+    JOIN ({_REPETITION_SQL}) r ON t.doc_id = r.doc_id
     """
 
 
@@ -219,8 +302,9 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(s["qry"] >= s["sys"], "qry")
         .otherwise("sys")
     )
-    return scored.select(
+    base = scored.select(
         "doc_id",
+        "ts",
         F.size("ts").alias("ws_tokens"),
         F.size(F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).alias("re_tokens"),
         F.length("text").alias("n_chars"),
@@ -230,3 +314,4 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.array_sort(F.array_distinct("ts"))).cast("binary")
         ).alias("bow_fp"),
     )
+    return _with_repetition(base).drop("ts")

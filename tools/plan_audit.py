@@ -37,7 +37,7 @@ AUDIT = [
     "asof_join_events", "range_join_tiers", "time_rollup", "event_cube",
     "exact_percentiles", "hll_cardinality", "zorder_spatial",
     "lsh_verified_pairs", "stratified_sample", "decontaminate",
-    "token_budget_select", "sequence_pack",
+    "token_budget_select", "sequence_pack", "repetition_profile",
 ]
 # consolidated (driver-facing) merged entries worth auditing explicitly
 MERGED = [
