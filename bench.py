@@ -55,6 +55,7 @@ HEADLINE = [
     "token_budget_select",
     "sequence_pack",
     "repetition_profile",
+    "kmeans_clusters",
 ]
 
 

@@ -1,10 +1,10 @@
 """Driver-facing consolidated registry: SURVEY §2 + §2.11 in ≤50 rows.
 
 The driver's CORRECTNESS check covers the first 50 ``queries()``
-entries, so the full fine-grained registry (85 queries — kept intact
+entries, so the full fine-grained registry (91 queries — kept intact
 for tests, bench continuity, and debugging granularity; see
-``registry.load_full_registry``) is consolidated here into 48
-driver-facing entries: 40 SQL-oracle-checked + 8 rows-only kernels.
+``registry.load_full_registry``) is consolidated here into 50
+driver-facing entries: 42 SQL-oracle-checked + 8 rows-only kernels.
 
 Two merge shapes, chosen so every absorbed query keeps bit-exact
 verification:
@@ -374,6 +374,7 @@ def build(full: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
                 ),
             ),
             keep("ivf_ann_probe"),
+            keep("kmeans_clusters"),
             # ---- sketches / skew / temporal ------------------------
             keep("exact_percentiles"),
             keep("salted_agg"),

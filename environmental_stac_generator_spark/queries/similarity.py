@@ -407,3 +407,127 @@ def ivf_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", rnd(cos, 5).alias("cosine"))
         .orderBy(F.desc("cosine"), "vec_id")
     )
+
+# ---------------------------------------------------------------------------
+# k-means clustering (Lloyd's) — the semantic-clustering pass of a
+# SemDeDup-style curation pipeline. Fixed deterministic init (the K
+# lowest vec_ids) and a fixed iteration count make it SQL-oracle
+# checkable; centroid updates are rounded to 6 dp on BOTH engines so
+# the literal centroids fed into the next assignment are bit-identical
+# regardless of each engine's floating-point summation order.
+
+K_CLUSTERS = 8
+KMEANS_ITERS = 2
+EMB_DIM = 64  # all testdata SFs ship 64-d embeddings
+
+_RND6 = "floor({x} * 1000000.0 + 0.5) / 1000000.0"
+
+
+def _duck_sqdist(cent_table: str) -> str:
+    """DuckDB squared-L2 via list_reduce — left-to-right double adds,
+    bit-identical to Spark's aggregate HOF (0-init add is exact)."""
+    term = f"(CAST(e.embedding[i] AS DOUBLE) - {cent_table}.centroid[i])"
+    return (
+        f"list_reduce(list_transform(range(1, {EMB_DIM + 1}), "
+        f"i -> {term} * {term}), (x, y) -> x + y)"
+    )
+
+
+def _duck_round(cents: str, assigns: str) -> str:
+    """One Lloyd round: assignment vs `cents`, then 6-dp-rounded
+    per-dimension mean centroids named `assigns`."""
+    return f"""
+    d_{assigns} AS (
+      SELECT e.vec_id, c.cluster, {_duck_sqdist("c")} AS d
+      FROM embeddings e CROSS JOIN {cents} c
+    ),
+    {assigns} AS (
+      SELECT vec_id, cluster, d FROM (
+        SELECT vec_id, cluster, d,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+        FROM d_{assigns}
+      ) WHERE rn = 1
+    )"""
+
+
+_KMEANS_SQL = f"""
+    WITH c0 AS (
+      SELECT vec_id AS cluster, CAST(embedding AS DOUBLE[]) AS centroid
+      FROM embeddings WHERE vec_id < {K_CLUSTERS}
+    ),
+    {_duck_round("c0", "a1")},
+    u1 AS (
+      SELECT a.cluster, i,
+             {_RND6.format(x=f"avg(CAST(e.embedding[i] AS DOUBLE))")} AS v
+      FROM a1 a JOIN embeddings e ON a.vec_id = e.vec_id
+      CROSS JOIN range(1, {EMB_DIM + 1}) r(i)
+      GROUP BY a.cluster, i
+    ),
+    c1 AS (SELECT cluster, list(v ORDER BY i) AS centroid FROM u1 GROUP BY cluster),
+    {_duck_round("c1", "a2")}
+    SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+           floor(d * 100000.0 + 0.5) / 100000.0 AS sqdist
+    FROM a2 ORDER BY vec_id
+    """
+
+
+def _sqdist_sql(vec_sql: str) -> str:
+    """Spark squared-L2 of the embedding column vs a literal vector —
+    sequential double arithmetic (zip_with in index order, 0-init
+    aggregate), the bit-exact twin of :func:`_duck_sqdist`."""
+    return (
+        f"aggregate(zip_with(embedding, {vec_sql}, "
+        "(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+
+
+@register(
+    "kmeans_clusters",
+    _KMEANS_SQL,
+    doc=f"Distributed Lloyd's k-means over the embedding corpus (K="
+    f"{K_CLUSTERS}, {KMEANS_ITERS} fixed iterations, init = lowest "
+    "vec_ids): per-iteration assignment is a MAP-SIDE argmin over "
+    "literal centroid vectors (struct array_min, deterministic "
+    "cluster-id tiebreak) — the corpus is scanned once per iteration "
+    "and never shuffled for assignment; the update shuffles only "
+    "(cluster, 64 partial sums) map-side partials, and the k×d "
+    "centroid collect per round is dimension-sized driver state, "
+    "exactly like the IVF coarse quantizer. The semantic-clustering "
+    "pass of a SemDeDup-style curation pipeline.",
+)
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = sorted(
+        (int(r.vec_id), [float(v) for v in r.embedding])
+        for r in e.filter(F.col("vec_id") < K_CLUSTERS).collect()
+    )
+    assigned = None
+    for it in range(KMEANS_ITERS):
+        scored = "array(" + ", ".join(
+            f"struct({_sqdist_sql(_vec_sql(vec))} AS d, {cid} AS cid)"
+            for cid, vec in cents
+        ) + ")"
+        assigned = e.withColumn("_best", F.expr(f"array_min({scored})")).select(
+            "vec_id",
+            "embedding",
+            F.col("_best.cid").cast("bigint").alias("cluster"),
+            F.col("_best.d").alias("sqdist"),
+        )
+        if it < KMEANS_ITERS - 1:
+            # Update step: ONE shuffle of (cluster, 64 avg partials);
+            # 6-dp rounding in-engine so the collected literals match
+            # the oracle's rounded means bit-for-bit.
+            rows = assigned.groupBy("cluster").agg(
+                *[
+                    rnd(F.avg(F.col("embedding").getItem(i).cast("double")), 6).alias(f"c{i}")
+                    for i in range(EMB_DIM)
+                ]
+            ).collect()
+            cents = sorted(
+                (int(r["cluster"]), [float(r[f"c{i}"]) for i in range(EMB_DIM)])
+                for r in rows
+            )
+    return assigned.select(
+        "vec_id", "cluster", rnd(F.col("sqdist"), 5).alias("sqdist")
+    ).orderBy("vec_id")

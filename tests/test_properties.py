@@ -222,3 +222,48 @@ def test_embedding_near_dup_join_path_equals_array_path(spark, sf_dir):
         for r in embedding_near_dup(spark, sf_dir, max_bucket=1).collect()
     }
     assert array_path == join_path and len(array_path) > 0
+
+
+def test_kmeans_matches_numpy_lloyds(spark, sf_dir):
+    """kmeans_clusters == a naive numpy Lloyd's run with the same
+    init, iteration count, and 6-dp centroid rounding."""
+    import numpy as np
+
+    from environmental_stac_generator_spark.queries.similarity import (
+        EMB_DIM,
+        K_CLUSTERS,
+        KMEANS_ITERS,
+        kmeans_clusters,
+    )
+    from environmental_stac_generator_spark.tables import load
+
+    rows = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, X = ids[order], X[order]
+    cents = X[ids < K_CLUSTERS].copy()
+    cids = ids[ids < K_CLUSTERS]
+    for it in range(KMEANS_ITERS):
+        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = cids[np.argmin(d, axis=1)]  # ties: lowest cluster id
+        if it < KMEANS_ITERS - 1:
+            keepc = sorted(set(assign.tolist()))
+            cents = np.array(
+                [
+                    np.floor(X[assign == c].mean(axis=0) * 1e6 + 0.5) / 1e6
+                    for c in keepc
+                ]
+            )
+            cids = np.array(keepc)
+    want = dict(zip(ids.tolist(), assign.tolist()))
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_clusters(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert X.shape[1] == EMB_DIM
