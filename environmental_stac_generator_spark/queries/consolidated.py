@@ -522,11 +522,13 @@ def build(full: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
                     "streaming_suite",
                     [("incremental", "streaming_incremental_merge"),
                      ("windowed", "streaming_windowed_counts"),
-                     ("stateful", "streaming_stateful_extent")],
+                     ("stateful", "streaming_stateful_extent"),
+                     ("dedup", "streaming_dedup")],
                     doc="T1-T4: incremental file-source merge (foreachBatch "
-                    "idempotent sink), watermarked windowed counts, and "
-                    "applyInPandasWithState running extent (absorbs the three "
-                    "streaming_* entries).",
+                    "idempotent sink), watermarked windowed counts, "
+                    "applyInPandasWithState running extent, and watermarked "
+                    "streaming exact-dedup of a replayed source (absorbs the "
+                    "four streaming_* entries).",
                 ),
             ),
             (

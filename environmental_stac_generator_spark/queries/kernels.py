@@ -221,6 +221,45 @@ def streaming_stateful_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_dedup",
+    None,
+    doc="Streaming exact dedup: dropDuplicatesWithinWatermark over an "
+    "event stream with replayed input — one state-store entry per key "
+    "inside the watermark horizon, exactly-once output from an "
+    "at-least-once source. Batch twin with full oracle: dedup_exact.",
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from environmental_stac_generator_spark.streaming import windows as sw
+
+    base = Path(tempfile.mkdtemp(prefix="envstac_dedupstream_"))
+    landing = base / "landing"
+    sample = (
+        load(spark, sf_dir, "events")
+        .limit(500)
+        .select("event_id", "ts", "event_type", "value")
+    )
+    # replayed source: every event delivered twice (at-least-once)
+    sample.unionAll(sample).write.mode("overwrite").parquet(str(landing))
+    stream = spark.readStream.schema(
+        "event_id bigint, ts timestamp, event_type string, value double"
+    ).parquet(str(landing))
+    name = f"dedup_stream_{abs(hash(str(base))) % 10**8}"
+    q = (
+        sw.dedup_stream(stream, ["event_id"])
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(base / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        f"SELECT event_type, count(*) AS n_unique FROM {name} GROUP BY event_type"
+    )
+
+
+@register(
     "asset_probe",
     None,
     doc="S5/S6 + F12: distributed format/dtype/byte-order probe over "

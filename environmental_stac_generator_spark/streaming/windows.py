@@ -97,3 +97,22 @@ def stateful_running_extent(stream_df: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_stream(
+    stream_df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Streaming exact dedup — the streaming twin of the batch
+    ``dedup_exact`` query: emit the first arrival of each key, drop
+    replays. ``dropDuplicatesWithinWatermark`` keeps ONE state-store
+    entry per key and evicts it once the watermark passes, so state
+    is bounded by the dedup horizon, not the stream length — the
+    property that makes streaming ingest dedup feasible forever-on.
+    Replayed batches (at-least-once sources) dedup to exactly-once
+    output within the horizon."""
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

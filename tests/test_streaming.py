@@ -150,3 +150,37 @@ def test_stateful_running_extent(spark, tmp_path):
     rows2 = {r["collection"]: r for r in collected}
     assert rows2["icenet"]["extent_start"] == pd.Timestamp("2024-06-01")
     assert rows2["icenet"]["n_items"] == 3
+
+
+def test_dedup_stream_exactly_once(spark, tmp_path):
+    """A doubled (at-least-once) source dedups to exactly one output
+    row per key within the watermark horizon."""
+    import pyspark.sql.functions as F
+
+    from environmental_stac_generator_spark.streaming import windows as sw
+
+    landing = tmp_path / "dedup_landing"
+    base = spark.range(100).select(
+        F.col("id").alias("event_id"),
+        (F.lit("2025-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(mins=F.col("id").cast("int"))).alias("ts"),
+        (F.col("id") % 3).cast("string").alias("event_type"),
+    )
+    base.unionAll(base).write.mode("overwrite").parquet(str(landing))
+    stream = spark.readStream.schema(
+        "event_id bigint, ts timestamp, event_type string"
+    ).parquet(str(landing))
+    name = "dedup_stream_test"
+    q = (
+        sw.dedup_stream(stream, ["event_id"])
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql(f"SELECT event_id FROM {name}").collect()
+    assert len(out) == 100
+    assert len({r["event_id"] for r in out}) == 100
