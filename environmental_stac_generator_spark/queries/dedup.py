@@ -297,7 +297,10 @@ def lsh_candidate_pairs(
 def ngram_jaccard_vs_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _spark_shingled(spark, sf_dir)
     probe = sh.filter(F.col("doc_id") == 0).select("shingle")
-    probe_n = probe.count()
+    # the probe size joins in as a broadcast 1-row aggregate (the SQL
+    # scalar subquery's plan shape) — no eager .count() job at build
+    # time, the whole query stays one lazy plan
+    probe_n = probe.agg(F.count(F.lit(1)).alias("pn"))
     doc_n = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         sh.filter(F.col("doc_id") != 0)
@@ -307,9 +310,10 @@ def ngram_jaccard_vs_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         inter.join(doc_n, "doc_id")
+        .crossJoin(F.broadcast(probe_n))
         .select(
             "doc_id",
-            rnd(F.col("i").cast("double") / (F.col("n") + F.lit(probe_n) - F.col("i")), 4).alias("jaccard"),
+            rnd(F.col("i").cast("double") / (F.col("n") + F.col("pn") - F.col("i")), 4).alias("jaccard"),
         )
         .orderBy(F.desc("jaccard"), "doc_id")
         .limit(20)
