@@ -56,6 +56,7 @@ HEADLINE = [
     "sequence_pack",
     "repetition_profile",
     "kmeans_clusters",
+    "chunk_documents",
 ]
 
 

@@ -402,13 +402,17 @@ def build(full: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
                         ("seq_pack", "sequence_pack",
                          {"source": "seq_id", "n": "n_docs",
                           "v1": "tokens", "doc_id_sum": "doc_id_sum"}),
+                        ("chunks", "chunk_documents",
+                         {"source": "chunk_hash", "n": "chunk_idx",
+                          "v1": "n_chunk_tokens", "doc_id_sum": "doc_id"}),
                     ],
                     doc="Training-data curation: deterministic stratified "
                     "sampling (data mixing), benchmark decontamination "
                     "(3-gram overlap vs eval probes), token-budget quality "
-                    "selection, and context-window sequence packing "
-                    "(absorbs stratified_sample, decontaminate, "
-                    "token_budget_select, sequence_pack).",
+                    "selection, context-window sequence packing, and "
+                    "strided document chunking (absorbs stratified_sample, "
+                    "decontaminate, token_budget_select, sequence_pack, "
+                    "chunk_documents).",
                 ),
             ),
             # ---- text analysis (§2.11) -----------------------------

@@ -21,8 +21,12 @@ extensions): the selection half of a pretraining pipeline.
   order and assign each to the fixed-length context window its start
   offset falls in (the pretraining packing pass), again via the
   parallel prefix sum.
+- ``chunk_documents`` — fixed-size strided token windows per document
+  (the RAG/pretraining chunking pass): chunk starts are a generated
+  in-row sequence, the explode is a narrow transform — one map-side
+  scan, no shuffle.
 
-All four are SQL-oracle checked bit-for-bit (md5-based hashing is
+All five are SQL-oracle checked bit-for-bit (md5-based hashing is
 identical in Spark and DuckDB).
 """
 
@@ -268,4 +272,55 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("tokens"),
             F.sum("doc_id").alias("doc_id_sum"),
         )
+    )
+
+
+CHUNK_SIZE = 128  # tokens per chunk
+CHUNK_STRIDE = 96  # 32-token overlap between consecutive chunks
+
+
+@register(
+    "chunk_documents",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             unnest(range(1, len(words) + 1, {CHUNK_STRIDE})) AS start
+      FROM toks
+    )
+    SELECT c.doc_id,
+           CAST((c.start - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(len(list_slice(t.words, c.start,
+                               c.start + {CHUNK_SIZE} - 1)) AS BIGINT)
+             AS n_chunk_tokens,
+           md5(array_to_string(list_slice(t.words, c.start,
+                                          c.start + {CHUNK_SIZE} - 1), ' '))
+             AS chunk_hash
+    FROM chunks c JOIN toks t ON c.doc_id = t.doc_id
+    """,
+    doc=f"Document chunking: fixed {CHUNK_SIZE}-token windows at "
+    f"stride {CHUNK_STRIDE} (trailing chunk clamped) — the "
+    "RAG/pretraining chunking pass. Chunk starts are a generated "
+    "in-row sequence and the explode is a narrow transform: one "
+    "map-side scan, no shuffle, no matter the corpus size; the "
+    "chunk hash pins the exact text content cross-engine.",
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("ts"))
+    chunks = toks.select(
+        "doc_id",
+        "ts",
+        F.explode(
+            F.expr(f"sequence(1, size(ts), {CHUNK_STRIDE})")
+        ).alias("start"),
+    )
+    sliced = F.expr(f"slice(ts, start, {CHUNK_SIZE})")
+    return chunks.select(
+        "doc_id",
+        ((F.col("start") - 1) / CHUNK_STRIDE).cast("bigint").alias("chunk_idx"),
+        F.size(sliced).cast("bigint").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", sliced).cast("binary")).alias("chunk_hash"),
     )
