@@ -228,10 +228,16 @@ def build(full: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
                          {"a": "doc_id", "b": "k", "v": "minhash"}),
                         ("pair", "lsh_candidate_pairs",
                          {"a": "doc_a", "b": "doc_b"}),
+                        ("incr", "incremental_lsh_dedup",
+                         {"a": "new_doc", "b": "first_dup",
+                          "v": "n_dup_candidates"}),
                     ],
-                    doc="MinHash signatures + LSH banding candidate pairs "
-                    "(absorbs minhash_signatures, lsh_candidate_pairs; both "
-                    "map-side, pairs from grouped buckets — one shuffle).",
+                    doc="MinHash signatures + LSH banding candidate pairs + "
+                    "incremental cross-batch dedup of a new batch against "
+                    "the stored corpus (absorbs minhash_signatures, "
+                    "lsh_candidate_pairs, incremental_lsh_dedup; all "
+                    "map-side signatures, pairs from grouped buckets — one "
+                    "shuffle; the incremental check broadcasts the batch).",
                 ),
             ),
             keep("lsh_verified_pairs"),

@@ -256,18 +256,84 @@ def bucket_pairs(
 def lsh_candidate_pairs(
     spark: SparkSession, sf_dir: str, max_bucket: int = 100_000
 ) -> DataFrame:
-    wide = _signature_wide(spark, sf_dir)
-    stack_args = ", ".join(
-        f"{b}, {_band_cols(b * BAND_SIZE)[0]}" for b in range(N_BANDS)
-    )
-    bands = wide.select(
-        "doc_id", F.expr(f"stack({N_BANDS}, {stack_args}) AS (band, band_hash)")
-    ).select("doc_id", F.col("band").cast("int").alias("band"), "band_hash")
+    bands = _bands_df(spark, sf_dir)
     # ONE shuffle: bucket members per (band, band_hash), ordered pairs
     # generated map-side (a self-join would recompute the signature
     # scan for each side — no exchange reuse across projections);
     # mega-buckets fall back to the skew-safe join path (bucket_pairs).
     return bucket_pairs(bands, ["band", "band_hash"], "doc_id", max_bucket)
+
+
+def _bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, band_hash) — the map-side LSH banding of the
+    zero-shuffle wide signatures."""
+    wide = _signature_wide(spark, sf_dir)
+    stack_args = ", ".join(
+        f"{b}, {_band_cols(b * BAND_SIZE)[0]}" for b in range(N_BANDS)
+    )
+    return wide.select(
+        "doc_id", F.expr(f"stack({N_BANDS}, {stack_args}) AS (band, band_hash)")
+    ).select("doc_id", F.col("band").cast("int").alias("band"), "band_hash")
+
+
+# doc_id boundary between the "historical corpus" and the "new daily
+# batch" in the incremental-dedup demonstration.
+HIST_SPLIT = 250
+
+_DUCK_BANDS_FULL = f"""
+    wide AS (
+      SELECT doc_id,
+             {", ".join(f"{_duck_min(k)} AS h{k}" for k in range(N_HASHES))}
+      FROM hashed
+    ),
+    bands AS (
+      SELECT doc_id, CAST(b AS INT) AS band,
+             CASE b {" ".join(f"WHEN {b} THEN {_band_cols(b * BAND_SIZE)[1]}" for b in range(N_BANDS))} END AS band_hash
+      FROM wide CROSS JOIN range({N_BANDS}) r(b)
+    )"""
+
+
+@register(
+    "incremental_lsh_dedup",
+    f"""
+    WITH {_DUCK_HASHED},
+    {_DUCK_BANDS_FULL},
+    cands AS (
+      SELECT DISTINCT n.doc_id AS new_doc, o.doc_id AS old_doc
+      FROM bands n JOIN bands o
+        ON n.band = o.band AND n.band_hash = o.band_hash
+      WHERE n.doc_id >= {HIST_SPLIT} AND o.doc_id < {HIST_SPLIT}
+    )
+    SELECT new_doc, CAST(count(*) AS BIGINT) AS n_dup_candidates,
+           min(old_doc) AS first_dup
+    FROM cands GROUP BY new_doc
+    """,
+    doc="Incremental cross-batch dedup — the daily-ingest pattern: "
+    "the new batch's LSH bands join against the historical corpus's "
+    "band table to flag likely duplicates of already-stored "
+    "documents. The NEW batch is broadcast (days are small, the "
+    "corpus is huge), so the stored signature/band table is NEVER "
+    "shuffled — in production it is a bucketed table written once "
+    "per ingest (sinks/bucketed.py) and each day's check is one "
+    "map-side scan of it.",
+)
+def incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = _bands_df(spark, sf_dir)
+    new_b = bands.filter(F.col("doc_id") >= HIST_SPLIT).select(
+        F.col("doc_id").alias("new_doc"), "band", "band_hash"
+    )
+    old_b = bands.filter(F.col("doc_id") < HIST_SPLIT).select(
+        F.col("doc_id").alias("old_doc"), "band", "band_hash"
+    )
+    cands = (
+        old_b.join(F.broadcast(new_b), ["band", "band_hash"])
+        .select("new_doc", "old_doc")
+        .distinct()
+    )
+    return cands.groupBy("new_doc").agg(
+        F.count(F.lit(1)).alias("n_dup_candidates"),
+        F.min("old_doc").alias("first_dup"),
+    )
 
 
 @register(
