@@ -57,6 +57,7 @@ HEADLINE = [
     "repetition_profile",
     "kmeans_clusters",
     "chunk_documents",
+    "incremental_lsh_dedup",
 ]
 
 

@@ -38,7 +38,7 @@ AUDIT = [
     "exact_percentiles", "hll_cardinality", "zorder_spatial",
     "lsh_verified_pairs", "stratified_sample", "decontaminate",
     "token_budget_select", "sequence_pack", "repetition_profile",
-    "kmeans_clusters", "chunk_documents",
+    "kmeans_clusters", "chunk_documents", "incremental_lsh_dedup",
 ]
 # consolidated (driver-facing) merged entries worth auditing explicitly
 MERGED = [
