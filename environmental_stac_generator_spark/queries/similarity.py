@@ -65,6 +65,8 @@ def _lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("vec_id") < N_PLANES).select("vec_id", "embedding").collect(),
         key=lambda r: r.vec_id,
     )
+    if not planes:  # empty corpus: no hyperplanes, one empty bucket
+        return e.select("vec_id", "embedding", F.lit("").alias("bucket"))
     bits = ", ".join(
         f"CASE WHEN {_dot_sql('embedding', _vec_sql(r.embedding))} >= 0 "
         "THEN '1' ELSE '0' END"
@@ -352,6 +354,10 @@ def ivf_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("vec_id") < N_CENTROIDS).select("vec_id", "embedding").collect(),
         key=lambda r: r.vec_id,
     )
+    if not cents:  # empty corpus: no cells, no probe
+        return e.select(
+            "vec_id", F.lit(None).cast("double").alias("cosine")
+        ).limit(0)
     # Hoist norms: ||e|| is ONE shared column (not recomputed per
     # centroid) and ||c|| is a driver-side double literal — Python's
     # sequential double sum is bit-identical to the aggregate HOF —
@@ -386,7 +392,12 @@ def ivf_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc = acc + float(x) * float(y)
         return acc
 
-    probe_vec = next(r.embedding for r in cents if r.vec_id == 0)
+    probe_vecs = [r.embedding for r in cents if r.vec_id == 0]
+    if not probe_vecs:  # probe vector absent: no result set
+        return cells.select(
+            "vec_id", F.lit(None).cast("double").alias("cosine")
+        ).limit(0)
+    probe_vec = probe_vecs[0]
     p_norm = math.sqrt(py_dot(probe_vec, probe_vec))
     best = max(
         (
@@ -502,6 +513,12 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int(r.vec_id), [float(v) for v in r.embedding])
         for r in e.filter(F.col("vec_id") < K_CLUSTERS).collect()
     )
+    if not cents:  # empty corpus: nothing to cluster
+        return e.select(
+            "vec_id",
+            F.lit(None).cast("bigint").alias("cluster"),
+            F.lit(None).cast("double").alias("sqdist"),
+        )
     assigned = None
     for it in range(KMEANS_ITERS):
         scored = "array(" + ", ".join(
