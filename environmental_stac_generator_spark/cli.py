@@ -78,6 +78,22 @@ def _build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="Plan the ingest and print counts without touching a database",
     )
+
+    cur = sub.add_parser(
+        "curate",
+        help="Run the training-corpus curation chain (dedup -> "
+        "decontaminate -> quality -> mix -> budget -> pack) over a "
+        "documents parquet table.",
+    )
+    cur.add_argument("documents", help="Parquet path with (doc_id, text, source)")
+    cur.add_argument(
+        "--probes", default=None, help="Parquet path of eval docs to decontaminate against"
+    )
+    cur.add_argument("--output", default=None, help="Write selected docs here (parquet)")
+    cur.add_argument("--jaccard", type=float, default=0.5, help="Near-dup threshold (negative disables)")
+    cur.add_argument("--quality-min", type=float, default=None, help="Minimum quality score")
+    cur.add_argument("--token-budget", type=int, default=None, help="Global token budget")
+    cur.add_argument("--seq-len", type=int, default=2048, help="Packed sequence length")
     return p
 
 
@@ -146,6 +162,30 @@ def _ingest(spark, args) -> dict:
     return {"command": "ingest", "dry_run": False, **counts}
 
 
+def _curate(spark, args) -> dict:
+    from environmental_stac_generator_spark.plans.curation_pipeline import (
+        CurationConfig,
+        curate,
+    )
+
+    docs = spark.read.parquet(args.documents).select("doc_id", "text", "source")
+    probes = (
+        spark.read.parquet(args.probes).select("doc_id", "text")
+        if args.probes
+        else None
+    )
+    cfg = CurationConfig(
+        near_dup_jaccard=None if args.jaccard < 0 else args.jaccard,
+        quality_min=args.quality_min,
+        token_budget=args.token_budget,
+        seq_len=args.seq_len,
+    )
+    res = curate(docs, probes=probes, config=cfg)
+    if args.output:
+        res.selected.write.mode("overwrite").parquet(args.output)
+    return {"command": "curate", "stats": res.stats}
+
+
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
     from environmental_stac_generator_spark.session import get_spark
@@ -154,6 +194,8 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if args.command == "preprocess":
             summary = _preprocess(spark, args)
+        elif args.command == "curate":
+            summary = _curate(spark, args)
         else:
             summary = _ingest(spark, args)
     finally:

@@ -1,0 +1,181 @@
+"""End-to-end training-corpus curation pipeline.
+
+The curation twin of :class:`~environmental_stac_generator_spark.engine.EnvStacEngine`:
+one call chains the §2.11 curation operators over a ``(doc_id, text,
+source)`` DataFrame —
+
+    exact dedup → near-dup dedup (MinHash-LSH + Jaccard verify) →
+    benchmark decontamination → quality filter → stratified mixing →
+    token-budget selection → sequence packing
+
+Every stage is the same Spark-first transform the registered queries
+verify bit-for-bit against DuckDB; this module only composes them.
+Each stage output is materialized once (``localCheckpoint``; a
+reliable ``checkpoint`` when a checkpoint dir is configured, matching
+``duplicate_clusters``): the near-dup and decontamination stages
+consume their input several times (signatures + shingle sets + the
+surviving rows), so without a barrier each downstream reference would
+re-run the whole upstream chain — materialize-per-stage makes the
+pipeline O(stages) corpus passes, and the per-stage survivor counts
+in the report are then free reads of the materialized partitions.
+
+Scale shape: dedup hashes and signatures are map-side; the only
+corpus-sized shuffles are the exact-dedup hash partition and the
+prefix-sum range partition. Near-dup pairs, probes, and contaminated
+id sets are broadcast-bounded.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+@dataclass
+class CurationConfig:
+    """Knobs for :func:`curate`; defaults mirror the registered
+    queries so results line up with the oracle-checked surface."""
+
+    exact_dedup: bool = True
+    near_dup_jaccard: float | None = 0.5  # None disables the stage
+    quality_min: float | None = None
+    sample_rates: dict[str, int] = field(default_factory=dict)  # source -> %
+    default_rate: int = 100
+    token_budget: int | None = None
+    seq_len: int = 2_048
+
+
+@dataclass
+class CurationResult:
+    selected: DataFrame  # surviving (doc_id, text, source, n_tokens, quality)
+    packed: DataFrame  # (seq_id, n_docs, tokens) context windows
+    stats: dict[str, int]  # per-stage survivor counts
+
+
+def _exact_dedup(docs: DataFrame) -> DataFrame:
+    # min-doc_id survivor per content hash: one shuffle on the hash.
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _near_dedup(docs: DataFrame, threshold: float) -> DataFrame:
+    from environmental_stac_generator_spark.queries.dedup import verified_pairs_of
+
+    # drop the higher id of every verified pair (keep-first policy);
+    # the loser set is candidate-bounded, so the anti-join broadcasts.
+    losers = (
+        verified_pairs_of(docs, threshold=threshold)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return docs.join(F.broadcast(losers), "doc_id", "left_anti")
+
+
+def _decontaminate(docs: DataFrame, probes: DataFrame) -> DataFrame:
+    from environmental_stac_generator_spark.queries.dedup import _SPARK_SHINGLES
+
+    def shingles(d: DataFrame) -> DataFrame:
+        return (
+            d.withColumn("words", F.split("text", " "))
+            .filter(F.size("words") >= 3)
+            .select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle"))
+        )
+
+    probe_sh = shingles(probes).select("shingle").distinct()
+    contaminated = (
+        shingles(docs)
+        .join(F.broadcast(probe_sh), "shingle")
+        .select("doc_id")
+        .distinct()
+    )
+    return docs.join(F.broadcast(contaminated), "doc_id", "left_anti")
+
+
+def _stratified(docs: DataFrame, rates: dict[str, int], default: int) -> DataFrame:
+    from environmental_stac_generator_spark.queries.curation import _SPARK_BUCKET
+
+    rate = F.lit(default)
+    for s, r in sorted(rates.items()):
+        rate = F.when(F.col("source") == s, r).otherwise(rate)
+    return docs.filter(F.expr(_SPARK_BUCKET) < rate)
+
+
+def _budget_select(docs: DataFrame, budget: int) -> DataFrame:
+    from environmental_stac_generator_spark.operators.cumulative import (
+        global_running_sum,
+    )
+
+    order = [F.col("quality").desc(), F.col("doc_id")]
+    ranked = global_running_sum(docs, order, "n_tokens", out_col="_cum")
+    return ranked.filter(F.col("_cum") <= budget).drop("_cum")
+
+
+def _pack(docs: DataFrame, seq_len: int) -> DataFrame:
+    from environmental_stac_generator_spark.operators.cumulative import (
+        global_running_sum,
+    )
+
+    placed = global_running_sum(
+        docs, [F.col("doc_id")], "n_tokens", out_col="_cum"
+    ).withColumn("_start", F.col("_cum") - F.col("n_tokens"))
+    return (
+        placed.groupBy(
+            F.floor(F.col("_start") / seq_len).cast("bigint").alias("seq_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tokens"),
+        )
+    )
+
+
+def curate(
+    docs: DataFrame,
+    probes: DataFrame | None = None,
+    config: CurationConfig | None = None,
+) -> CurationResult:
+    """Run the full curation chain over a (doc_id, text, source)
+    frame; ``probes`` is the eval set to decontaminate against."""
+    from environmental_stac_generator_spark.queries.text import with_quality
+
+    cfg = config or CurationConfig()
+    stats: dict[str, int] = {}
+    spark = docs.sparkSession
+    reliable = bool(spark.sparkContext.getCheckpointDir())
+
+    def staged(df: DataFrame, stage: str) -> DataFrame:
+        # one materialization per stage: downstream multi-consumption
+        # reads the stored partitions instead of re-running upstream
+        out = df.checkpoint() if reliable else df.localCheckpoint()
+        stats[stage] = out.count()
+        return out
+
+    cur = staged(docs, "input")
+    if cfg.exact_dedup:
+        cur = staged(_exact_dedup(cur), "exact_dedup")
+    if cfg.near_dup_jaccard is not None:
+        cur = staged(_near_dedup(cur, cfg.near_dup_jaccard), "near_dedup")
+    if probes is not None:
+        cur = staged(_decontaminate(cur, probes), "decontaminate")
+
+    scored = with_quality(cur).drop(
+        "avg_token_len", "stopword_ratio", "distinct_ratio"
+    )
+    if cfg.quality_min is not None:
+        scored = scored.filter(F.col("quality") >= cfg.quality_min)
+        scored = staged(scored, "quality_filter")
+    if cfg.sample_rates or cfg.default_rate < 100:
+        scored = staged(
+            _stratified(scored, cfg.sample_rates, cfg.default_rate), "mixing"
+        )
+    if cfg.token_budget is not None:
+        scored = staged(_budget_select(scored, cfg.token_budget), "budget")
+
+    packed = staged(_pack(scored, cfg.seq_len), "sequences")
+    return CurationResult(selected=scored, packed=packed, stats=stats)

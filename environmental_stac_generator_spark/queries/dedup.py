@@ -118,15 +118,14 @@ def _duck_min(k: int) -> str:
     )
 
 
-def _signature_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id, h0..h{k-1}: ZERO-shuffle minhash signature — ONE
-    aggregate pass over the in-row shingle array carries a k-wide
-    running-minimum accumulator (zip_with + least), a pure map stage
-    that scans the shingles once, not once per permutation. The naive
-    explode × k × groupBy version shuffles k × corpus rows; this
-    shuffles nothing, which is the difference between feasible and
-    not at 100 TB."""
-    d = load(spark, sf_dir, "documents")
+def signatures_of(d: DataFrame) -> DataFrame:
+    """doc_id, h0..h{k-1} for a (doc_id, text) frame: ZERO-shuffle
+    minhash signature — ONE aggregate pass over the in-row shingle
+    array carries a k-wide running-minimum accumulator (zip_with +
+    least), a pure map stage that scans the shingles once, not once
+    per permutation. The naive explode × k × groupBy version shuffles
+    k × corpus rows; this shuffles nothing, which is the difference
+    between feasible and not at 100 TB."""
     docs = (
         d.withColumn("words", F.split("text", " "))
         .filter(F.size("words") >= 3)
@@ -145,6 +144,10 @@ def _signature_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.withColumn("mh", agg).select(
         "doc_id", *[F.col("mh")[k].alias(f"h{k}") for k in range(N_HASHES)]
     )
+
+
+def _signature_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return signatures_of(load(spark, sf_dir, "documents"))
 
 
 @register(
@@ -264,16 +267,20 @@ def lsh_candidate_pairs(
     return bucket_pairs(bands, ["band", "band_hash"], "doc_id", max_bucket)
 
 
-def _bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, band, band_hash) — the map-side LSH banding of the
-    zero-shuffle wide signatures."""
-    wide = _signature_wide(spark, sf_dir)
+def bands_of(d: DataFrame) -> DataFrame:
+    """(doc_id, band, band_hash) for a (doc_id, text) frame — the
+    map-side LSH banding of the zero-shuffle wide signatures."""
+    wide = signatures_of(d)
     stack_args = ", ".join(
         f"{b}, {_band_cols(b * BAND_SIZE)[0]}" for b in range(N_BANDS)
     )
     return wide.select(
         "doc_id", F.expr(f"stack({N_BANDS}, {stack_args}) AS (band, band_hash)")
     ).select("doc_id", F.col("band").cast("int").alias("band"), "band_hash")
+
+
+def _bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bands_of(load(spark, sf_dir, "documents"))
 
 
 # doc_id boundary between the "historical corpus" and the "new daily
@@ -568,21 +575,31 @@ def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "verify step costs O(candidates), never O(n^2).",
 )
 def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    return verified_pairs_of(load(spark, sf_dir, "documents")).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def verified_pairs_of(
+    d: DataFrame, threshold: float = 0.5, max_bucket: int = 100_000
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) near-dup pairs of a (doc_id, text)
+    frame: LSH candidates confirmed by exact shingle-set Jaccard >=
+    ``threshold``. The candidate set is broadcast against the per-doc
+    shingle arrays and the set algebra runs map-side — O(candidates),
+    never O(n²)."""
     sets = (
         d.withColumn("words", F.split("text", " "))
         .filter(F.size("words") >= 3)
         .select("doc_id", F.array_distinct(F.expr(_SPARK_SHINGLES)).alias("sh"))
     )
-    pairs = lsh_candidate_pairs(spark, sf_dir)
+    pairs = bucket_pairs(bands_of(d), ["band", "band_hash"], "doc_id", max_bucket)
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     joined = a.join(F.broadcast(pairs), "doc_a").join(b, "doc_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter.cast("double") / union
-    return (
-        joined.filter(jac >= 0.5)
-        .select("doc_a", "doc_b", rnd(jac, 4).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
+    return joined.filter(jac >= threshold).select(
+        "doc_a", "doc_b", rnd(jac, 4).alias("jaccard")
     )

@@ -77,37 +77,49 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "heuristic filter, fully relational.",
 )
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Map-side only: every component is an array expression over the
-    # in-row token list — no explode + groupBy shuffle of the corpus;
-    # at 100 TB this is one codegen'd scan.
-    d = load(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split("text", " ").alias("ts"))
-    n = F.size("ts").cast("double")
-    stop_arr = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
-    stats = toks.select(
-        "doc_id",
-        F.size("ts").cast("long").alias("n_tokens"),
-        rnd(
-            F.expr("aggregate(ts, 0, (acc, t) -> acc + length(t))").cast("double") / n,
-            4,
-        ).alias("avg_token_len"),
-        rnd(
-            F.size(F.expr(f"filter(ts, t -> array_contains({stop_arr}, t))")).cast("double") / n,
-            4,
-        ).alias("stopword_ratio"),
-        rnd(F.size(F.array_distinct("ts")).cast("double") / n, 4).alias("distinct_ratio"),
-    )
-    quality = rnd(0.4 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
-        + 0.3 * F.col("distinct_ratio")
-        + 0.3 * (1.0 - F.col("stopword_ratio")), 4)
-    return stats.select(
+    return quality_of(load(spark, sf_dir, "documents"))
+
+
+def quality_of(d: DataFrame) -> DataFrame:
+    """Per-doc quality stats for a (doc_id, text) frame."""
+    return with_quality(d).select(
         "doc_id",
         "n_tokens",
         "avg_token_len",
         "stopword_ratio",
         "distinct_ratio",
-        quality.alias("quality"),
+        "quality",
     )
+
+
+def with_quality(d: DataFrame) -> DataFrame:
+    """Append per-doc quality columns to a frame with a ``text``
+    column, keeping every existing column.
+
+    Map-side only: every component is an array expression over the
+    in-row token list — no explode + groupBy shuffle of the corpus
+    and no self-join to reattach scores; at 100 TB this is one
+    codegen'd scan."""
+    toks = d.withColumn("_ts", F.split("text", " "))
+    n = F.size("_ts").cast("double")
+    stop_arr = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+    stats = toks.select(
+        *d.columns,
+        F.size("_ts").cast("long").alias("n_tokens"),
+        rnd(
+            F.expr("aggregate(_ts, 0, (acc, t) -> acc + length(t))").cast("double") / n,
+            4,
+        ).alias("avg_token_len"),
+        rnd(
+            F.size(F.expr(f"filter(_ts, t -> array_contains({stop_arr}, t))")).cast("double") / n,
+            4,
+        ).alias("stopword_ratio"),
+        rnd(F.size(F.array_distinct("_ts")).cast("double") / n, 4).alias("distinct_ratio"),
+    )
+    quality = rnd(0.4 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
+        + 0.3 * F.col("distinct_ratio")
+        + 0.3 * (1.0 - F.col("stopword_ratio")), 4)
+    return stats.withColumn("quality", quality)
 
 
 _REPETITION_SQL = """

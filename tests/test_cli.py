@@ -69,3 +69,34 @@ def test_cli_subprocess_smoke(landing, tmp_path):
     pre, ing = (json.loads(l) for l in lines)
     assert pre["command"] == "preprocess" and ing["command"] == "ingest"
     assert ing["items"] == pre["inputs"][0]["items"] > 0
+
+
+def test_cli_curate(tmp_path, capsys):
+    """curate subcommand: runs the curation chain over a documents
+    parquet and reports per-stage survivor counts."""
+    from environmental_stac_generator_spark.cli import main
+
+    out = tmp_path / "curated"
+    rc = main(
+        [
+            "--master", "local[4]",
+            "curate", "/root/testdata/sf0.001/documents.parquet",
+            "--token-budget", "15000",
+            "--quality-min", "0.2",
+            "--output", str(out),
+        ]
+    )
+    assert rc == 0
+    report = json.loads(
+        [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    )
+    s = report["stats"]
+    assert s["input"] == 500
+    assert 0 < s["budget"] <= s["exact_dedup"] <= s["input"]
+    assert s["sequences"] > 0
+    import duckdb
+
+    n = duckdb.connect().execute(
+        f"SELECT count(*) FROM read_parquet('{out}/*.parquet')"
+    ).fetchone()[0]
+    assert n == s["budget"]

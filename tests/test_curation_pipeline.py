@@ -1,0 +1,67 @@
+"""End-to-end curation pipeline: stage semantics + report counts."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from environmental_stac_generator_spark.plans.curation_pipeline import (
+    CurationConfig,
+    curate,
+)
+from environmental_stac_generator_spark.tables import load
+
+
+def test_curate_full_chain(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    probes = docs.filter(F.col("doc_id") < 5).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") >= 5)
+    cfg = CurationConfig(
+        near_dup_jaccard=0.5,
+        quality_min=0.3,
+        sample_rates={"src0": 100, "src1": 50},
+        default_rate=80,
+        token_budget=15_000,
+        seq_len=512,
+    )
+    res = curate(corpus, probes=probes, config=cfg)
+
+    s = res.stats
+    # monotonic survivor counts through the chain
+    order = ["input", "exact_dedup", "near_dedup", "decontaminate",
+             "quality_filter", "mixing", "budget"]
+    counts = [s[k] for k in order]
+    assert counts == sorted(counts, reverse=True)
+    assert counts[-1] > 0
+
+    sel = res.selected.collect()
+    assert len(sel) == s["budget"]
+    # budget respected
+    assert sum(r["n_tokens"] for r in sel) <= cfg.token_budget
+    # no contaminated doc survives: no selected doc shares a 3-gram
+    # with any probe
+    probe_sh = {
+        tuple(t)
+        for r in probes.collect()
+        for t in zip(*(r["text"].split(" ")[i:] for i in range(3)))
+    }
+    for r in sel:
+        toks = [row for row in r["text"].split(" ")]
+        doc_sh = set(zip(toks, toks[1:], toks[2:]))
+        assert not (doc_sh & probe_sh), r["doc_id"]
+
+    # packing conserves tokens and numbers sequences contiguously
+    packed = res.packed.collect()
+    assert sum(r["tokens"] for r in packed) == sum(r["n_tokens"] for r in sel)
+    seq_ids = sorted(r["seq_id"] for r in packed)
+    assert seq_ids == list(range(len(seq_ids)))
+    assert s["sequences"] == len(packed)
+
+
+def test_curate_stages_optional(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    res = curate(docs, config=CurationConfig(near_dup_jaccard=None))
+    assert "near_dedup" not in res.stats
+    assert "decontaminate" not in res.stats
+    # exact dedup only: survivor count equals distinct content hashes
+    n_hashes = docs.select(F.md5(F.col("text").cast("binary"))).distinct().count()
+    assert res.stats["exact_dedup"] == n_hashes
