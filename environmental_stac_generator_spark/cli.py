@@ -188,8 +188,14 @@ def _curate(spark, args) -> dict:
 
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
+    from pyspark.sql import SparkSession
+
     from environmental_stac_generator_spark.session import get_spark
 
+    # only stop a session this invocation created — when embedded in a
+    # host application (or a test harness) getOrCreate returns the
+    # host's session, which is not ours to kill
+    owns_session = SparkSession.getActiveSession() is None
     spark = get_spark(app_name=f"envstacgen-{args.command}", master=args.master)
     try:
         if args.command == "preprocess":
@@ -199,7 +205,8 @@ def main(argv: list[str] | None = None) -> int:
         else:
             summary = _ingest(spark, args)
     finally:
-        spark.stop()
+        if owns_session:
+            spark.stop()
     print(json.dumps(summary, sort_keys=True))
     return 0
 

@@ -26,6 +26,8 @@ QUERIES = [
     "salted_agg",
     "exact_percentiles",
     "repetition_profile",
+    "chunk_documents",
+    "incremental_lsh_dedup",
 ]
 
 
