@@ -74,7 +74,11 @@ def test_union_merged_entries_add_no_exchanges(spark, sf_dir):
     absorbed sub-plans' (UNION ALL itself is exchange-free)."""
     cases = {
         "skip_existing": ["skip_existing_collections", "skip_existing_items"],
-        "minhash_lsh": ["minhash_signatures", "lsh_candidate_pairs"],
+        "minhash_lsh": [
+            "minhash_signatures",
+            "lsh_candidate_pairs",
+            "incremental_lsh_dedup",
+        ],
         "fact_dim_join": ["star_join_enrich", "orders_lineitem_join"],
     }
     for merged, subs in cases.items():
