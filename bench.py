@@ -58,6 +58,9 @@ HEADLINE = [
     "kmeans_clusters",
     "chunk_documents",
     "incremental_lsh_dedup",
+    "vocab_top_tokens",
+    "pii_scan",
+    "semdedup_pairs",
 ]
 
 

@@ -372,11 +372,15 @@ def build(full: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
                          {"a": "vec_id", "cosine": "cosine"}),
                         ("near_dup", "embedding_near_dup",
                          {"a": "vec_a", "b": "vec_b", "cosine": "cosine"}),
+                        ("semdedup", "semdedup_pairs",
+                         {"a": "vec_a", "b": "vec_b", "cosine": "cosine"}),
                     ],
                     doc="Random-hyperplane LSH ANN: bucket-probe ranking + "
-                    "embedding-cosine near-dup pairs from bucket groups "
-                    "(absorbs ann_lsh_probe, embedding_near_dup; "
-                    "ann_lsh_buckets is their shared map stage).",
+                    "embedding-cosine near-dup pairs from bucket groups + "
+                    "SemDeDup-style within-k-means-cluster semantic dup "
+                    "pairs (absorbs ann_lsh_probe, embedding_near_dup, "
+                    "semdedup_pairs; ann_lsh_buckets is their shared map "
+                    "stage).",
                 ),
             ),
             keep("ivf_ann_probe"),
@@ -411,14 +415,17 @@ def build(full: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
                         ("chunks", "chunk_documents",
                          {"source": "chunk_hash", "n": "chunk_idx",
                           "v1": "n_chunk_tokens", "doc_id_sum": "doc_id"}),
+                        ("vocab", "vocab_top_tokens",
+                         {"source": "tok", "n": "n_occ", "v1": "n_docs"}),
                     ],
                     doc="Training-data curation: deterministic stratified "
                     "sampling (data mixing), benchmark decontamination "
                     "(3-gram overlap vs eval probes), token-budget quality "
-                    "selection, context-window sequence packing, and "
-                    "strided document chunking (absorbs stratified_sample, "
-                    "decontaminate, token_budget_select, sequence_pack, "
-                    "chunk_documents).",
+                    "selection, context-window sequence packing, strided "
+                    "document chunking, and vocabulary heavy hitters "
+                    "(absorbs stratified_sample, decontaminate, "
+                    "token_budget_select, sequence_pack, chunk_documents, "
+                    "vocab_top_tokens).",
                 ),
             ),
             # ---- text analysis (§2.11) -----------------------------

@@ -275,6 +275,45 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VOCAB_TOP_K = 30
+
+
+@register(
+    "vocab_top_tokens",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    counts AS (
+      SELECT tok,
+             CAST(count(*) AS BIGINT) AS n_occ,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM toks GROUP BY tok
+    )
+    SELECT tok, n_occ, n_docs
+    FROM counts ORDER BY n_occ DESC, tok LIMIT {VOCAB_TOP_K}
+    """,
+    doc=f"Corpus vocabulary heavy hitters: top-{VOCAB_TOP_K} tokens by "
+    "occurrence count with document frequency — the "
+    "tokenizer-vocabulary/stopword-discovery pass. Map-side partial "
+    "aggregation means the shuffle carries one row per distinct token "
+    "per partition (vocabulary-sized, not corpus-sized), and the "
+    "top-k is a TakeOrdered, never a full sort.",
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occ"), "tok")
+        .limit(VOCAB_TOP_K)
+    )
+
+
 CHUNK_SIZE = 128  # tokens per chunk
 CHUNK_STRIDE = 96  # 32-token overlap between consecutive chunks
 

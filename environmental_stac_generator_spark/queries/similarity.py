@@ -461,8 +461,7 @@ def _duck_round(cents: str, assigns: str) -> str:
     )"""
 
 
-_KMEANS_SQL = f"""
-    WITH c0 AS (
+_KMEANS_CTES = f"""c0 AS (
       SELECT vec_id AS cluster, CAST(embedding AS DOUBLE[]) AS centroid
       FROM embeddings WHERE vec_id < {K_CLUSTERS}
     ),
@@ -475,7 +474,10 @@ _KMEANS_SQL = f"""
       GROUP BY a.cluster, i
     ),
     c1 AS (SELECT cluster, list(v ORDER BY i) AS centroid FROM u1 GROUP BY cluster),
-    {_duck_round("c1", "a2")}
+    {_duck_round("c1", "a2")}"""
+
+_KMEANS_SQL = f"""
+    WITH {_KMEANS_CTES}
     SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
            floor(d * 100000.0 + 0.5) / 100000.0 AS sqdist
     FROM a2 ORDER BY vec_id
@@ -509,16 +511,30 @@ def _sqdist_sql(vec_sql: str) -> str:
 )
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = sorted(
-        (int(r.vec_id), [float(v) for v in r.embedding])
-        for r in e.filter(F.col("vec_id") < K_CLUSTERS).collect()
-    )
-    if not cents:  # empty corpus: nothing to cluster
+    assigned = _lloyd_assign(e)
+    if assigned is None:  # empty corpus: nothing to cluster
         return e.select(
             "vec_id",
             F.lit(None).cast("bigint").alias("cluster"),
             F.lit(None).cast("double").alias("sqdist"),
         )
+    return assigned.select(
+        "vec_id", "cluster", rnd(F.col("sqdist"), 5).alias("sqdist")
+    ).orderBy("vec_id")
+
+
+def _lloyd_assign(e: DataFrame) -> DataFrame | None:
+    """KMEANS_ITERS rounds of Lloyd's over a (vec_id, embedding)
+    frame; returns the final (vec_id, embedding, cluster, sqdist)
+    assignment, or None for an empty corpus. Assignment is a MAP-SIDE
+    argmin over literal centroids (one corpus scan per round, never a
+    shuffle); the update step shuffles only (cluster, 64 partials)."""
+    cents = sorted(
+        (int(r.vec_id), [float(v) for v in r.embedding])
+        for r in e.filter(F.col("vec_id") < K_CLUSTERS).collect()
+    )
+    if not cents:
+        return None
     assigned = None
     for it in range(KMEANS_ITERS):
         scored = "array(" + ", ".join(
@@ -545,6 +561,126 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (int(r["cluster"]), [float(r[f"c{i}"]) for i in range(EMB_DIM)])
                 for r in rows
             )
-    return assigned.select(
-        "vec_id", "cluster", rnd(F.col("sqdist"), 5).alias("sqdist")
-    ).orderBy("vec_id")
+    return assigned
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic deduplication: k-means partitions the
+# corpus, then exact cosine runs only WITHIN each cluster — the
+# cluster assignment prunes the O(n²) pair space the same way LSH
+# bands do for MinHash, but on embedding geometry (Abbas et al. 2023,
+# "SemDeDup"). At 100 TB: K scales with sqrt(N) so cluster
+# populations stay bounded; members collect per cluster in one
+# shuffle and pairs generate map-side; mega-clusters (the skew case)
+# fall back to a cluster-restricted self-join exactly like
+# dedup.bucket_pairs.
+
+SEM_THRESHOLD = 0.35
+
+
+def _duck_dotseq(a: str, b: str) -> str:
+    """DuckDB sequential-double dot product over DOUBLE[] columns —
+    left-to-right list_reduce, bit-identical to Spark's 0.0-init
+    aggregate HOF (0 + x == x exactly)."""
+    return (
+        f"list_reduce(list_transform(range(1, {EMB_DIM + 1}), "
+        f"i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+    )
+
+
+_SEMDEDUP_SQL = f"""
+    WITH {_KMEANS_CTES},
+    mem AS (
+      SELECT a.vec_id, a.cluster, CAST(e.embedding AS DOUBLE[]) AS emb
+      FROM a2 a JOIN embeddings e ON a.vec_id = e.vec_id
+    ),
+    cand AS (
+      SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.emb AS ea, y.emb AS eb
+      FROM mem x JOIN mem y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+    )
+    SELECT vec_a, vec_b, cosine FROM (
+      SELECT vec_a, vec_b,
+             floor(({_duck_dotseq("ea", "eb")}
+                    / (sqrt({_duck_dotseq("ea", "ea")})
+                       * sqrt({_duck_dotseq("eb", "eb")})))
+                   * 100000.0 + 0.5) / 100000.0 AS cosine
+      FROM cand
+    ) WHERE cosine >= {SEM_THRESHOLD}
+    ORDER BY vec_a, vec_b
+    """
+
+
+@register(
+    "semdedup_pairs",
+    _SEMDEDUP_SQL,
+    doc="SemDeDup-style semantic dedup: Lloyd's k-means partitions "
+    "the embedding corpus, then exact sequential-double cosine runs "
+    f"only within each cluster; pairs >= {SEM_THRESHOLD} are semantic "
+    "duplicates (survivor = min vec_id downstream). The cluster "
+    "structure prunes the O(n²) pair space; members collect per "
+    "cluster in ONE shuffle with pairs generated map-side, and "
+    "mega-clusters fall back to a cluster-restricted self-join "
+    "(skew-safe, like dedup.bucket_pairs).",
+)
+def semdedup_pairs(
+    spark: SparkSession, sf_dir: str, max_bucket: int = 10_000
+) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned = _lloyd_assign(e)
+    if assigned is None:  # empty corpus: no clusters, no pairs
+        return e.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("vec_id").alias("vec_b"),
+            F.lit(None).cast("double").alias("cosine"),
+        ).limit(0)
+    members = assigned.select("cluster", "vec_id", "embedding")
+    grouped = (
+        members.groupBy("cluster")
+        .agg(F.sort_array(F.collect_list(F.struct("vec_id", "embedding"))).alias("ms"))
+        .filter(F.size("ms") >= 2)
+        .persist()
+    )
+    small_pairs = (
+        grouped.filter(F.size("ms") <= max_bucket)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ms, (a, i) -> "
+                    "transform(slice(ms, i + 2, size(ms)), b -> struct(a, b))))"
+                )
+            ).alias("p")
+        )
+        .select(
+            F.col("p.a.vec_id").alias("vec_a"),
+            F.col("p.b.vec_id").alias("vec_b"),
+            F.col("p.a.embedding").alias("emb_a"),
+            F.col("p.b.embedding").alias("emb_b"),
+        )
+    )
+    big = grouped.filter(F.size("ms") > max_bucket).select(
+        "cluster", F.explode("ms").alias("m")
+    )
+    big_pairs = (
+        big.select(
+            "cluster",
+            F.col("m.vec_id").alias("vec_a"),
+            F.col("m.embedding").alias("emb_a"),
+        )
+        .join(
+            big.select(
+                "cluster",
+                F.col("m.vec_id").alias("vec_b"),
+                F.col("m.embedding").alias("emb_b"),
+            ),
+            "cluster",
+        )
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "emb_a", "emb_b")
+    )
+    pairs = small_pairs.unionByName(big_pairs)
+    cos = rnd(_cosine("emb_a", "emb_b"), 5)
+    return (
+        pairs.select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= SEM_THRESHOLD)
+        .orderBy("vec_a", "vec_b")
+    )

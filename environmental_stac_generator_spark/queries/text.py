@@ -262,6 +262,67 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_profile(spark, sf_dir).select("doc_id", "exact_fp", "bow_fp")
 
 
+# ---------------------------------------------------------------------------
+# PII / sensitive-entity scan — the redaction pass of a training-data
+# pipeline. Two pattern classes: real PII shapes (emails, IPv4,
+# US-style phone numbers — regexes portable between Java regex and
+# RE2) and a configurable sensitive-term list (the NER-redaction
+# stand-in; demonstrated on terms that occur in the corpus so the
+# check exercises nonzero counts and a changed fingerprint).
+# Everything is per-row regex work — a pure map stage at any scale.
+
+PII_PATTERN = (
+    "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    "|\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    "|\\b\\d{3}-\\d{3}-\\d{4}\\b"
+)
+ENTITY_PATTERN = "\\bcustomer\\b|\\bsupplier\\b"
+
+_PII_SQL = f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{PII_PATTERN}')) AS BIGINT)
+             AS n_pii,
+           CAST(len(regexp_extract_all(text, '{ENTITY_PATTERN}')) AS BIGINT)
+             AS n_entities,
+           md5(regexp_replace(regexp_replace(text, '{PII_PATTERN}', '<PII>', 'g'),
+                              '{ENTITY_PATTERN}', '<ENT>', 'g')) AS redacted_fp
+    FROM documents
+    """
+
+
+def with_pii(d: DataFrame) -> DataFrame:
+    """Append (n_pii, n_entities, redacted_fp) to a frame with a
+    ``text`` column. Row-local regex counting + redaction — codegen'd
+    string ops, no shuffle; the redacted fingerprint pins the exact
+    post-redaction content so a downstream writer can verify the
+    redaction actually happened."""
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", PII_PATTERN, "<PII>"),
+        F.lit(ENTITY_PATTERN),
+        F.lit("<ENT>"),
+    )
+    return d.select(
+        *d.columns,
+        F.regexp_count("text", F.lit(PII_PATTERN)).cast("long").alias("n_pii"),
+        F.regexp_count("text", F.lit(ENTITY_PATTERN)).cast("long").alias("n_entities"),
+        F.md5(redacted.cast("binary")).alias("redacted_fp"),
+    )
+
+
+@register(
+    "pii_scan",
+    _PII_SQL,
+    doc="PII / sensitive-entity scan: count email/IPv4/phone shapes "
+    "and configured sensitive terms per document, and fingerprint the "
+    "redacted text (matches replaced by <PII>/<ENT> tags) — the "
+    "redaction pass of a curation pipeline, one map-side regex scan.",
+)
+def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_pii(load(spark, sf_dir, "documents").select("doc_id", "text")).drop(
+        "text"
+    )
+
+
 # Merged single-scan text profile (token_count + lang_id +
 # doc_fingerprint): the consolidated registry's ``text_profile`` row.
 # All metrics are array/string expressions over the in-row token list
@@ -273,11 +334,13 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEXT_PROFILE_SQL = f"""
     SELECT t.doc_id, t.ws_tokens, t.re_tokens, t.n_chars,
            l.predicted_lang, f.exact_fp, f.bow_fp,
-           r.n_2grams, r.top2gram_frac, r.dup2gram_frac
+           r.n_2grams, r.top2gram_frac, r.dup2gram_frac,
+           p.n_pii, p.n_entities, p.redacted_fp
     FROM ({TOKEN_COUNT_SQL}) t
     JOIN ({_LANG_ID_SQL}) l ON t.doc_id = l.doc_id
     JOIN ({_FINGERPRINT_SQL}) f ON t.doc_id = f.doc_id
     JOIN ({_REPETITION_SQL}) r ON t.doc_id = r.doc_id
+    JOIN ({_PII_SQL}) p ON t.doc_id = p.doc_id
     """
 
 
@@ -314,16 +377,21 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(s["qry"] >= s["sys"], "qry")
         .otherwise("sys")
     )
-    base = scored.select(
-        "doc_id",
-        "ts",
-        F.size("ts").alias("ws_tokens"),
-        F.size(F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).alias("re_tokens"),
-        F.length("text").alias("n_chars"),
-        predicted.alias("predicted_lang"),
-        F.md5(F.lower("text").cast("binary")).alias("exact_fp"),
-        F.md5(
-            F.concat_ws(" ", F.array_sort(F.array_distinct("ts"))).cast("binary")
-        ).alias("bow_fp"),
-    )
+    base = with_pii(
+        scored.select(
+            "doc_id",
+            "text",
+            "ts",
+            F.size("ts").alias("ws_tokens"),
+            F.size(F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).alias(
+                "re_tokens"
+            ),
+            F.length("text").alias("n_chars"),
+            predicted.alias("predicted_lang"),
+            F.md5(F.lower("text").cast("binary")).alias("exact_fp"),
+            F.md5(
+                F.concat_ws(" ", F.array_sort(F.array_distinct("ts"))).cast("binary")
+            ).alias("bow_fp"),
+        )
+    ).drop("text")
     return _with_repetition(base).drop("ts")

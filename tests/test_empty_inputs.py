@@ -32,7 +32,10 @@ QUERIES = [
     "sequence_pack",
     "stratified_sample",
     "decontaminate",
+    "vocab_top_tokens",
+    "pii_scan",
     "kmeans_clusters",
+    "semdedup_pairs",
     "cosine_topk",
     "knn_join",
     "ann_lsh_buckets",

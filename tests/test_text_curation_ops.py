@@ -1,0 +1,117 @@
+"""Tests for the PII scan, vocabulary heavy hitters, and SemDeDup
+semantic dedup operators (SURVEY §2.11 round-2 additions)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from environmental_stac_generator_spark.queries.curation import (
+    VOCAB_TOP_K,
+    vocab_top_tokens,
+)
+from environmental_stac_generator_spark.queries.similarity import (
+    K_CLUSTERS,
+    SEM_THRESHOLD,
+    semdedup_pairs,
+)
+from environmental_stac_generator_spark.queries.text import pii_scan, with_pii
+from environmental_stac_generator_spark.tables import load
+
+
+def test_pii_redaction_on_synthetic_pii(spark):
+    rows = [
+        (1, "contact me at alice@example.com or 10.0.0.1 today"),
+        (2, "call 555-123-4567 about the customer account"),
+        (3, "no sensitive content here"),
+        (4, "supplier and customer met the supplier"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in with_pii(df).collect()}
+    assert got[1].n_pii == 2  # email + IP
+    assert got[1].n_entities == 0
+    assert got[2].n_pii == 1  # phone
+    assert got[2].n_entities == 1
+    assert got[3].n_pii == 0 and got[3].n_entities == 0
+    assert got[4].n_entities == 3
+    # redaction changes the fingerprint only when something matched
+    import hashlib
+
+    assert got[3].redacted_fp == hashlib.md5(rows[2][1].encode()).hexdigest()
+    assert got[1].redacted_fp == hashlib.md5(
+        b"contact me at <PII> or <PII> today"
+    ).hexdigest()
+    assert got[4].redacted_fp == hashlib.md5(
+        b"<ENT> and <ENT> met the <ENT>"
+    ).hexdigest()
+
+
+def test_pii_scan_runs_on_corpus(spark, sf_dir):
+    out = pii_scan(spark, sf_dir)
+    assert out.columns == ["doc_id", "n_pii", "n_entities", "redacted_fp"]
+    stats = out.agg(
+        F.sum("n_pii").alias("pii"), F.sum("n_entities").alias("ents")
+    ).first()
+    # synthetic corpus has no emails/IPs but does contain the terms
+    assert stats.pii == 0
+    assert stats.ents > 0
+
+
+def test_vocab_top_tokens_matches_pandas(spark, sf_dir):
+    got = vocab_top_tokens(spark, sf_dir).collect()
+    assert len(got) == VOCAB_TOP_K
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").toPandas()
+    from collections import Counter, defaultdict
+
+    occ: Counter = Counter()
+    dfreq = defaultdict(set)
+    for _, r in docs.iterrows():
+        for t in r.text.split(" "):
+            occ[t] += 1
+            dfreq[t].add(r.doc_id)
+    expect = sorted(occ.items(), key=lambda kv: (-kv[1], kv[0]))[:VOCAB_TOP_K]
+    assert [(r.tok, r.n_occ) for r in got] == expect
+    for r in got:
+        assert r.n_docs == len(dfreq[r.tok])
+
+
+def test_semdedup_pairs_match_numpy(spark, sf_dir):
+    got = {(r.vec_a, r.vec_b): r.cosine for r in semdedup_pairs(spark, sf_dir).collect()}
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding").toPandas()
+    E = {int(r.vec_id): np.array(r.embedding, dtype=np.float64) for _, r in emb.iterrows()}
+
+    # replicate the fixed-iteration Lloyd's assignment
+    cents = {cid: E[cid].copy() for cid in sorted(E) if cid < K_CLUSTERS}
+    assign = {}
+    for it in range(2):
+        for vid, v in E.items():
+            best = min(
+                (float(((v - c) ** 2).sum()), cid) for cid, c in sorted(cents.items())
+            )
+            assign[vid] = best[1]
+        if it == 0:
+            for cid in sorted(cents):
+                members = [E[v] for v, a in assign.items() if a == cid]
+                if members:
+                    m = np.mean(members, axis=0)
+                    cents[cid] = np.floor(m * 1e6 + 0.5) / 1e6
+
+    expect = {}
+    by_cluster: dict[int, list[int]] = {}
+    for vid, cid in assign.items():
+        by_cluster.setdefault(cid, []).append(vid)
+    for cid, vids in by_cluster.items():
+        vids.sort()
+        for i, a in enumerate(vids):
+            for b in vids[i + 1:]:
+                cos = float(E[a] @ E[b]) / (
+                    math.sqrt(float(E[a] @ E[a])) * math.sqrt(float(E[b] @ E[b]))
+                )
+                cos = math.floor(cos * 1e5 + 0.5) / 1e5
+                if cos >= SEM_THRESHOLD:
+                    expect[(a, b)] = cos
+    assert set(got) == set(expect)
+    for k, v in expect.items():
+        assert abs(got[k] - v) < 1e-9, k
