@@ -94,6 +94,22 @@ def _build_parser() -> argparse.ArgumentParser:
     cur.add_argument("--quality-min", type=float, default=None, help="Minimum quality score")
     cur.add_argument("--token-budget", type=int, default=None, help="Global token budget")
     cur.add_argument("--seq-len", type=int, default=2048, help="Packed sequence length")
+    cur.add_argument(
+        "--embeddings",
+        default=None,
+        help="Parquet path with (doc_id|vec_id, embedding) enabling semantic dedup",
+    )
+    cur.add_argument(
+        "--semantic-cosine",
+        type=float,
+        default=None,
+        help="SemDeDup cosine threshold (requires --embeddings)",
+    )
+    cur.add_argument(
+        "--redact-pii",
+        action="store_true",
+        help="Redact PII shapes and sensitive terms before selection",
+    )
     return p
 
 
@@ -176,11 +192,18 @@ def _curate(spark, args) -> dict:
     )
     cfg = CurationConfig(
         near_dup_jaccard=None if args.jaccard < 0 else args.jaccard,
+        semantic_cosine=args.semantic_cosine,
+        redact_pii=args.redact_pii,
         quality_min=args.quality_min,
         token_budget=args.token_budget,
         seq_len=args.seq_len,
     )
-    res = curate(docs, probes=probes, config=cfg)
+    embeddings = None
+    if args.embeddings:
+        emb = spark.read.parquet(args.embeddings)
+        id_col = "doc_id" if "doc_id" in emb.columns else "vec_id"
+        embeddings = emb.select(F.col(id_col).alias("doc_id"), "embedding")
+    res = curate(docs, probes=probes, config=cfg, embeddings=embeddings)
     if args.output:
         res.selected.write.mode("overwrite").parquet(args.output)
     return {"command": "curate", "stats": res.stats}

@@ -5,7 +5,9 @@ one call chains the §2.11 curation operators over a ``(doc_id, text,
 source)`` DataFrame —
 
     exact dedup → near-dup dedup (MinHash-LSH + Jaccard verify) →
-    benchmark decontamination → quality filter → stratified mixing →
+    semantic dedup (SemDeDup within-k-means-cluster cosine, when an
+    embeddings frame is supplied) → benchmark decontamination →
+    PII/entity redaction → quality filter → stratified mixing →
     token-budget selection → sequence packing
 
 Every stage is the same Spark-first transform the registered queries
@@ -40,6 +42,8 @@ class CurationConfig:
 
     exact_dedup: bool = True
     near_dup_jaccard: float | None = 0.5  # None disables the stage
+    semantic_cosine: float | None = None  # needs an embeddings frame
+    redact_pii: bool = False
     quality_min: float | None = None
     sample_rates: dict[str, int] = field(default_factory=dict)  # source -> %
     default_rate: int = 100
@@ -97,6 +101,42 @@ def _decontaminate(docs: DataFrame, probes: DataFrame) -> DataFrame:
     return docs.join(F.broadcast(contaminated), "doc_id", "left_anti")
 
 
+def _semantic_dedup(
+    docs: DataFrame, embeddings: DataFrame, threshold: float
+) -> DataFrame:
+    from environmental_stac_generator_spark.queries.similarity import (
+        semantic_pairs_of,
+    )
+
+    # SemDeDup: k-means clusters prune the pair space, exact cosine
+    # confirms; drop the higher id of each pair (keep-first). The
+    # loser set is pair-bounded, so the anti-join broadcasts.
+    pairs = semantic_pairs_of(
+        embeddings.select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        ),
+        threshold=threshold,
+    )
+    losers = pairs.select(F.col("vec_b").alias("doc_id")).distinct()
+    return docs.join(F.broadcast(losers), "doc_id", "left_anti")
+
+
+def _redact(docs: DataFrame) -> DataFrame:
+    from environmental_stac_generator_spark.queries.text import (
+        ENTITY_PATTERN,
+        PII_PATTERN,
+    )
+
+    # row-local regex rewrite — a map stage; downstream stages (and
+    # the packed sequences) see only redacted text
+    red = F.regexp_replace(
+        F.regexp_replace("text", PII_PATTERN, "<PII>"),
+        F.lit(ENTITY_PATTERN),
+        F.lit("<ENT>"),
+    )
+    return docs.withColumn("text", red)
+
+
 def _stratified(docs: DataFrame, rates: dict[str, int], default: int) -> DataFrame:
     from environmental_stac_generator_spark.queries.curation import _SPARK_BUCKET
 
@@ -139,9 +179,12 @@ def curate(
     docs: DataFrame,
     probes: DataFrame | None = None,
     config: CurationConfig | None = None,
+    embeddings: DataFrame | None = None,
 ) -> CurationResult:
     """Run the full curation chain over a (doc_id, text, source)
-    frame; ``probes`` is the eval set to decontaminate against."""
+    frame; ``probes`` is the eval set to decontaminate against;
+    ``embeddings`` is an optional (doc_id, embedding) frame enabling
+    the SemDeDup semantic-dedup stage (``config.semantic_cosine``)."""
     from environmental_stac_generator_spark.queries.text import with_quality
 
     cfg = config or CurationConfig()
@@ -161,8 +204,15 @@ def curate(
         cur = staged(_exact_dedup(cur), "exact_dedup")
     if cfg.near_dup_jaccard is not None:
         cur = staged(_near_dedup(cur, cfg.near_dup_jaccard), "near_dedup")
+    if cfg.semantic_cosine is not None and embeddings is not None:
+        cur = staged(
+            _semantic_dedup(cur, embeddings, cfg.semantic_cosine),
+            "semantic_dedup",
+        )
     if probes is not None:
         cur = staged(_decontaminate(cur, probes), "decontaminate")
+    if cfg.redact_pii:
+        cur = staged(_redact(cur), "redact")
 
     scored = with_quality(cur).drop(
         "avg_token_len", "stopword_ratio", "distinct_ratio"

@@ -626,6 +626,17 @@ def semdedup_pairs(
     spark: SparkSession, sf_dir: str, max_bucket: int = 10_000
 ) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return semantic_pairs_of(e, max_bucket=max_bucket)
+
+
+def semantic_pairs_of(
+    e: DataFrame,
+    threshold: float = SEM_THRESHOLD,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """(vec_a, vec_b, cosine) semantic-duplicate pairs of a
+    (vec_id, embedding) frame — k-means clusters prune the pair
+    space, exact cosine confirms within clusters."""
     assigned = _lloyd_assign(e)
     if assigned is None:  # empty corpus: no clusters, no pairs
         return e.select(
@@ -681,6 +692,6 @@ def semdedup_pairs(
     cos = rnd(_cosine("emb_a", "emb_b"), 5)
     return (
         pairs.select("vec_a", "vec_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= SEM_THRESHOLD)
+        .filter(F.col("cosine") >= threshold)
         .orderBy("vec_a", "vec_b")
     )

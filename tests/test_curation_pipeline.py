@@ -57,6 +57,51 @@ def test_curate_full_chain(spark, sf_dir):
     assert s["sequences"] == len(packed)
 
 
+def test_curate_semantic_and_redact(spark, sf_dir):
+    import re
+
+    from environmental_stac_generator_spark.queries.text import (
+        ENTITY_PATTERN,
+        PII_PATTERN,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    cfg = CurationConfig(
+        near_dup_jaccard=None,
+        semantic_cosine=0.35,
+        redact_pii=True,
+    )
+    res = curate(docs, config=cfg, embeddings=emb)
+    s = res.stats
+    assert "semantic_dedup" in s and "redact" in s
+    # semantic dedup only drops rows; redaction drops none
+    assert s["semantic_dedup"] <= s["exact_dedup"]
+    assert s["redact"] == s["semantic_dedup"]
+    # every semantic-duplicate loser is gone from the selection
+    from environmental_stac_generator_spark.queries.similarity import (
+        semantic_pairs_of,
+    )
+
+    losers = {
+        r.vec_b
+        for r in semantic_pairs_of(
+            emb.select(F.col("doc_id").alias("vec_id"), "embedding"),
+            threshold=0.35,
+        ).collect()
+    }
+    survivors = {r.doc_id for r in res.selected.collect()}
+    assert not (losers & survivors)
+    # redaction scrubbed every PII / entity shape from surviving text
+    pii = re.compile(PII_PATTERN)
+    ent = re.compile(ENTITY_PATTERN)
+    for r in res.selected.select("text").collect():
+        assert not pii.search(r.text)
+        assert not ent.search(r.text)
+
+
 def test_curate_stages_optional(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
     res = curate(docs, config=CurationConfig(near_dup_jaccard=None))
