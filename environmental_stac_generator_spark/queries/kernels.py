@@ -311,12 +311,19 @@ def partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     base = Path(tempfile.mkdtemp(prefix="envstac_store_"))
+    # Truncate run dates to the year so the demo layout matches the
+    # real store's shape — few partitions, many rows each. Raw
+    # o_orderdate would make one ~1-row directory per (collection,
+    # date): a tiny-file explosion that is exactly the layout this
+    # sink exists to avoid.
     long_df = (
         load(spark, sf_dir, "orders")
         .limit(2000)
         .select(
             F.concat(F.lit("coll_"), F.col("o_orderpriority")).alias("collection"),
-            F.col("o_orderdate").alias("forecast_reference_time"),
+            F.date_trunc("year", F.col("o_orderdate")).alias(
+                "forecast_reference_time"
+            ),
             (F.col("o_orderkey") % 5).cast("int").alias("leadtime_idx"),
             F.lit("sic_mean").alias("variable"),
             F.col("o_totalprice").alias("value"),

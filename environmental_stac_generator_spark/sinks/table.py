@@ -28,9 +28,18 @@ def write_partitioned(
     out_dir: str | Path,
     max_records_per_file: int = 5_000_000,
 ) -> None:
-    """Write the long forecast table with the pruning-friendly layout."""
+    """Write the long forecast table with the pruning-friendly layout.
+
+    The pre-write ``repartition(collection, forecast_date)`` routes
+    each hive partition's rows to one writer task, so an N-task input
+    emits one file per partition (``maxRecordsPerFile`` re-splits the
+    genuinely large ones) instead of up to N small files per
+    partition — the difference between ~date-count files and
+    ~date-count × task-count files at cluster scale.
+    """
     (
         long_df.withColumn("forecast_date", F.to_date("forecast_reference_time"))
+        .repartition("collection", "forecast_date")
         .sortWithinPartitions("leadtime_idx", "variable")
         .write.mode("overwrite")
         .option("maxRecordsPerFile", max_records_per_file)
