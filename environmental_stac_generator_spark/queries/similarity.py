@@ -644,52 +644,41 @@ def semantic_pairs_of(
             F.col("vec_id").alias("vec_b"),
             F.lit(None).cast("double").alias("cosine"),
         ).limit(0)
-    members = assigned.select("cluster", "vec_id", "embedding")
-    grouped = (
-        members.groupBy("cluster")
-        .agg(F.sort_array(F.collect_list(F.struct("vec_id", "embedding"))).alias("ms"))
-        .filter(F.size("ms") >= 2)
-        .persist()
+    # The norm is computed ONCE per vector with the exact expression
+    # the per-pair cosine divisor uses (sqrt of the sequential-double
+    # self-dot), so every quotient's bits are unchanged while the
+    # per-pair work drops from three dot products to one.
+    members = assigned.select(
+        "cluster",
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot("embedding", "embedding")).alias("nrm"),
     )
-    small_pairs = (
-        grouped.filter(F.size("ms") <= max_bucket)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ms, (a, i) -> "
-                    "transform(slice(ms, i + 2, size(ms)), b -> struct(a, b))))"
-                )
-            ).alias("p")
-        )
-        .select(
-            F.col("p.a.vec_id").alias("vec_a"),
-            F.col("p.b.vec_id").alias("vec_b"),
-            F.col("p.a.embedding").alias("emb_a"),
-            F.col("p.b.embedding").alias("emb_b"),
-        )
+    # Pair generation is a BROADCAST self-join on the cluster id: the
+    # probe side is spread over every core, so the O(n²/K) cosine
+    # work runs at full task width instead of on K tasks (the old
+    # per-cluster collect_list capped parallelism at K=8). At 100 TB
+    # K scales ~sqrt(N), the build side outgrows broadcast range, and
+    # the pair stage becomes the cluster-keyed shuffle join of
+    # dedup.bucket_pairs (salt-split mega clusters via max_bucket);
+    # locally the corpus is MBs and broadcast wins outright.
+    spark = e.sparkSession
+    rhs = members.select(
+        "cluster",
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
     )
-    big = grouped.filter(F.size("ms") > max_bucket).select(
-        "cluster", F.explode("ms").alias("m")
+    lhs = members.repartition(spark.sparkContext.defaultParallelism).select(
+        "cluster",
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
     )
-    big_pairs = (
-        big.select(
-            "cluster",
-            F.col("m.vec_id").alias("vec_a"),
-            F.col("m.embedding").alias("emb_a"),
-        )
-        .join(
-            big.select(
-                "cluster",
-                F.col("m.vec_id").alias("vec_b"),
-                F.col("m.embedding").alias("emb_b"),
-            ),
-            "cluster",
-        )
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", "emb_a", "emb_b")
+    pairs = lhs.join(F.broadcast(rhs), "cluster").filter(
+        F.col("vec_a") < F.col("vec_b")
     )
-    pairs = small_pairs.unionByName(big_pairs)
-    cos = rnd(_cosine("emb_a", "emb_b"), 5)
+    cos = rnd(_dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b")), 5)
     return (
         pairs.select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
