@@ -155,6 +155,81 @@ def extract_features(media: DataFrame, decode: DecodeFn = fake_decode) -> DataFr
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+ResizeFn = Callable[[bytes, dict, int, int], bytes]
+
+
+def fake_resize(content: bytes, meta: dict, width: int, height: int) -> bytes:
+    """Deterministic stand-in for image resize: resample the payload
+    bytes to a width×height grayscale plane by linear striding, so the
+    output has the exact byte size a real resize would and still
+    depends on every region of the input."""
+    src = np.frombuffer(content or b"\x00", dtype=np.uint8)
+    if src.size == 0:
+        src = np.zeros(1, dtype=np.uint8)
+    idx = np.floor(np.linspace(0, src.size - 1, width * height)).astype(np.int64)
+    return src[idx].tobytes()
+
+
+def real_image_resize(content: bytes, meta: dict, width: int, height: int) -> bytes:
+    """Real resize path: PIL-decode, bilinear-resize, re-encode as
+    PNG. Behind an import guard (Pillow is not in this container)."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image resize needs Pillow; inject fake_resize in "
+            "environments without it"
+        ) from exc
+    with Image.open(io.BytesIO(content)) as img:
+        out = io.BytesIO()
+        img.resize((width, height), Image.BILINEAR).save(out, format="PNG")
+        return out.getvalue()
+
+
+def default_resize(content: bytes, meta: dict, width: int, height: int) -> bytes:
+    """Real PIL resize when Pillow can handle the payload,
+    deterministic fake bytes otherwise."""
+    try:
+        return real_image_resize(content, meta, width, height)
+    except Exception:  # missing Pillow or undecodable payload
+        return fake_resize(content, meta, width, height)
+
+
+def resize_media(
+    media: DataFrame,
+    width: int,
+    height: int,
+    resize: ResizeFn = fake_resize,
+) -> DataFrame:
+    """mapInPandas resize kernel over image rows: new payload bytes +
+    updated meta, same MEDIA_SCHEMA out as in so resize stages
+    compose. Non-image rows pass through untouched. The payload never
+    crosses an exchange — the kernel runs where the data sits."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_content, out_meta = [], []
+            for kind, content, meta in zip(pdf["kind"], pdf["content"], pdf["meta"]):
+                meta = dict(meta) if meta is not None else {}
+                if kind == "image" and content is not None:
+                    content = resize(content, meta, width, height)
+                    meta["width"], meta["height"] = width, height
+                out_content.append(content)
+                out_meta.append(meta)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "content": out_content,
+                    "meta": out_meta,
+                }
+            )
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame sampling plumbing: one row per sampled frame index
     (decode itself stays in the pluggable kernel). Pure built-in

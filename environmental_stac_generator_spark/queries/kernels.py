@@ -423,7 +423,9 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,
     doc="Multimodal video plumbing: per-media sampled frame indices "
     "(sequence+explode, payload never moves) unioned with the "
-    "metadata-only media summary — binary columns pruned from both.",
+    "metadata-only media summary (binary columns pruned from both) "
+    "and the resize kernel's output-byte total (mapInPandas resize "
+    "of every image payload to 32x24).",
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from environmental_stac_generator_spark.operators import multimodal as mm
@@ -431,6 +433,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = mm.synthesize_media(load(spark, sf_dir, "documents"))
     frames = mm.frame_sample(media, every_n=10)
     summary = mm.media_summary(media)
+    resized = mm.resize_media(media, 32, 24).filter(F.col("kind") == "image")
     return (
         frames.groupBy(F.lit("frames").alias("part"))
         .agg(F.count(F.lit(1)).cast("double").alias("metric"))
@@ -438,6 +441,11 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             summary.select(
                 F.concat(F.lit("summary_"), "kind").alias("part"),
                 F.col("n").cast("double").alias("metric"),
+            )
+        )
+        .unionByName(
+            resized.groupBy(F.lit("resized_bytes").alias("part")).agg(
+                F.sum(F.length("content")).cast("double").alias("metric")
             )
         )
     )

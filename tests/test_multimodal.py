@@ -68,3 +68,47 @@ def test_default_decode_fallback_matches_feature_shape(spark, sf_dir):
     media = mm.synthesize_media(load(spark, sf_dir, "documents").limit(10))
     out = mm.extract_features(media, decode=mm.default_decode).collect()
     assert all(len(r["features"]) == 8 for r in out)
+
+
+def test_resize_media_fake_path(spark, sf_dir):
+    media = mm.synthesize_media(load(spark, sf_dir, "documents")).limit(60)
+    out = mm.resize_media(media, 32, 24)
+    # schema composes: resize output is still MEDIA_SCHEMA
+    assert out.schema.simpleString() == mm.MEDIA_SCHEMA.simpleString()
+    rows = {r["media_id"]: r for r in out.collect()}
+    orig = {r["media_id"]: r for r in media.collect()}
+    assert rows.keys() == orig.keys()
+    for mid, r in rows.items():
+        if r["kind"] == "image":
+            # exact resized byte size, updated meta dims
+            assert len(r["content"]) == 32 * 24
+            assert (r["meta"]["width"], r["meta"]["height"]) == (32, 24)
+        else:
+            # non-image rows pass through untouched
+            assert bytes(r["content"]) == bytes(orig[mid]["content"])
+            assert r["meta"] == orig[mid]["meta"]
+    # deterministic and input-dependent
+    again = {r["media_id"]: r for r in mm.resize_media(media, 32, 24).collect()}
+    assert all(
+        bytes(again[m]["content"]) == bytes(rows[m]["content"]) for m in rows
+    )
+    imgs = [m for m, r in rows.items() if r["kind"] == "image"]
+    assert len({bytes(rows[m]["content"]) for m in imgs}) > 1
+
+
+def test_real_image_resize_guarded_or_real():
+    try:
+        from PIL import Image
+
+        import io
+
+        buf = io.BytesIO()
+        Image.new("RGB", (16, 16), (10, 20, 30)).save(buf, format="PNG")
+        out = mm.real_image_resize(buf.getvalue(), {}, 8, 8)
+        with Image.open(io.BytesIO(out)) as img:
+            assert img.size == (8, 8)
+    except ImportError:
+        import pytest
+
+        with pytest.raises(NotImplementedError):
+            mm.real_image_resize(b"not-an-image", {}, 8, 8)
