@@ -110,6 +110,16 @@ def _build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="Redact PII shapes and sensitive terms before selection",
     )
+    cur.add_argument(
+        "--shards",
+        type=int,
+        default=None,
+        help="Also export the selected docs as this many deterministic "
+        "globally-shuffled shard directories under <output>_shards",
+    )
+    cur.add_argument(
+        "--shard-seed", type=int, default=0, help="Shard shuffle seed"
+    )
     return p
 
 
@@ -206,6 +216,18 @@ def _curate(spark, args) -> dict:
     res = curate(docs, probes=probes, config=cfg, embeddings=embeddings)
     if args.output:
         res.selected.write.mode("overwrite").parquet(args.output)
+        if args.shards:
+            from environmental_stac_generator_spark.sinks.shards import (
+                write_training_shards,
+            )
+
+            write_training_shards(
+                res.selected,
+                f"{args.output}_shards",
+                key="doc_id",
+                n_shards=args.shards,
+                seed=args.shard_seed,
+            )
     return {"command": "curate", "stats": res.stats}
 
 

@@ -100,3 +100,35 @@ def test_cli_curate(tmp_path, capsys):
         f"SELECT count(*) FROM read_parquet('{out}/*.parquet')"
     ).fetchone()[0]
     assert n == s["budget"]
+
+
+def test_cli_curate_shard_export(tmp_path, capsys):
+    """--shards N also exports <output>_shards with every selected
+    doc exactly once across N shard directories."""
+    from environmental_stac_generator_spark.cli import main
+
+    out = tmp_path / "curated"
+    rc = main(
+        [
+            "--master", "local[4]",
+            "curate", "/root/testdata/sf0.001/documents.parquet",
+            "--jaccard", "-1",
+            "--output", str(out),
+            "--shards", "4",
+        ]
+    )
+    assert rc == 0
+    import duckdb
+
+    con = duckdb.connect()
+    sel = con.execute(
+        f"SELECT count(*) FROM read_parquet('{out}/*.parquet')"
+    ).fetchone()[0]
+    shard_rows = con.execute(
+        "SELECT shard, count(*) AS n, count(DISTINCT doc_id) AS d "
+        f"FROM read_parquet('{out}_shards/*/*.parquet', hive_partitioning=1) "
+        "GROUP BY shard ORDER BY shard"
+    ).fetchall()
+    assert [r[0] for r in shard_rows] == [0, 1, 2, 3]
+    assert sum(r[1] for r in shard_rows) == sel
+    assert all(r[1] == r[2] for r in shard_rows)

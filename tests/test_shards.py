@@ -1,0 +1,67 @@
+"""Sharded corpus export: totality, balance, determinism, shuffle."""
+
+from __future__ import annotations
+
+import tempfile
+from pathlib import Path
+
+import pyspark.sql.functions as F
+
+from environmental_stac_generator_spark.sinks.shards import (
+    read_shard,
+    with_shard,
+    write_training_shards,
+)
+from environmental_stac_generator_spark.tables import load
+
+N_SHARDS = 8
+
+
+def test_shards_total_balanced_and_shuffled(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    out = Path(tempfile.mkdtemp(prefix="envstac_shards_")) / "corpus"
+    write_training_shards(docs, out, key="doc_id", n_shards=N_SHARDS)
+
+    back = spark.read.parquet(str(out))
+    # every row exactly once
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
+    # all shards present and size-balanced (hash balance: within 2x)
+    sizes = {r["shard"]: r["n"] for r in
+             back.groupBy("shard").agg(F.count("*").alias("n")).collect()}
+    assert set(sizes) == set(range(N_SHARDS))
+    assert max(sizes.values()) < 2 * min(sizes.values())
+    # a shard is not an input-order run: neighboring doc_ids scatter
+    one = [r["doc_id"] for r in read_shard(spark, out, 0).collect()]
+    runs = sum(1 for a, b in zip(one, one[1:]) if b == a + 1)
+    assert runs < len(one) / 4
+
+
+def test_shards_deterministic_across_partitioning(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").limit(300)
+    outs = []
+    for repart in (1, 7):
+        out = Path(tempfile.mkdtemp(prefix="envstac_shards_")) / "c"
+        write_training_shards(
+            docs.repartition(repart), out, key="doc_id", n_shards=4, seed=9
+        )
+        outs.append(out)
+    for s in range(4):
+        a = [r["doc_id"] for r in read_shard(spark, outs[0], s).collect()]
+        b = [r["doc_id"] for r in read_shard(spark, outs[1], s).collect()]
+        assert a == b and len(a) > 0
+    # a different seed deals a different hand
+    out2 = Path(tempfile.mkdtemp(prefix="envstac_shards_")) / "c"
+    write_training_shards(docs, out2, key="doc_id", n_shards=4, seed=10)
+    diff = [
+        s for s in range(4)
+        if [r["doc_id"] for r in read_shard(spark, out2, s).collect()]
+        != [r["doc_id"] for r in read_shard(spark, outs[0], s).collect()]
+    ]
+    assert diff
+
+
+def test_with_shard_is_map_stage(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    plan = with_shard(docs, "doc_id", 16)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
