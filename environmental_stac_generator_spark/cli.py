@@ -120,6 +120,25 @@ def _build_parser() -> argparse.ArgumentParser:
     cur.add_argument(
         "--shard-seed", type=int, default=0, help="Shard shuffle seed"
     )
+
+    val = sub.add_parser(
+        "validate",
+        help="Run declarative single-pass quality checks over a "
+        "parquet table and report per-rule pass/fail.",
+    )
+    val.add_argument("table", help="Parquet path to validate")
+    val.add_argument(
+        "--rules",
+        required=True,
+        help="JSON rules file: a list of {kind, column, lo, hi, "
+        "allowed, pattern, min_rows, tolerance} objects (kinds: "
+        "not_null unique in_range in_set matches row_count_min)",
+    )
+    val.add_argument(
+        "--exact-unique",
+        action="store_true",
+        help="Exact distinct counts for unique rules (default HLL)",
+    )
     return p
 
 
@@ -231,6 +250,48 @@ def _curate(spark, args) -> dict:
     return {"command": "curate", "stats": res.stats}
 
 
+def _validate(spark, args) -> dict:
+    from environmental_stac_generator_spark.operators import validate as V
+
+    with open(args.rules) as fh:
+        raw = json.load(fh)
+    rules = []
+    for r in raw:
+        kind = r["kind"]
+        tol = float(r.get("tolerance", 0.0))
+        if kind == "not_null":
+            rules.append(V.not_null(r["column"], tol))
+        elif kind == "unique":
+            rules.append(V.unique(r["column"], tol))
+        elif kind == "in_range":
+            rules.append(V.in_range(r["column"], r["lo"], r["hi"], tol))
+        elif kind == "in_set":
+            rules.append(V.in_set(r["column"], r["allowed"], tol))
+        elif kind == "matches":
+            rules.append(V.matches(r["column"], r["pattern"], tol))
+        elif kind == "row_count_min":
+            rules.append(V.row_count_min(int(r["min_rows"])))
+        else:
+            raise SystemExit(f"unknown rule kind: {kind}")
+    report = V.validate(
+        spark.read.parquet(args.table), rules, exact_unique=args.exact_unique
+    ).collect()
+    return {
+        "command": "validate",
+        "ok": all(r["ok"] for r in report),
+        "rules": [
+            {
+                "rule": r["rule"],
+                "column": r["column"],
+                "metric": r["metric"],
+                "threshold": r["threshold"],
+                "ok": r["ok"],
+            }
+            for r in report
+        ],
+    }
+
+
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
     from pyspark.sql import SparkSession
@@ -247,13 +308,15 @@ def main(argv: list[str] | None = None) -> int:
             summary = _preprocess(spark, args)
         elif args.command == "curate":
             summary = _curate(spark, args)
+        elif args.command == "validate":
+            summary = _validate(spark, args)
         else:
             summary = _ingest(spark, args)
     finally:
         if owns_session:
             spark.stop()
     print(json.dumps(summary, sort_keys=True))
-    return 0
+    return 0 if summary.get("ok", True) else 1
 
 
 if __name__ == "__main__":

@@ -132,3 +132,36 @@ def test_cli_curate_shard_export(tmp_path, capsys):
     assert [r[0] for r in shard_rows] == [0, 1, 2, 3]
     assert sum(r[1] for r in shard_rows) == sel
     assert all(r[1] == r[2] for r in shard_rows)
+
+
+def test_cli_validate(tmp_path, capsys):
+    """validate subcommand: JSON rules file -> per-rule report; exit
+    code 1 when any rule fails."""
+    from environmental_stac_generator_spark.cli import main
+
+    rules = tmp_path / "rules.json"
+    rules.write_text(json.dumps([
+        {"kind": "not_null", "column": "doc_id"},
+        {"kind": "unique", "column": "doc_id"},
+        {"kind": "matches", "column": "source", "pattern": "^src\\d+$"},
+        {"kind": "row_count_min", "min_rows": 100},
+    ]))
+    rc = main([
+        "--master", "local[4]",
+        "validate", "/root/testdata/sf0.001/documents.parquet",
+        "--rules", str(rules),
+    ])
+    assert rc == 0
+    report = json.loads(
+        [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    )
+    assert report["ok"] and len(report["rules"]) == 4
+
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps([{"kind": "row_count_min", "min_rows": 10**9}]))
+    rc = main([
+        "--master", "local[4]",
+        "validate", "/root/testdata/sf0.001/documents.parquet",
+        "--rules", str(bad),
+    ])
+    assert rc == 1
