@@ -96,3 +96,32 @@ def salted_join(
         .join(replicated, [key, "_salt"], how)
         .drop("_salt")
     )
+
+
+def skew_report(df: DataFrame, keys: list[str], top: int = 10) -> DataFrame:
+    """Diagnose key skew before choosing a remedy: per-key counts in
+    one shuffle, then the tiny count table re-aggregates into a
+    single summary row — total rows, distinct keys, the max/mean key
+    population, a skew factor (max/mean; >> 1 means one reducer owns
+    the job), the share of rows held by the hottest key, and the
+    ``top`` hottest keys with counts. Feed the skew factor into
+    ``n_salt`` for :func:`salted_agg` / :func:`salted_join` (a key
+    ``s``× the mean wants ~``s`` salts to level its reducers)."""
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    key_repr = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
+    return counts.agg(
+        F.sum("n").alias("total_rows"),
+        F.count(F.lit(1)).alias("distinct_keys"),
+        F.max("n").alias("max_key_rows"),
+        (F.sum("n") / F.count(F.lit(1))).alias("mean_key_rows"),
+        (F.max("n") * F.count(F.lit(1)) / F.sum("n")).alias("skew_factor"),
+        (F.max("n") / F.sum("n")).alias("top_key_share"),
+        F.slice(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("n"), key_repr.alias("key"))),
+                asc=False,
+            ),
+            1,
+            top,
+        ).alias("hottest"),
+    )

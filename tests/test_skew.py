@@ -65,3 +65,27 @@ def test_salted_join_matches_plain_join(spark):
         salted.groupBy("key").agg(F.sum("dim").alias("s")).orderBy("key").collect()
         == plain.groupBy("key").agg(F.sum("dim").alias("s")).orderBy("key").collect()
     )
+
+
+def test_skew_report_diagnoses_hot_key(spark, sf_dir):
+    from environmental_stac_generator_spark.operators.skew import skew_report
+    from environmental_stac_generator_spark.tables import load
+
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag")
+    r = skew_report(li, ["l_returnflag"], top=2).collect()[0]
+    assert r["total_rows"] == li.count()
+    assert r["distinct_keys"] == li.distinct().count()
+    assert r["max_key_rows"] >= r["mean_key_rows"]
+    assert abs(r["skew_factor"] - r["max_key_rows"] / r["mean_key_rows"]) < 1e-9
+    assert 0 < r["top_key_share"] <= 1
+    # hottest list is (count, key) descending and matches groupBy truth
+    import pyspark.sql.functions as F
+
+    truth = (
+        li.groupBy("l_returnflag").count()
+        .orderBy(F.desc("count"), "l_returnflag").collect()
+    )
+    assert [(h["n"], h["key"]) for h in r["hottest"]][0] == (
+        truth[0]["count"], truth[0]["l_returnflag"]
+    )
+    assert len(r["hottest"]) == 2
