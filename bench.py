@@ -58,6 +58,7 @@ HEADLINE = [
     "kmeans_clusters",
     "chunk_documents",
     "incremental_lsh_dedup",
+    "span_dedup",
     "vocab_top_tokens",
     "pii_scan",
     "semdedup_pairs",

@@ -417,15 +417,19 @@ def build(full: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
                           "v1": "n_chunk_tokens", "doc_id_sum": "doc_id"}),
                         ("vocab", "vocab_top_tokens",
                          {"source": "tok", "n": "n_occ", "v1": "n_docs"}),
+                        ("span_dedup", "span_dedup",
+                         {"source": "source", "n": "n_docs_flagged",
+                          "v1": "n_dup_windows", "v2": "n_windows",
+                          "doc_id_sum": "doc_id_sum"}),
                     ],
                     doc="Training-data curation: deterministic stratified "
                     "sampling (data mixing), benchmark decontamination "
                     "(3-gram overlap vs eval probes), token-budget quality "
                     "selection, context-window sequence packing, strided "
-                    "document chunking, and vocabulary heavy hitters "
-                    "(absorbs stratified_sample, decontaminate, "
-                    "token_budget_select, sequence_pack, chunk_documents, "
-                    "vocab_top_tokens).",
+                    "document chunking, vocabulary heavy hitters, and "
+                    "exact-substring span dedup (absorbs stratified_sample, "
+                    "decontaminate, token_budget_select, sequence_pack, "
+                    "chunk_documents, vocab_top_tokens, span_dedup).",
                 ),
             ),
             # ---- text analysis (§2.11) -----------------------------

@@ -363,3 +363,112 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(sliced).cast("bigint").alias("n_chunk_tokens"),
         F.md5(F.concat_ws(" ", sliced).cast("binary")).alias("chunk_hash"),
     )
+
+
+SPAN_W = 16  # tokens per exact-match window (Lee et al. use 50 BPE
+# tokens on web-scale corpora; 16 fits the short synthetic docs)
+
+
+@register(
+    "span_dedup",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, source,
+             unnest(list_transform(range(1, len(w) - {SPAN_W} + 2),
+                    s -> md5(array_to_string(
+                           list_slice(w, CAST(s AS INT),
+                                      CAST(s AS INT) + {SPAN_W} - 1), ' '))))
+               AS h
+      FROM toks WHERE len(w) >= {SPAN_W}
+    ),
+    per_doc_h AS (
+      SELECT h, doc_id, source, count(*) AS occ
+      FROM wins GROUP BY h, doc_id, source
+    ),
+    dup_h AS (
+      SELECT h FROM per_doc_h GROUP BY h HAVING count(*) >= 2
+    ),
+    flagged AS (
+      SELECT p.source, p.doc_id, sum(p.occ) AS dup_wins
+      FROM per_doc_h p JOIN dup_h d ON p.h = d.h
+      GROUP BY p.source, p.doc_id
+    ),
+    flagged_src AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs_flagged,
+             CAST(sum(dup_wins) AS BIGINT) AS n_dup_windows,
+             CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
+      FROM flagged GROUP BY source
+    ),
+    totals AS (
+      SELECT source, CAST(sum(len(w) - {SPAN_W} + 1) AS BIGINT) AS n_windows
+      FROM toks WHERE len(w) >= {SPAN_W} GROUP BY source
+    )
+    SELECT t.source,
+           CAST(coalesce(f.n_docs_flagged, 0) AS BIGINT) AS n_docs_flagged,
+           CAST(coalesce(f.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+           t.n_windows,
+           CAST(coalesce(f.doc_id_sum, 0) AS BIGINT) AS doc_id_sum
+    FROM totals t LEFT JOIN flagged_src f ON t.source = f.source
+    """,
+    doc=f"Exact-substring span dedup (Lee et al. 2021 style): every "
+    f"stride-1 {SPAN_W}-token window is hashed map-side; a window "
+    "hash seen in >= 2 distinct documents marks an exactly repeated "
+    "span. Per source: docs carrying any repeated span, repeated "
+    "window occurrences, total windows, and the flagged-id checksum. "
+    "Shuffles carry only (hash, doc_id) pairs with map-side combine "
+    "-- never window text; the dup filter and the flag join are both "
+    "co-partitioned on the hash (one exchange, reused), and the "
+    "final rollup is by source. Scale path: at 100 TB the window "
+    "relation is corpus-token-sized but narrow (32-hex hash + id); "
+    "raising SPAN_W or sampling window starts trades recall for "
+    "volume without changing the plan shape.",
+)
+def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", "source", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= SPAN_W)
+    )
+    wins = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(w) - {SPAN_W} + 1), "
+                f"s -> md5(cast(concat_ws(' ', slice(w, s, {SPAN_W})) as binary)))"
+            )
+        ).alias("h"),
+    )
+    per_doc_h = wins.groupBy("h", "doc_id", "source").agg(
+        F.count(F.lit(1)).alias("occ")
+    )
+    dup_h = (
+        per_doc_h.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    flagged = (
+        per_doc_h.join(dup_h, "h")
+        .groupBy("source", "doc_id")
+        .agg(F.sum("occ").alias("dup_wins"))
+    )
+    flagged_src = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_flagged"),
+        F.sum("dup_wins").alias("n_dup_windows"),
+        F.sum("doc_id").alias("doc_id_sum"),
+    )
+    totals = toks.groupBy("source").agg(
+        F.sum(F.size("w") - SPAN_W + 1).alias("n_windows")
+    )
+    return totals.join(F.broadcast(flagged_src), "source", "left").select(
+        "source",
+        F.coalesce("n_docs_flagged", F.lit(0)).cast("bigint").alias("n_docs_flagged"),
+        F.coalesce("n_dup_windows", F.lit(0)).cast("bigint").alias("n_dup_windows"),
+        F.col("n_windows").cast("bigint").alias("n_windows"),
+        F.coalesce("doc_id_sum", F.lit(0)).cast("bigint").alias("doc_id_sum"),
+    )

@@ -33,6 +33,7 @@ QUERIES = [
     "stratified_sample",
     "decontaminate",
     "vocab_top_tokens",
+    "span_dedup",
     "pii_scan",
     "kmeans_clusters",
     "semdedup_pairs",

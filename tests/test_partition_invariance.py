@@ -27,6 +27,7 @@ QUERIES = [
     "exact_percentiles",
     "repetition_profile",
     "chunk_documents",
+    "span_dedup",
     "incremental_lsh_dedup",
 ]
 

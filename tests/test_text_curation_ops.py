@@ -115,3 +115,72 @@ def test_semdedup_pairs_match_numpy(spark, sf_dir):
     assert set(got) == set(expect)
     for k, v in expect.items():
         assert abs(got[k] - v) < 1e-9, k
+
+
+def test_span_dedup_flags_known_shared_span(spark, tmp_path):
+    from environmental_stac_generator_spark.queries.curation import SPAN_W, span_dedup
+
+    shared = " ".join(f"tok{i}" for i in range(SPAN_W))  # exactly one window
+    rows = [
+        (1, f"{shared} tail one", "web"),        # shares `shared` with doc 2
+        (2, f"lead two {shared}", "web"),
+        (3, " ".join(f"uniq{i}" for i in range(SPAN_W + 4)), "web"),
+        (4, "too short to window", "books"),     # < SPAN_W tokens: excluded
+        (5, " ".join(f"b{i}" for i in range(SPAN_W)), "books"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r.source: r for r in span_dedup(spark, str(tmp_path)).collect()}
+
+    web = got["web"]
+    # docs 1/2: 3 windows each (SPAN_W+2 tokens); doc 3: 5 windows
+    assert web.n_windows == 3 + 3 + 5
+    assert web.n_docs_flagged == 2
+    assert web.n_dup_windows == 2  # the shared window, once per doc
+    assert web.doc_id_sum == 1 + 2
+
+    books = got["books"]  # doc 5 windows alone, doc 4 too short
+    assert (books.n_windows, books.n_docs_flagged, books.n_dup_windows,
+            books.doc_id_sum) == (1, 0, 0, 0)
+
+
+def test_span_dedup_matches_python_recompute(spark, sf_dir):
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from environmental_stac_generator_spark.queries.curation import SPAN_W, span_dedup
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    ).collect()
+    occ = Counter()  # (hash, doc) -> occurrences
+    meta = {}
+    totals = Counter()
+    for r in docs:
+        w = r.text.split(" ")
+        if len(w) < SPAN_W:
+            continue
+        meta[r.doc_id] = r.source
+        totals[r.source] += len(w) - SPAN_W + 1
+        for s in range(len(w) - SPAN_W + 1):
+            h = hashlib.md5(" ".join(w[s : s + SPAN_W]).encode()).hexdigest()
+            occ[(h, r.doc_id)] += 1
+    docs_per_h = Counter(h for (h, _) in occ)
+    flagged = defaultdict(int)
+    for (h, d), c in occ.items():
+        if docs_per_h[h] >= 2:
+            flagged[d] += c
+    exp = {}
+    for src in totals:
+        ids = [d for d in flagged if meta[d] == src]
+        exp[src] = (
+            len(ids),
+            sum(flagged[d] for d in ids),
+            totals[src],
+            sum(ids),
+        )
+    got = {
+        r.source: (r.n_docs_flagged, r.n_dup_windows, r.n_windows, r.doc_id_sum)
+        for r in span_dedup(spark, sf_dir).collect()
+    }
+    assert got == exp
