@@ -446,14 +446,18 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc_h = wins.groupBy("h", "doc_id", "source").agg(
         F.count(F.lit(1)).alias("occ")
     )
-    dup_h = (
-        per_doc_h.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("h")
-    )
+    # docs-per-hash via a window over the (hash, doc) grain instead of
+    # a groupBy + self-join: the join formulation evaluates the
+    # window-explode subplan TWICE (its two consumers need different
+    # partitionings, so no exchange reuse) — the window keeps it one
+    # scan of the hashed windows.
+    from pyspark.sql.window import Window
+
     flagged = (
-        per_doc_h.join(dup_h, "h")
+        per_doc_h.withColumn(
+            "nd", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
+        .filter(F.col("nd") >= 2)
         .groupBy("source", "doc_id")
         .agg(F.sum("occ").alias("dup_wins"))
     )

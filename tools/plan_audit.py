@@ -39,7 +39,7 @@ AUDIT = [
     "lsh_verified_pairs", "stratified_sample", "decontaminate",
     "token_budget_select", "sequence_pack", "repetition_profile",
     "kmeans_clusters", "chunk_documents", "incremental_lsh_dedup",
-    "vocab_top_tokens", "pii_scan", "semdedup_pairs",
+    "vocab_top_tokens", "pii_scan", "semdedup_pairs", "span_dedup",
 ]
 # consolidated (driver-facing) merged entries worth auditing explicitly
 MERGED = [
