@@ -421,15 +421,21 @@ def build(full: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
                          {"source": "source", "n": "n_docs_flagged",
                           "v1": "n_dup_windows", "v2": "n_windows",
                           "doc_id_sum": "doc_id_sum"}),
+                        ("importance", "importance_weights",
+                         {"source": "source", "n": "n_target_like",
+                          "v1": "logw_sum_micro", "v2": "n_docs",
+                          "doc_id_sum": "doc_id_sum"}),
                     ],
                     doc="Training-data curation: deterministic stratified "
                     "sampling (data mixing), benchmark decontamination "
                     "(3-gram overlap vs eval probes), token-budget quality "
                     "selection, context-window sequence packing, strided "
-                    "document chunking, vocabulary heavy hitters, and "
-                    "exact-substring span dedup (absorbs stratified_sample, "
+                    "document chunking, vocabulary heavy hitters, "
+                    "exact-substring span dedup, and DSIR-style hashed "
+                    "importance weighting (absorbs stratified_sample, "
                     "decontaminate, token_budget_select, sequence_pack, "
-                    "chunk_documents, vocab_top_tokens, span_dedup).",
+                    "chunk_documents, vocab_top_tokens, span_dedup, "
+                    "importance_weights).",
                 ),
             ),
             # ---- text analysis (§2.11) -----------------------------

@@ -476,3 +476,106 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_windows").cast("bigint").alias("n_windows"),
         F.coalesce("doc_id_sum", F.lit(0)).cast("bigint").alias("doc_id_sum"),
     )
+
+
+N_IMP_BUCKETS = 64  # hashed token-distribution buckets
+IMP_TARGET = "src0"  # the target domain whose distribution we match
+
+_IMP_SPARK_BUCKET = (
+    f"cast(conv(substr(md5(tok), 1, 4), 16, 10) as bigint) % {N_IMP_BUCKETS}"
+)
+_IMP_DUCK_BUCKET = (
+    f"CAST(concat('0x', substr(md5(tok), 1, 4)) AS BIGINT) % {N_IMP_BUCKETS}"
+)
+
+
+@register(
+    "importance_weights",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, source, {_IMP_DUCK_BUCKET} AS bucket FROM toks
+    ),
+    rc AS (SELECT bucket, count(*) AS rc FROM b GROUP BY bucket),
+    tc AS (SELECT bucket, count(*) AS tc FROM b
+           WHERE source = '{IMP_TARGET}' GROUP BY bucket),
+    ratios AS (
+      SELECT r.bucket,
+             CAST(floor((ln((coalesce(t.tc, 0) + 1.0)
+                            / ((SELECT coalesce(sum(tc), 0) FROM tc)
+                               + {N_IMP_BUCKETS}))
+                        - ln((r.rc + 1.0)
+                            / ((SELECT sum(rc) FROM rc)
+                               + {N_IMP_BUCKETS})))
+                       * 1000000.0 + 0.5) AS BIGINT) AS lr_micro
+      FROM rc r LEFT JOIN tc t ON r.bucket = t.bucket
+    ),
+    per_doc AS (
+      SELECT doc_id, source, CAST(sum(lr_micro) AS BIGINT) AS logw_micro
+      FROM b JOIN ratios USING (bucket) GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN logw_micro > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_target_like,
+           CAST(sum(logw_micro) AS BIGINT) AS logw_sum_micro,
+           CAST(sum(CASE WHEN logw_micro > 0 THEN doc_id ELSE 0 END) AS BIGINT)
+             AS doc_id_sum
+    FROM per_doc GROUP BY source
+    """,
+    doc=f"DSIR-style importance weighting: per-document log-likelihood "
+    f"ratio of a hashed {N_IMP_BUCKETS}-bucket unigram model of the "
+    f"'{IMP_TARGET}' target domain vs the raw corpus (add-one "
+    "smoothed) — the data-selection op that upsamples target-like "
+    "documents. Bucket log-ratios are rounded once to 6-dp "
+    "micro-integers, so every per-doc weight is an ORDER-INDEPENDENT "
+    "integer sum (bit-stable at any parallelism, no float-sum "
+    "nondeterminism). Plan: one token explode, two tiny bucket "
+    "aggregates, a broadcast join of the 64-row ratio table back "
+    "onto the token stream, one integer partial-agg shuffle per "
+    "doc. At 100 TB the token relation is corpus-sized but the "
+    "shuffle carries only (doc_id, partial-sum) rows.",
+)
+def importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    b = toks.select(
+        "doc_id", "source", F.expr(_IMP_SPARK_BUCKET).alias("bucket")
+    )
+    rc = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
+    tc = (
+        b.filter(F.col("source") == IMP_TARGET)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    joined = rc.join(tc, "bucket", "left").na.fill({"tc": 0})
+    tot = joined.agg(
+        F.sum("rc").alias("r_tot"), F.sum("tc").alias("t_tot")
+    )
+    lr = F.expr(
+        f"ln((tc + 1.0) / (t_tot + {N_IMP_BUCKETS})) "
+        f"- ln((rc + 1.0) / (r_tot + {N_IMP_BUCKETS}))"
+    )
+    ratios = joined.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.floor(lr * 1e6 + F.lit(0.5)).cast("bigint").alias("lr_micro"),
+    )
+    per_doc = (
+        b.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("lr_micro").alias("logw_micro"))
+    )
+    pos = F.col("logw_micro") > 0
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(pos, 1).otherwise(0)).cast("bigint").alias("n_target_like"),
+        F.sum("logw_micro").cast("bigint").alias("logw_sum_micro"),
+        F.sum(F.when(pos, F.col("doc_id")).otherwise(0))
+        .cast("bigint")
+        .alias("doc_id_sum"),
+    )
