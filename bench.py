@@ -62,6 +62,7 @@ HEADLINE = [
     "vocab_top_tokens",
     "pii_scan",
     "semdedup_pairs",
+    "importance_weights",
 ]
 
 

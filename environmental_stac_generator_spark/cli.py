@@ -93,6 +93,13 @@ def _build_parser() -> argparse.ArgumentParser:
     cur.add_argument("--jaccard", type=float, default=0.5, help="Near-dup threshold (negative disables)")
     cur.add_argument("--quality-min", type=float, default=None, help="Minimum quality score")
     cur.add_argument("--token-budget", type=int, default=None, help="Global token budget")
+    cur.add_argument(
+        "--importance-target",
+        default=None,
+        help="DSIR data selection: keep only documents whose hashed-"
+        "unigram importance log-weight vs this target source domain "
+        "is positive",
+    )
     cur.add_argument("--seq-len", type=int, default=2048, help="Packed sequence length")
     cur.add_argument(
         "--embeddings",
@@ -224,6 +231,7 @@ def _curate(spark, args) -> dict:
         semantic_cosine=args.semantic_cosine,
         redact_pii=args.redact_pii,
         quality_min=args.quality_min,
+        importance_target=args.importance_target,
         token_budget=args.token_budget,
         seq_len=args.seq_len,
     )

@@ -8,6 +8,7 @@ source)`` DataFrame —
     semantic dedup (SemDeDup within-k-means-cluster cosine, when an
     embeddings frame is supplied) → benchmark decontamination →
     PII/entity redaction → quality filter → stratified mixing →
+    DSIR importance selection (keep target-like docs) →
     token-budget selection → sequence packing
 
 Every stage is the same Spark-first transform the registered queries
@@ -47,6 +48,7 @@ class CurationConfig:
     quality_min: float | None = None
     sample_rates: dict[str, int] = field(default_factory=dict)  # source -> %
     default_rate: int = 100
+    importance_target: str | None = None  # DSIR target domain
     token_budget: int | None = None
     seq_len: int = 2_048
 
@@ -146,6 +148,24 @@ def _stratified(docs: DataFrame, rates: dict[str, int], default: int) -> DataFra
     return docs.filter(F.expr(_SPARK_BUCKET) < rate)
 
 
+def _importance_select(docs: DataFrame, target: str) -> DataFrame:
+    from environmental_stac_generator_spark.queries.curation import (
+        importance_logw_of,
+    )
+
+    # DSIR data selection: keep documents whose hashed-unigram LLR vs
+    # the target domain is positive (target-like). The per-doc weight
+    # relation is (doc_id, logw) — ints only, never the text — and the
+    # winner set joins back broadcast-bounded at test scale or as a
+    # doc_id-keyed shuffle join at corpus scale (Catalyst/AQE picks).
+    winners = (
+        importance_logw_of(docs, target)
+        .filter(F.col("logw_micro") > 0)
+        .select("doc_id")
+    )
+    return docs.join(winners, "doc_id", "left_semi")
+
+
 def _budget_select(docs: DataFrame, budget: int) -> DataFrame:
     from environmental_stac_generator_spark.operators.cumulative import (
         global_running_sum,
@@ -223,6 +243,10 @@ def curate(
     if cfg.sample_rates or cfg.default_rate < 100:
         scored = staged(
             _stratified(scored, cfg.sample_rates, cfg.default_rate), "mixing"
+        )
+    if cfg.importance_target is not None:
+        scored = staged(
+            _importance_select(scored, cfg.importance_target), "importance"
         )
     if cfg.token_budget is not None:
         scored = staged(_budget_select(scored, cfg.token_budget), "budget")

@@ -427,7 +427,9 @@ SPAN_W = 16  # tokens per exact-match window (Lee et al. use 50 BPE
     "raising SPAN_W or sampling window starts trades recall for "
     "volume without changing the plan shape.",
 )
-def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def span_dedup(
+    spark: SparkSession, sf_dir: str, skew_safe: bool = False
+) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     toks = (
         d.select("doc_id", "source", F.split("text", " ").alias("w"))
@@ -451,16 +453,40 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window-explode subplan TWICE (its two consumers need different
     # partitionings, so no exchange reuse) — the window keeps it one
     # scan of the hashed windows.
+    #
+    # Skew caveat (VERDICT r3 #7): a viral boilerplate span makes one
+    # hot hash, and WindowExec must buffer that entire hash group in a
+    # single task. `skew_safe=True` switches to a plan with no window
+    # at all: repartition the (hash, doc) grain by h ONCE, derive the
+    # >=2-distinct-docs hash set with a partial-agg count (map-side
+    # combined — a hot hash reaches its reducer as one row per map
+    # task), and flag by an h-co-partitioned join (the repartition
+    # exchange is reused by both consumers, so still one scan; the hot
+    # hash streams through the join instead of buffering).
     from pyspark.sql.window import Window
 
-    flagged = (
-        per_doc_h.withColumn(
-            "nd", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    if skew_safe:
+        per_h = per_doc_h.repartition("h")
+        dup_h = (
+            per_h.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("nd"))
+            .filter(F.col("nd") >= 2)
+            .select("h")
         )
-        .filter(F.col("nd") >= 2)
-        .groupBy("source", "doc_id")
-        .agg(F.sum("occ").alias("dup_wins"))
-    )
+        flagged = (
+            per_h.join(dup_h, "h")
+            .groupBy("source", "doc_id")
+            .agg(F.sum("occ").alias("dup_wins"))
+        )
+    else:
+        flagged = (
+            per_doc_h.withColumn(
+                "nd", F.count(F.lit(1)).over(Window.partitionBy("h"))
+            )
+            .filter(F.col("nd") >= 2)
+            .groupBy("source", "doc_id")
+            .agg(F.sum("occ").alias("dup_wins"))
+        )
     flagged_src = flagged.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs_flagged"),
         F.sum("dup_wins").alias("n_dup_windows"),
@@ -480,6 +506,7 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_IMP_BUCKETS = 64  # hashed token-distribution buckets
 IMP_TARGET = "src0"  # the target domain whose distribution we match
+IMP_TARGET_DEFAULT = IMP_TARGET  # alias for callers / the curate chain
 
 _IMP_SPARK_BUCKET = (
     f"cast(conv(substr(md5(tok), 1, 4), 16, 10) as bigint) % {N_IMP_BUCKETS}"
@@ -487,6 +514,47 @@ _IMP_SPARK_BUCKET = (
 _IMP_DUCK_BUCKET = (
     f"CAST(concat('0x', substr(md5(tok), 1, 4)) AS BIGINT) % {N_IMP_BUCKETS}"
 )
+
+
+def importance_logw_of(
+    docs: DataFrame, target: str = IMP_TARGET_DEFAULT
+) -> DataFrame:
+    """(doc_id, source, logw_micro) DSIR importance log-weights of a
+    (doc_id, text, source) frame vs the ``target`` domain — the
+    per-document form the curate chain filters on. Plan shape: one
+    token explode, two 64-row bucket aggregates, a broadcast join of
+    the ratio table back onto the token stream, one integer
+    partial-agg shuffle keyed by doc."""
+    toks = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    b = toks.select(
+        "doc_id", "source", F.expr(_IMP_SPARK_BUCKET).alias("bucket")
+    )
+    rc = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
+    tc = (
+        b.filter(F.col("source") == target)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    joined = rc.join(tc, "bucket", "left").na.fill({"tc": 0})
+    tot = joined.agg(
+        F.sum("rc").alias("r_tot"), F.sum("tc").alias("t_tot")
+    )
+    lr = F.expr(
+        f"ln((tc + 1.0) / (t_tot + {N_IMP_BUCKETS})) "
+        f"- ln((rc + 1.0) / (r_tot + {N_IMP_BUCKETS}))"
+    )
+    ratios = joined.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.floor(lr * 1e6 + F.lit(0.5)).cast("bigint").alias("lr_micro"),
+    )
+    return (
+        b.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("lr_micro").alias("logw_micro"))
+    )
+
 
 
 @register(
@@ -540,36 +608,7 @@ _IMP_DUCK_BUCKET = (
     "shuffle carries only (doc_id, partial-sum) rows.",
 )
 def importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", "source", F.explode(F.split("text", " ")).alias("tok")
-    )
-    b = toks.select(
-        "doc_id", "source", F.expr(_IMP_SPARK_BUCKET).alias("bucket")
-    )
-    rc = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
-    tc = (
-        b.filter(F.col("source") == IMP_TARGET)
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("tc"))
-    )
-    joined = rc.join(tc, "bucket", "left").na.fill({"tc": 0})
-    tot = joined.agg(
-        F.sum("rc").alias("r_tot"), F.sum("tc").alias("t_tot")
-    )
-    lr = F.expr(
-        f"ln((tc + 1.0) / (t_tot + {N_IMP_BUCKETS})) "
-        f"- ln((rc + 1.0) / (r_tot + {N_IMP_BUCKETS}))"
-    )
-    ratios = joined.crossJoin(F.broadcast(tot)).select(
-        "bucket",
-        F.floor(lr * 1e6 + F.lit(0.5)).cast("bigint").alias("lr_micro"),
-    )
-    per_doc = (
-        b.join(F.broadcast(ratios), "bucket")
-        .groupBy("doc_id", "source")
-        .agg(F.sum("lr_micro").alias("logw_micro"))
-    )
+    per_doc = importance_logw_of(load(spark, sf_dir, "documents"))
     pos = F.col("logw_micro") > 0
     return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),

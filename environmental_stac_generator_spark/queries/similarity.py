@@ -308,6 +308,49 @@ def embedding_near_dup(
 N_CENTROIDS = 16  # IVF coarse-quantizer cells
 
 
+# Past this many centroids, splicing K×d double literals into the SQL
+# would blow up codegen (VERDICT r3 #4): the centroid set instead
+# rides along as ONE broadcast array column and the argmin/argmax runs
+# as a transform/aggregate HOF over it — same sequential-double
+# arithmetic (zip_with in index order, 0.0-init aggregate, struct
+# compare tiebreak), so results are bit-identical; expression size is
+# O(1) in K.
+K_LITERAL_MAX = 16
+
+
+def _with_centroid_array(e: DataFrame, rows, schema: str, col: str) -> DataFrame:
+    """Attach the centroid set as a single broadcast array column —
+    one row cross-joined in, never a per-row expansion or shuffle."""
+    cdf = e.sparkSession.createDataFrame([(rows,)], f"{col} {schema}")
+    return e.crossJoin(F.broadcast(cdf))
+
+
+def _argmin_sqdist(e: DataFrame, cents) -> DataFrame:
+    """e + `_best` = struct(d, cid) of the nearest centroid (squared
+    L2, lowest-cid tiebreak). Literal centroids under K_LITERAL_MAX,
+    broadcast centroid-array HOF beyond."""
+    if len(cents) <= K_LITERAL_MAX:
+        scored = "array(" + ", ".join(
+            f"struct({_sqdist_sql(_vec_sql(vec))} AS d, {cid} AS cid)"
+            for cid, vec in cents
+        ) + ")"
+        return e.withColumn("_best", F.expr(f"array_min({scored})"))
+    rows = [{"cid": int(cid), "vec": [float(v) for v in vec]} for cid, vec in cents]
+    return _with_centroid_array(
+        e, rows, "array<struct<cid:int,vec:array<double>>>", "_cents"
+    ).withColumn(
+        "_best",
+        F.expr(
+            "array_min(transform(_cents, c -> struct("
+            "aggregate(zip_with(embedding, c.vec, "
+            "(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
+            "0.0D, (acc, v) -> acc + v) AS d, c.cid AS cid)))"
+        ),
+    ).drop("_cents")
+
+
+
+
 @register(
     "ivf_ann_probe",
     f"""
@@ -367,19 +410,42 @@ def ivf_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     normed = e.withColumn("_norm", F.sqrt(_dot("embedding", "embedding")))
-    scored = "array(" + ", ".join(
-        "struct("
-        + _dot_sql("embedding", _vec_sql(r.embedding))
-        + f" / (_norm * {math.sqrt(sum(float(v) * float(v) for v in r.embedding))!r}D)"
-        + f" AS c, {-int(r.vec_id)} AS nid)"
-        for r in cents
-    ) + ")"
-    cells = normed.select(
-        "vec_id",
-        "embedding",
-        "_norm",
-        F.expr(f"cast(-array_max({scored}).nid as bigint)").alias("cell"),
-    )
+    if len(cents) <= K_LITERAL_MAX:
+        scored = "array(" + ", ".join(
+            "struct("
+            + _dot_sql("embedding", _vec_sql(r.embedding))
+            + f" / (_norm * {math.sqrt(sum(float(v) * float(v) for v in r.embedding))!r}D)"
+            + f" AS c, {-int(r.vec_id)} AS nid)"
+            for r in cents
+        ) + ")"
+        with_cell = normed.withColumn(
+            "cell", F.expr(f"cast(-array_max({scored}).nid as bigint)")
+        )
+    else:
+        # broadcast centroid array: same cosine argmax (dot over the
+        # shared _norm and a driver-computed centroid norm — identical
+        # doubles to the literal path), O(1) expression size in K
+        rows = [
+            {
+                "nid": -int(r.vec_id),
+                "nrm": math.sqrt(sum(float(v) * float(v) for v in r.embedding)),
+                "vec": [float(v) for v in r.embedding],
+            }
+            for r in cents
+        ]
+        with_cell = _with_centroid_array(
+            normed, rows, "array<struct<nid:int,nrm:double,vec:array<double>>>",
+            "_cents",
+        ).withColumn(
+            "cell",
+            F.expr(
+                "cast(-array_max(transform(_cents, c -> struct("
+                "aggregate(zip_with(embedding, c.vec, "
+                "(x, y) -> cast(x as double) * y), 0.0D, (acc, x) -> acc + x) "
+                "/ (_norm * c.nrm) AS c, c.nid AS nid))).nid as bigint)"
+            ),
+        ).drop("_cents")
+    cells = with_cell.select("vec_id", "embedding", "_norm", "cell")
 
     # The probe's cell is computed on the DRIVER with the identical
     # sequential-double arithmetic (Python floats are IEEE doubles, so
@@ -537,11 +603,7 @@ def _lloyd_assign(e: DataFrame) -> DataFrame | None:
         return None
     assigned = None
     for it in range(KMEANS_ITERS):
-        scored = "array(" + ", ".join(
-            f"struct({_sqdist_sql(_vec_sql(vec))} AS d, {cid} AS cid)"
-            for cid, vec in cents
-        ) + ")"
-        assigned = e.withColumn("_best", F.expr(f"array_min({scored})")).select(
+        assigned = _argmin_sqdist(e, cents).select(
             "vec_id",
             "embedding",
             F.col("_best.cid").cast("bigint").alias("cluster"),
@@ -629,6 +691,12 @@ def semdedup_pairs(
     return semantic_pairs_of(e, max_bucket=max_bucket)
 
 
+# Broadcast build-side budget for the fast semantic-pair path: total
+# corpus rows (64-d float arrays ≈ 300 B/row → ~30 MB at the cap).
+# Past this the pair stage must shuffle, never broadcast the corpus.
+SEM_BROADCAST_ROWS = 100_000
+
+
 def semantic_pairs_of(
     e: DataFrame,
     threshold: float = SEM_THRESHOLD,
@@ -636,7 +704,22 @@ def semantic_pairs_of(
 ) -> DataFrame:
     """(vec_a, vec_b, cosine) semantic-duplicate pairs of a
     (vec_id, embedding) frame — k-means clusters prune the pair
-    space, exact cosine confirms within clusters."""
+    space, exact cosine confirms within clusters.
+
+    Pair generation is size-gated on driver-known cluster sizes (K
+    rows — dimension-sized state, like the centroids themselves):
+
+    - corpus fits the broadcast budget and no cluster exceeds
+      ``max_bucket`` → broadcast self-join on cluster, so the
+      O(n²/K) cosine work runs at full task width (locally the
+      corpus is MBs and this wins outright);
+    - otherwise → the skew-safe :func:`dedup.bucket_pairs` shape:
+      within-budget clusters collect into one sorted in-row array
+      and emit pairs MAP-SIDE (one shuffle, no join), mega-clusters
+      (> ``max_bucket``) go through a cluster-keyed shuffle
+      self-join — same pair set, and no executor ever broadcasts or
+      holds an entire 100 TB corpus / hot cluster.
+    """
     assigned = _lloyd_assign(e)
     if assigned is None:  # empty corpus: no clusters, no pairs
         return e.select(
@@ -654,31 +737,84 @@ def semantic_pairs_of(
         "embedding",
         F.sqrt(_dot("embedding", "embedding")).alias("nrm"),
     )
-    # Pair generation is a BROADCAST self-join on the cluster id: the
-    # probe side is spread over every core, so the O(n²/K) cosine
-    # work runs at full task width instead of on K tasks (the old
-    # per-cluster collect_list capped parallelism at K=8). At 100 TB
-    # K scales ~sqrt(N), the build side outgrows broadcast range, and
-    # the pair stage becomes the cluster-keyed shuffle join of
-    # dedup.bucket_pairs (salt-split mega clusters via max_bucket);
-    # locally the corpus is MBs and broadcast wins outright.
-    spark = e.sparkSession
-    rhs = members.select(
-        "cluster",
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
-    )
-    lhs = members.repartition(spark.sparkContext.defaultParallelism).select(
-        "cluster",
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
-    )
-    pairs = lhs.join(F.broadcast(rhs), "cluster").filter(
-        F.col("vec_a") < F.col("vec_b")
-    )
     cos = rnd(_dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b")), 5)
+    sizes = [
+        (r["cluster"], r["n"])
+        for r in members.groupBy("cluster").agg(F.count("*").alias("n")).collect()
+    ]
+    total = sum(n for _, n in sizes)
+    biggest = max((n for _, n in sizes), default=0)
+    spark = e.sparkSession
+    if biggest <= max_bucket and total <= SEM_BROADCAST_ROWS:
+        rhs = members.select(
+            "cluster",
+            F.col("vec_id").alias("vec_b"),
+            F.col("embedding").alias("emb_b"),
+            F.col("nrm").alias("nrm_b"),
+        )
+        lhs = members.repartition(spark.sparkContext.defaultParallelism).select(
+            "cluster",
+            F.col("vec_id").alias("vec_a"),
+            F.col("embedding").alias("emb_a"),
+            F.col("nrm").alias("nrm_a"),
+        )
+        pairs = lhs.join(F.broadcast(rhs), "cluster").filter(
+            F.col("vec_a") < F.col("vec_b")
+        )
+    else:
+        big_ids = [c for c, n in sizes if n > max_bucket]
+        small_m = (
+            members.filter(~F.col("cluster").isin(big_ids)) if big_ids else members
+        )
+        small_pairs = (
+            small_m.groupBy("cluster")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("vec_id", "embedding", "nrm"))
+                ).alias("ms")
+            )
+            .filter(F.size("ms") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ms, (a, i) -> "
+                        "transform(slice(ms, i + 2, size(ms)), b -> struct(a, b))))"
+                    )
+                ).alias("p")
+            )
+            .select(
+                F.col("p.a.vec_id").alias("vec_a"),
+                F.col("p.a.embedding").alias("emb_a"),
+                F.col("p.a.nrm").alias("nrm_a"),
+                F.col("p.b.vec_id").alias("vec_b"),
+                F.col("p.b.embedding").alias("emb_b"),
+                F.col("p.b.nrm").alias("nrm_b"),
+            )
+        )
+        big_m = members.filter(F.col("cluster").isin(big_ids))
+        big_pairs = (
+            big_m.select(
+                "cluster",
+                F.col("vec_id").alias("vec_a"),
+                F.col("embedding").alias("emb_a"),
+                F.col("nrm").alias("nrm_a"),
+            )
+            .join(
+                big_m.select(
+                    "cluster",
+                    F.col("vec_id").alias("vec_b"),
+                    F.col("embedding").alias("emb_b"),
+                    F.col("nrm").alias("nrm_b"),
+                ),
+                "cluster",
+            )
+            .filter(F.col("vec_a") < F.col("vec_b"))
+        )
+        pairs = small_pairs.unionByName(
+            big_pairs.select(
+                "vec_a", "emb_a", "nrm_a", "vec_b", "emb_b", "nrm_b"
+            )
+        )
     return (
         pairs.select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)

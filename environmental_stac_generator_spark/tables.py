@@ -32,15 +32,26 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which the vectorized
-        # reader rejects; read it as raw nanos and convert. Lossless
-        # here (values are µs-precision) and still a pushdown-friendly
-        # native scan.
+        # events.ts has shipped as both parquet TIMESTAMP(NANOS) (which
+        # the vectorized reader rejects — read as raw nanos via the
+        # legacy conf and convert) and plain timestamp[us] (which Spark
+        # reads as TIMESTAMP_NTZ). Branch on the dtype actually loaded
+        # so either physical layout yields one canonical TIMESTAMP
+        # column (session tz is UTC, so NTZ→LTZ is identity on the
+        # instant). Both paths stay pushdown-friendly native scans.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
-        return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        elif not isinstance(ts_type, T.TimestampType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -110,3 +110,34 @@ def test_curate_stages_optional(spark, sf_dir):
     # exact dedup only: survivor count equals distinct content hashes
     n_hashes = docs.select(F.md5(F.col("text").cast("binary"))).distinct().count()
     assert res.stats["exact_dedup"] == n_hashes
+
+
+def test_curate_importance_stage(spark, sf_dir):
+    """`importance_target` keeps exactly the docs whose DSIR log-weight
+    vs the target domain is positive, computed over the stage's own
+    input (post-dedup survivors)."""
+    from environmental_stac_generator_spark.queries.curation import (
+        importance_logw_of,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    cfg = CurationConfig(near_dup_jaccard=None, importance_target="src0")
+    res = curate(docs, config=cfg)
+    assert "importance" in res.stats
+    assert 0 < res.stats["importance"] < res.stats["exact_dedup"]
+
+    # recompute expected winners over the same stage input
+    survivors_in = docs.join(
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id"),
+        "doc_id",
+    )
+    expect = {
+        r.doc_id
+        for r in importance_logw_of(survivors_in, "src0")
+        .filter(F.col("logw_micro") > 0)
+        .collect()
+    }
+    got = {r.doc_id for r in res.selected.collect()}
+    assert got == expect

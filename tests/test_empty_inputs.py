@@ -34,6 +34,7 @@ QUERIES = [
     "decontaminate",
     "vocab_top_tokens",
     "span_dedup",
+    "importance_weights",
     "pii_scan",
     "kmeans_clusters",
     "semdedup_pairs",

