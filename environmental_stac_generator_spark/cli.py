@@ -179,6 +179,8 @@ def _preprocess(spark, args) -> dict:
                 ),
             }
         )
+        # catalog saved + counts read: free the per-input caches
+        engine.release()
     return summary
 
 

@@ -43,6 +43,10 @@ class EnvStacEngine:
     # encode COGs from packed grid slabs (second decode pass, ~50x
     # less shuffle; byte-identical output) instead of the long rows
     packed_encode: bool = True
+    # frames process() cached, released by release() — at 100 TB the
+    # scan relation otherwise pins executor memory for the engine's
+    # lifetime
+    _persisted: list[DataFrame] = field(default_factory=list, repr=False)
 
     # ---- scan stage (S1/S2/U1) ----
 
@@ -84,15 +88,17 @@ class EnvStacEngine:
             # is derived JVM-side (posexplode), so per-cell data never
             # crosses a Python boundary, and both raster sinks regroup
             # packed slabs instead of cells.
-            grids = netcdf.scan_netcdf_grids(
-                self.spark, input_path, decoder=self.decoder
-            ).persist()
+            grids = self._track(
+                netcdf.scan_netcdf_grids(
+                    self.spark, input_path, decoder=self.decoder
+                ).persist()
+            )
             long_df = netcdf.long_from_grids(grids)
         else:
             grids = None
             # the reference re-opens each file per stage (a missed
             # optimization, SURVEY §4) — we scan once and reuse
-            long_df = self.scan(input_path).persist()
+            long_df = self._track(self.scan(input_path).persist())
         info = self.forecast_info(long_df)
         stats = self.band_statistics(long_df)
         collections = sc.build_collections(info, license=self.license)
@@ -125,11 +131,11 @@ class EnvStacEngine:
                     leadtime_unit=unit,
                     leadtime_step=step,
                 ).persist()
-                cog_results.count()
+                self._track(cog_results).count()
                 nc_results = raster.write_netcdf_slices_grids(
                     grids, self.output_dir, overwrite=overwrite
                 ).persist()
-                nc_results.count()
+                self._track(nc_results).count()
             else:
                 cog_results = raster.encode_cogs(
                     long_df,
@@ -139,14 +145,25 @@ class EnvStacEngine:
                     leadtime_unit=unit,
                     leadtime_step=step,
                 ).persist()
-                cog_results.count()
+                self._track(cog_results).count()
                 nc_results = raster.write_netcdf_slices(
                     long_df, self.output_dir, overwrite=overwrite
                 ).persist()
-                nc_results.count()
+                self._track(nc_results).count()
             results["cog_results"] = cog_results
             results["netcdf_results"] = nc_results
         return results
+
+    def _track(self, df: DataFrame) -> DataFrame:
+        self._persisted.append(df)
+        return df
+
+    def release(self) -> None:
+        """Unpersist every frame cached by earlier ``process`` calls.
+        Call once the returned frames have been consumed (inspected /
+        saved): results stay valid but recompute on next use."""
+        while self._persisted:
+            self._persisted.pop().unpersist()
 
     # ---- catalog save (K4) ----
 

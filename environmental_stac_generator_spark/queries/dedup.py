@@ -204,13 +204,16 @@ def bucket_pairs(
     Buckets larger than ``max_bucket`` would blow executor memory as
     arrays (and produce O(n²) pairs regardless), so they go through a
     bucket-restricted self-join instead: same result set, no
-    collect_list of a mega-bucket. The size split itself reuses the
-    one grouped pass."""
+    collect_list of a mega-bucket. The size split consumes the
+    grouped relation twice, but the subtrees are identical, so
+    ReuseExchange materializes the bucket shuffle once — no persist,
+    so nothing pins a corpus-sized cache for the session (and the
+    re-run agg over the reused shuffle is measurably cheaper than
+    cache materialization locally)."""
     grouped = (
         members.groupBy(*bucket_cols)
         .agg(F.sort_array(F.collect_set(id_col)).alias("ds"))
         .filter(F.size("ds") >= 2)
-        .persist()
     )
     small = grouped.filter(F.size("ds") <= max_bucket)
     small_pairs = small.select(

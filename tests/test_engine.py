@@ -72,3 +72,22 @@ def test_process_stac_only(spark, inputs, tmp_path):
     assert "cog_results" not in results  # heavy sinks elided
     assert results["assets"].count() > 0
     assert not list(tmp_path.rglob("*.tif"))
+
+
+def test_release_unpersists_process_caches(spark, inputs, tmp_path):
+    """process() caches its multi-consumer frames; release() must free
+    every one of them (no session-lifetime executor memory pin)."""
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    eng = EnvStacEngine(
+        spark, catalog_name="icenet3", output_dir=tmp_path,
+        decoder=netcdf.fake_decoder(),
+    )
+    results = eng.process(str(inputs))
+    assert results["items"].count() > 0
+    mid = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert mid - before, "process() should have cached frames"
+    eng.release()
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    assert after - before == set()
+    # released frames recompute rather than fail
+    assert results["cog_results"].count() > 0
