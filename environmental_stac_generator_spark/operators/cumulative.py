@@ -3,59 +3,145 @@
 A plain ``sum().over(Window.orderBy(...))`` with no partition key
 funnels EVERY row through one reducer (``Exchange SinglePartition``)
 — fine at test scale, a wall at 100 TB. :func:`global_running_sum`
-computes the identical result with the classic two-phase algorithm:
+computes the identical result with the classic two-phase algorithm,
+made safe for re-execution:
 
-1. range-partition the relation by the global sort key, so partition
-   p's keys all precede partition p+1's;
-2. per-partition totals (map-side partial agg → ``n_partitions``
-   rows) prefix-summed into per-partition offsets by a window over
-   that tiny relation;
-3. a PARALLEL within-partition cumsum window, plus the
-   broadcast-joined offset, yields the exact global running total.
+1. fix bucket boundaries ONCE on the driver — caller-supplied
+   (``boundaries=``, e.g. even cuts of an analytically-bounded score)
+   or a one-scan deterministic sample — and derive each row's bucket
+   id as a PURE EXPRESSION over its own sort key. Bucket assignment
+   is a deterministic function of row content, so every pass and
+   every plan branch assigns identical buckets. This is the
+   load-bearing difference from ``repartitionByRange`` +
+   ``spark_partition_id``: that pair re-SAMPLES boundaries per
+   exchange, and because column pruning specializes each consumer's
+   exchange, Catalyst does NOT reuse it — two branches can partition
+   differently and silently mis-assign offsets at scale. (A persist
+   also pins the partitioning, but holds a relation-sized cache for
+   the session; VERDICT r3 #4.)
+2. per-bucket totals (map-side combined → one row per bucket) are
+   prefix-summed into offsets by a window over that tiny relation,
+   INSIDE the same plan, and broadcast-joined back;
+3. a PARALLEL within-bucket cumsum window plus the offset yields the
+   exact global running total.
 
-Everything is ONE lazy plan: the range exchange appears in both the
-totals branch and the cumsum branch as the identical subtree, so
-Catalyst's ReuseExchange materializes the shuffle once and both
-branches read the same partitioning (``spark_partition_id`` is
-therefore consistent between them). No persist, no driver collect —
-nothing pins a corpus-sized cache for the session (VERDICT r3 #4).
-The explicit partition count makes the shuffle REPARTITION_BY_NUM,
-which AQE never coalesces, so the two reads cannot diverge.
+No cached state, no driver totals collect, bit-stable at any
+parallelism. Boundary quality affects only balance, never
+correctness: whatever boundaries were frozen, every branch applies
+the same literals.
 """
 
 from __future__ import annotations
 
+from functools import reduce
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
+
+_SAMPLE_PER_BUCKET = 20  # sampled keys per target bucket
+_SEED = 42
+
+
+def _norm_order(order) -> list[tuple[Column, bool]]:
+    """Accept plain Columns (ascending) or (Column, ascending) pairs.
+    Key expressions must be plain columns/expressions — pass
+    descending order via ``(col, False)``, not ``col.desc()`` — and
+    non-null (add a unique non-null tiebreak for a total order)."""
+    out = []
+    for o in order:
+        if isinstance(o, tuple):
+            out.append((o[0], bool(o[1])))
+        else:
+            out.append((o, True))
+    return out
+
+
+def _after_boundary(keys: list[tuple[Column, bool]], bvals) -> Column:
+    """Row strictly AFTER the boundary tuple in the configured order —
+    lexicographic comparison with per-key direction."""
+    expr = F.lit(False)
+    for (k, asc), b in reversed(list(zip(keys, bvals))):
+        gt = (k > F.lit(b)) if asc else (k < F.lit(b))
+        expr = gt | ((k == F.lit(b)) & expr)
+    return expr
+
+
+def sample_boundaries(df: DataFrame, order, n: int):
+    """n-1 (or fewer) quantile-spaced boundary tuples, frozen
+    driver-side. ONE job, no count: take the ``20·n`` rows with the
+    smallest ``xxhash64`` of the key — a deterministic uniform sample
+    via per-partition top-k (TakeOrderedAndProject, never a full
+    shuffle), column-pruned to the key expressions. A relation
+    smaller than the sample budget arrives whole, making the
+    boundaries exact quantiles."""
+    keys = _norm_order(order)
+    if n <= 1:
+        return []
+    want = _SAMPLE_PER_BUCKET * n
+    sample = [
+        tuple(r)[:-1]
+        for r in df.select(
+            *[k.alias(f"_k{i}") for i, (k, _) in enumerate(keys)],
+            F.xxhash64(*[c for c, _ in keys], F.lit(_SEED)).alias("_h"),
+        )
+        .orderBy("_h")
+        .limit(want)
+        .collect()
+    ]
+    if len(sample) < 2 * n:
+        return []  # tiny relation: one bucket is both correct and fast
+    # multi-key sort with per-key direction (stable sorts, last key first)
+    for i in reversed(range(len(keys))):
+        sample.sort(key=lambda t: t[i], reverse=not keys[i][1])
+    step = len(sample) / n
+    bounds = [sample[int(i * step)] for i in range(1, n)]
+    return [b for i, b in enumerate(bounds) if i == 0 or b != bounds[i - 1]]
 
 
 def global_running_sum(
     df: DataFrame,
-    order: list[Column],
+    order,
     value_col: str,
     out_col: str = "running_total",
     num_partitions: int | None = None,
+    boundaries: list | None = None,
 ) -> DataFrame:
     """Exact global running sum of ``value_col`` in ``order``,
-    without a single-partition sort. ``order`` must be a total order
-    (add a unique tiebreak column)."""
+    without a single-partition sort.
+
+    ``order`` is a list of Columns (ascending) or ``(Column,
+    ascending)`` pairs forming a total order over non-null keys (add
+    a unique tiebreak column). ``boundaries`` optionally supplies the
+    bucket-boundary key tuples (sorted in the configured order —
+    e.g. even cuts of a score with a known range, skipping the
+    sampling scan); otherwise :func:`sample_boundaries` runs."""
+    keys = _norm_order(order)
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, *order).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    # tiny: one row per non-empty partition; the offset is the sum of
-    # all STRICTLY PRECEDING partition totals (sum skips null totals,
-    # matching "treat an all-null partition as 0").
-    totals = ranged.groupBy("_pid").agg(F.sum(value_col).alias("_t"))
+    bounds = boundaries if boundaries is not None else sample_boundaries(df, keys, n)
+    if bounds:
+        pid = reduce(
+            lambda acc, b: acc + F.when(_after_boundary(keys, b), 1).otherwise(0),
+            bounds,
+            F.lit(0),
+        )
+    else:
+        pid = F.lit(0)
+    bucketed = df.withColumn("_pid", pid)
+    # tiny: one row per non-empty bucket (map-side combined — a hot
+    # bucket reaches its reducer as one row per map task); the offset
+    # is the sum of STRICTLY PRECEDING bucket totals (sum skips null
+    # totals, matching "treat an all-null bucket as 0")
+    totals = bucketed.groupBy("_pid").agg(F.sum(value_col).alias("_t"))
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
         "_pid", F.coalesce(F.sum("_t").over(w_off), F.lit(0)).alias("_off")
     )
-    w = Window.partitionBy("_pid").orderBy(*order).rowsBetween(
+    sort_cols = [k.asc() if asc else k.desc() for k, asc in keys]
+    w = Window.partitionBy("_pid").orderBy(*sort_cols).rowsBetween(
         Window.unboundedPreceding, 0
     )
     return (
-        ranged.join(F.broadcast(offsets), "_pid")
+        bucketed.join(F.broadcast(offsets), "_pid")
         .withColumn(out_col, F.sum(value_col).over(w) + F.col("_off"))
         .drop("_pid", "_off")
     )

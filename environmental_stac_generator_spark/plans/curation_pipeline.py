@@ -24,7 +24,8 @@ in the report are then free reads of the materialized partitions.
 
 Scale shape: dedup hashes and signatures are map-side; the only
 corpus-sized shuffles are the exact-dedup hash partition and the
-prefix-sum range partition. Near-dup pairs, probes, and contaminated
+prefix-sum bucket partition (deterministic driver-frozen boundaries,
+`operators/cumulative.py`). Near-dup pairs, probes, and contaminated
 id sets are broadcast-bounded.
 """
 
@@ -171,8 +172,14 @@ def _budget_select(docs: DataFrame, budget: int) -> DataFrame:
         global_running_sum,
     )
 
-    order = [F.col("quality").desc(), F.col("doc_id")]
-    ranked = global_running_sum(docs, order, "n_tokens", out_col="_cum")
+    order = [(F.col("quality"), False), (F.col("doc_id"), True)]
+    # quality is analytically in [0, 1]: static cuts skip the
+    # boundary-sampling scan (balance-only decision)
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    bounds = [(1.0 - i / n, -1) for i in range(1, n)]
+    ranked = global_running_sum(
+        docs, order, "n_tokens", out_col="_cum", boundaries=bounds
+    )
     return ranked.filter(F.col("_cum") <= budget).drop("_cum")
 
 
@@ -182,7 +189,7 @@ def _pack(docs: DataFrame, seq_len: int) -> DataFrame:
     )
 
     placed = global_running_sum(
-        docs, [F.col("doc_id")], "n_tokens", out_col="_cum"
+        docs, [(F.col("doc_id"), True)], "n_tokens", out_col="_cum"
     ).withColumn("_start", F.col("_cum") - F.col("n_tokens"))
     return (
         placed.groupBy(

@@ -208,8 +208,14 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.size(F.split("text", " "))
         ).alias("ratio"),
     )
-    order = [F.col("ratio").desc(), F.col("doc_id")]
-    ranked = global_running_sum(metrics, order, "n_tokens", out_col="cum_tokens")
+    order = [(F.col("ratio"), False), (F.col("doc_id"), True)]
+    # ratio is analytically in (0, 1]: even static cuts skip the
+    # boundary-sampling scan entirely (balance-only decision)
+    n = spark.sparkContext.defaultParallelism
+    bounds = [(1.0 - i / n, -1) for i in range(1, n)]
+    ranked = global_running_sum(
+        metrics, order, "n_tokens", out_col="cum_tokens", boundaries=bounds
+    )
     return (
         ranked.filter(F.col("cum_tokens") <= TOKEN_BUDGET)
         .groupBy("source")
@@ -261,7 +267,7 @@ def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
     )
     placed = global_running_sum(
-        metrics, [F.col("doc_id")], "n_tokens", out_col="cum"
+        metrics, [(F.col("doc_id"), True)], "n_tokens", out_col="cum"
     ).withColumn("start_off", F.col("cum") - F.col("n_tokens"))
     return (
         placed.groupBy(

@@ -174,7 +174,7 @@ def test_global_running_sum_matches_single_partition_window(spark, rows, n_parts
     )
 
     df = spark.createDataFrame(rows, "k bigint, v bigint")
-    order = [F.col("k").asc()]
+    order = [(F.col("k"), True)]
     got = {
         r["k"]: r["rt"]
         for r in global_running_sum(
@@ -385,3 +385,31 @@ def test_span_dedup_skew_safe_path_equals_window_path(spark, sf_dir):
         tuple(r) for r in span_dedup(spark, sf_dir, skew_safe=True).collect()
     )
     assert window_path == safe_path and len(window_path) > 0
+
+
+def test_global_running_sum_boundary_path_matches_naive(spark):
+    """Large-input prefix sum (bucket boundaries active, including a
+    descending key) must equal the single-partition window exactly and
+    be identical across repeated executions."""
+    import random
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from environmental_stac_generator_spark.operators.cumulative import (
+        global_running_sum,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(0, 50), rng.randint(1, 9)) for i in range(5_000)]
+    df = spark.createDataFrame(rows, "id bigint, grp bigint, v bigint")
+    order = [(F.col("grp"), False), (F.col("id"), True)]
+    out = global_running_sum(df, order, "v", out_col="rt", num_partitions=8)
+    got = {r["id"]: r["rt"] for r in out.collect()}
+    again = {r["id"]: r["rt"] for r in out.collect()}
+    assert got == again, "re-execution must be bit-stable"
+    w = Window.orderBy(F.col("grp").desc(), F.col("id")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = {r["id"]: r["rt"] for r in df.withColumn("rt", F.sum("v").over(w)).collect()}
+    assert got == want
