@@ -63,6 +63,7 @@ HEADLINE = [
     "pii_scan",
     "semdedup_pairs",
     "importance_weights",
+    "perplexity_score",
 ]
 
 

@@ -92,6 +92,13 @@ def _build_parser() -> argparse.ArgumentParser:
     cur.add_argument("--output", default=None, help="Write selected docs here (parquet)")
     cur.add_argument("--jaccard", type=float, default=0.5, help="Near-dup threshold (negative disables)")
     cur.add_argument("--quality-min", type=float, default=None, help="Minimum quality score")
+    cur.add_argument(
+        "--perplexity-max",
+        type=float,
+        default=None,
+        help="CCNet-style fluency cut: max mean bigram NLL "
+        "(nats/bigram) under the corpus's hashed bigram LM",
+    )
     cur.add_argument("--token-budget", type=int, default=None, help="Global token budget")
     cur.add_argument(
         "--importance-target",
@@ -233,6 +240,7 @@ def _curate(spark, args) -> dict:
         semantic_cosine=args.semantic_cosine,
         redact_pii=args.redact_pii,
         quality_min=args.quality_min,
+        perplexity_max=args.perplexity_max,
         importance_target=args.importance_target,
         token_budget=args.token_budget,
         seq_len=args.seq_len,

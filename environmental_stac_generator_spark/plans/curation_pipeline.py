@@ -47,6 +47,10 @@ class CurationConfig:
     semantic_cosine: float | None = None  # needs an embeddings frame
     redact_pii: bool = False
     quality_min: float | None = None
+    # CCNet-style fluency cut: max mean bigram NLL (nats/bigram) under
+    # the corpus's hashed bigram LM; docs above it (or with no
+    # bigrams) are dropped
+    perplexity_max: float | None = None
     sample_rates: dict[str, int] = field(default_factory=dict)  # source -> %
     default_rate: int = 100
     importance_target: str | None = None  # DSIR target domain
@@ -149,6 +153,23 @@ def _stratified(docs: DataFrame, rates: dict[str, int], default: int) -> DataFra
     return docs.filter(F.expr(_SPARK_BUCKET) < rate)
 
 
+def _perplexity_select(docs: DataFrame, max_nll_per_bigram: float) -> DataFrame:
+    from environmental_stac_generator_spark.queries.text import perplexity_of
+
+    # keep fluent docs: mean bigram NLL under the corpus bigram LM at
+    # or below the cut. The per-doc score relation is (doc_id, ints)
+    # — never the text — and joins back keyed on doc_id.
+    keep = (
+        perplexity_of(docs)
+        .filter(
+            (F.col("n_bigrams") > 0)
+            & (F.col("nll_micro") <= F.col("n_bigrams") * max_nll_per_bigram * 1e6)
+        )
+        .select("doc_id")
+    )
+    return docs.join(keep, "doc_id", "left_semi")
+
+
 def _importance_select(docs: DataFrame, target: str) -> DataFrame:
     from environmental_stac_generator_spark.queries.curation import (
         importance_logw_of,
@@ -247,6 +268,10 @@ def curate(
     if cfg.quality_min is not None:
         scored = scored.filter(F.col("quality") >= cfg.quality_min)
         scored = staged(scored, "quality_filter")
+    if cfg.perplexity_max is not None:
+        scored = staged(
+            _perplexity_select(scored, cfg.perplexity_max), "perplexity"
+        )
     if cfg.sample_rates or cfg.default_rate < 100:
         scored = staged(
             _stratified(scored, cfg.sample_rates, cfg.default_rate), "mixing"

@@ -134,6 +134,17 @@ def _kernel(full, name, parts, doc) -> QuerySpec:
 _CACHE: dict[str, QuerySpec] | None = None
 
 
+def _quality_with_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from environmental_stac_generator_spark.queries.text import (
+        perplexity_of,
+        quality_of,
+    )
+    from environmental_stac_generator_spark.tables import load
+
+    d = load(spark, sf_dir, "documents")
+    return quality_of(d).join(perplexity_of(d), "doc_id")
+
+
 def build(full: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
     global _CACHE
     if _CACHE is not None:
@@ -439,7 +450,22 @@ def build(full: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
                 ),
             ),
             # ---- text analysis (§2.11) -----------------------------
-            keep("quality_score"),
+            (
+                "quality_score",
+                QuerySpec(
+                    fn=_quality_with_perplexity,
+                    sql=f"""
+    WITH q AS ({_tx.QUALITY_SQL}),
+    p AS ({_tx.PERPLEXITY_SQL})
+    SELECT q.*, p.n_bigrams, p.nll_micro
+    FROM q JOIN p USING (doc_id)
+    """,
+                    doc="Per-doc quality columns (length / stopword / "
+                    "lexical-diversity score) joined with the CCNet-style "
+                    "hashed-bigram-LM perplexity score (absorbs "
+                    "quality_score, perplexity_score).",
+                ),
+            ),
             (
                 "text_profile",
                 QuerySpec(

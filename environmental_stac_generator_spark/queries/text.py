@@ -48,9 +48,7 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "quality_score",
-    f"""
+QUALITY_SQL = f"""
     WITH toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
     ),
@@ -71,7 +69,12 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                  + 0.3 * distinct_ratio
                  + 0.3 * (1.0 - stopword_ratio)) * 10000.0 + 0.5) / 10000.0 AS quality
     FROM stats
-    """,
+    """
+
+
+@register(
+    "quality_score",
+    QUALITY_SQL,
     doc="Quality scoring: length, stopword ratio, lexical diversity "
     "combined into a [0,1] score — the standard pretraining-corpus "
     "heuristic filter, fully relational.",
@@ -395,3 +398,138 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).drop("text")
     return _with_repetition(base).drop("ts")
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity quality filter (Wenzek et al. 2020): score
+# each document by a bigram language model and keep/flag low-perplexity
+# (fluent) text. The LM here is a hashed add-one-smoothed bigram model
+# trained on the corpus itself — the same fixed-bucket hashing trick
+# DSIR uses (importance_weights), which makes both count tables
+# constant-size (NB_LM rows) and therefore BROADCAST joins: at 100 TB
+# the plan is one bigram explode, two tiny aggregates, two broadcast
+# joins, and an integer partial-agg shuffle per doc. Per-bigram log
+# terms round once to 6-dp micro-integers so every per-doc score is an
+# ORDER-INDEPENDENT integer sum (bit-stable at any parallelism).
+
+NB_LM = 4096  # hashed LM buckets (bigram numerator + unigram context)
+
+
+def _lm_spark_bucket(col: str) -> str:
+    return f"cast(conv(substr(md5({col}), 1, 4), 16, 10) as bigint) % {NB_LM}"
+
+
+def _lm_duck_bucket(col: str) -> str:
+    return f"CAST(concat('0x', substr(md5({col}), 1, 4)) AS BIGINT) % {NB_LM}"
+
+
+PERPLEXITY_SQL = f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    toks AS (SELECT doc_id, unnest(w) AS tok FROM w),
+    uni AS (
+      SELECT {_lm_duck_bucket("tok")} AS b1, count(*) AS c1
+      FROM toks GROUP BY 1
+    ),
+    bgrams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w)),
+                    i -> w[i] || ' ' || w[i+1])) AS bg
+      FROM w WHERE len(w) >= 2
+    ),
+    big AS (
+      SELECT {_lm_duck_bucket("bg")} AS b2, count(*) AS c2
+      FROM bgrams GROUP BY 1
+    ),
+    scored AS (
+      SELECT g.doc_id,
+             CAST(floor((ln(u.c1 + {NB_LM}) - ln(b.c2 + 1.0))
+                        * 1000000.0 + 0.5) AS BIGINT) AS nll
+      FROM bgrams g
+      JOIN big b ON {_lm_duck_bucket("g.bg")} = b.b2
+      JOIN uni u ON {_lm_duck_bucket("split_part(g.bg, ' ', 1)")} = u.b1
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_bigrams, sum(nll) AS nll_micro
+      FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(p.nll_micro, 0) AS BIGINT) AS nll_micro
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
+def perplexity_of(d: DataFrame, lm: DataFrame | None = None) -> DataFrame:
+    """(doc_id, n_bigrams, nll_micro) per document of a (doc_id,
+    text) frame: total negative log-likelihood (6-dp micro-integer
+    sum) under a hashed add-one bigram LM whose counts come from
+    ``lm`` (a reference corpus) or from ``d`` itself. Lower
+    nll_micro / n_bigrams = more target-like text (the CCNet filter
+    keeps the low-perplexity tail)."""
+    lm = lm if lm is not None else d
+    w = d.select("doc_id", F.split("text", " ").alias("w"))
+    lm_w = lm.select(F.split("text", " ").alias("w"))
+    uni = (
+        lm_w.select(F.explode("w").alias("tok"))
+        .select(F.expr(_lm_spark_bucket("tok")).alias("b1"))
+        .groupBy("b1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    def bgrams(frame: DataFrame, cols: list[str]) -> DataFrame:
+        return frame.filter(F.size("w") >= 2).select(
+            *cols,
+            F.explode(
+                F.expr("transform(sequence(1, size(w) - 1), "
+                       "i -> concat(w[i-1], ' ', w[i]))")
+            ).alias("bg"),
+        )
+    big = (
+        bgrams(lm_w, [])
+        .select(F.expr(_lm_spark_bucket("bg")).alias("b2"))
+        .groupBy("b2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    g = bgrams(w, ["doc_id"]).select(
+        "doc_id",
+        F.expr(_lm_spark_bucket("bg")).alias("b2"),
+        F.expr(_lm_spark_bucket("substring_index(bg, ' ', 1)")).alias("b1"),
+    )
+    nll = (
+        F.floor(
+            (F.log(F.col("c1") + NB_LM) - F.log(F.col("c2") + F.lit(1.0)))
+            * 1e6
+            + F.lit(0.5)
+        )
+    ).cast("bigint")
+    per_doc = (
+        g.join(F.broadcast(big), "b2")
+        .join(F.broadcast(uni), "b1")
+        .select("doc_id", nll.alias("nll"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("nll").alias("nll_micro"))
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce("nll_micro", F.lit(0)).cast("bigint").alias("nll_micro"),
+        )
+    )
+
+
+@register(
+    "perplexity_score",
+    PERPLEXITY_SQL,
+    doc="CCNet-style perplexity scoring: per-doc negative "
+    f"log-likelihood under a hashed ({NB_LM}-bucket) add-one bigram "
+    "LM of the corpus — the classic fluency filter for pretraining "
+    "data (keep the low-perplexity tail). Both count tables are "
+    "constant-size and broadcast; per-bigram log terms are "
+    "micro-integer rounded so the per-doc sum is order-independent.",
+)
+def perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return perplexity_of(load(spark, sf_dir, "documents"))

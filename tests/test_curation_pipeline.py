@@ -141,3 +141,30 @@ def test_curate_importance_stage(spark, sf_dir):
     }
     got = {r.doc_id for r in res.selected.collect()}
     assert got == expect
+
+
+def test_curate_perplexity_stage(spark, sf_dir):
+    """`perplexity_max` keeps exactly the docs whose mean bigram NLL
+    under the stage-input corpus LM is at or below the cut."""
+    from environmental_stac_generator_spark.queries.text import perplexity_of
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    cut = 4.92
+    cfg = CurationConfig(near_dup_jaccard=None, perplexity_max=cut)
+    res = curate(docs, config=cfg)
+    assert "perplexity" in res.stats
+    assert 0 < res.stats["perplexity"] < res.stats["exact_dedup"]
+
+    survivors_in = docs.join(
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id"),
+        "doc_id",
+    )
+    expect = {
+        r.doc_id
+        for r in perplexity_of(survivors_in).collect()
+        if r.n_bigrams > 0 and r.nll_micro <= r.n_bigrams * cut * 1e6
+    }
+    got = {r.doc_id for r in res.selected.collect()}
+    assert got == expect

@@ -35,6 +35,7 @@ QUERIES = [
     "vocab_top_tokens",
     "span_dedup",
     "importance_weights",
+    "perplexity_score",
     "pii_scan",
     "kmeans_clusters",
     "semdedup_pairs",

@@ -30,6 +30,7 @@ QUERIES = [
     "span_dedup",
     "incremental_lsh_dedup",
     "importance_weights",
+    "perplexity_score",
 ]
 
 

@@ -286,3 +286,61 @@ def test_importance_weights_upweights_target_domain(spark, tmp_path):
     # the target-vocab doc in the web domain is the one upweighted doc
     assert got["web"][1] == 1 and got["web"][3] == 3
     assert got[IMP_TARGET_DEFAULT][1] == 2
+
+
+def test_perplexity_matches_python_recompute(spark, sf_dir):
+    """perplexity_score == a plain-Python hashed bigram-LM recompute
+    (independent of both engines)."""
+    import hashlib
+    from collections import Counter
+
+    from environmental_stac_generator_spark.queries.text import (
+        NB_LM,
+        perplexity_score,
+    )
+
+    def bucket(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:4], 16) % NB_LM
+
+    rows = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    uni, big = Counter(), Counter()
+    docs = {}
+    for r in rows:
+        w = r.text.split(" ")
+        docs[r.doc_id] = w
+        for t in w:
+            uni[bucket(t)] += 1
+        for a, b in zip(w, w[1:]):
+            big[bucket(f"{a} {b}")] += 1
+    exp = {}
+    for did, w in docs.items():
+        nll = 0
+        nb = 0
+        for a, b in zip(w, w[1:]):
+            nb += 1
+            nll += math.floor(
+                (math.log(uni[bucket(a)] + NB_LM) - math.log(big[bucket(f"{a} {b}")] + 1.0))
+                * 1e6
+                + 0.5
+            )
+        exp[did] = (nb, nll)
+    got = {
+        r.doc_id: (r.n_bigrams, r.nll_micro)
+        for r in perplexity_score(spark, sf_dir).collect()
+    }
+    assert got == exp and len(got) > 0
+
+
+def test_perplexity_flags_disfluent_text(spark, tmp_path):
+    """A doc of common fluent bigrams must score lower (per bigram)
+    than a doc of one-off shuffled bigrams."""
+    from environmental_stac_generator_spark.queries.text import perplexity_of
+
+    fluent = "the cat sat on the mat"
+    rows = [(i, fluent, "web") for i in range(20)]
+    rows.append((100, "mat the on sat cat the", "web"))  # unseen bigrams
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {r.doc_id: r for r in perplexity_of(df).collect()}
+    fluent_rate = got[0].nll_micro / got[0].n_bigrams
+    odd_rate = got[100].nll_micro / got[100].n_bigrams
+    assert odd_rate > fluent_rate
