@@ -427,16 +427,15 @@ PERPLEXITY_SQL = f"""
     WITH w AS (
       SELECT doc_id, string_split(text, ' ') AS w FROM documents
     ),
-    toks AS (SELECT doc_id, unnest(w) AS tok FROM w),
-    uni AS (
-      SELECT {_lm_duck_bucket("tok")} AS b1, count(*) AS c1
-      FROM toks GROUP BY 1
-    ),
     bgrams AS (
       SELECT doc_id,
              unnest(list_transform(range(1, len(w)),
                     i -> w[i] || ' ' || w[i+1])) AS bg
       FROM w WHERE len(w) >= 2
+    ),
+    ctx AS (
+      SELECT {_lm_duck_bucket("split_part(bg, ' ', 1)")} AS b1, count(*) AS c1
+      FROM bgrams GROUP BY 1
     ),
     big AS (
       SELECT {_lm_duck_bucket("bg")} AS b2, count(*) AS c2
@@ -448,7 +447,7 @@ PERPLEXITY_SQL = f"""
                         * 1000000.0 + 0.5) AS BIGINT) AS nll
       FROM bgrams g
       JOIN big b ON {_lm_duck_bucket("g.bg")} = b.b2
-      JOIN uni u ON {_lm_duck_bucket("split_part(g.bg, ' ', 1)")} = u.b1
+      JOIN ctx u ON {_lm_duck_bucket("split_part(g.bg, ' ', 1)")} = u.b1
     ),
     per_doc AS (
       SELECT doc_id, count(*) AS n_bigrams, sum(nll) AS nll_micro
@@ -471,12 +470,7 @@ def perplexity_of(d: DataFrame, lm: DataFrame | None = None) -> DataFrame:
     lm = lm if lm is not None else d
     w = d.select("doc_id", F.split("text", " ").alias("w"))
     lm_w = lm.select(F.split("text", " ").alias("w"))
-    uni = (
-        lm_w.select(F.explode("w").alias("tok"))
-        .select(F.expr(_lm_spark_bucket("tok")).alias("b1"))
-        .groupBy("b1")
-        .agg(F.count(F.lit(1)).alias("c1"))
-    )
+
     def bgrams(frame: DataFrame, cols: list[str]) -> DataFrame:
         return frame.filter(F.size("w") >= 2).select(
             *cols,
@@ -485,9 +479,21 @@ def perplexity_of(d: DataFrame, lm: DataFrame | None = None) -> DataFrame:
                        "i -> concat(w[i-1], ' ', w[i]))")
             ).alias("bg"),
         )
+
+    # both count tables come from the one bigram relation: the
+    # denominator is the CONTEXT count (bigrams grouped by first
+    # token) — the true bigram-MLE denominator — so no separate
+    # token explode is needed
+    lm_bg = bgrams(lm_w, [])
+    uni = (
+        lm_bg.select(
+            F.expr(_lm_spark_bucket("substring_index(bg, ' ', 1)")).alias("b1")
+        )
+        .groupBy("b1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
     big = (
-        bgrams(lm_w, [])
-        .select(F.expr(_lm_spark_bucket("bg")).alias("b2"))
+        lm_bg.select(F.expr(_lm_spark_bucket("bg")).alias("b2"))
         .groupBy("b2")
         .agg(F.count(F.lit(1)).alias("c2"))
     )

@@ -303,14 +303,13 @@ def test_perplexity_matches_python_recompute(spark, sf_dir):
         return int(hashlib.md5(s.encode()).hexdigest()[:4], 16) % NB_LM
 
     rows = load(spark, sf_dir, "documents").select("doc_id", "text").collect()
-    uni, big = Counter(), Counter()
+    uni, big = Counter(), Counter()  # uni = CONTEXT counts (bigram firsts)
     docs = {}
     for r in rows:
         w = r.text.split(" ")
         docs[r.doc_id] = w
-        for t in w:
-            uni[bucket(t)] += 1
         for a, b in zip(w, w[1:]):
+            uni[bucket(a)] += 1
             big[bucket(f"{a} {b}")] += 1
     exp = {}
     for did, w in docs.items():
