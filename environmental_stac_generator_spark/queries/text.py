@@ -483,7 +483,10 @@ def perplexity_of(d: DataFrame, lm: DataFrame | None = None) -> DataFrame:
     # both count tables come from the one bigram relation: the
     # denominator is the CONTEXT count (bigrams grouped by first
     # token) — the true bigram-MLE denominator — so no separate
-    # token explode is needed
+    # token explode is needed. The two count aggregates are LAZY
+    # branches of one plan, so their scans run as concurrent stages
+    # (a driver-collected single-pass variant measured slower: it
+    # serializes the counting job before the scoring job).
     lm_bg = bgrams(lm_w, [])
     uni = (
         lm_bg.select(
