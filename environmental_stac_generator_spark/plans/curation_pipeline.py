@@ -25,8 +25,10 @@ in the report are then free reads of the materialized partitions.
 Scale shape: dedup hashes and signatures are map-side; the only
 corpus-sized shuffles are the exact-dedup hash partition and the
 prefix-sum bucket partition (deterministic driver-frozen boundaries,
-`operators/cumulative.py`). Near-dup pairs, probes, and contaminated
-id sets are broadcast-bounded.
+`operators/cumulative.py`). Probe shingle sets are eval-set-bounded
+and broadcast-hinted; loser/contaminated id sets scale with the
+duplication/contamination rate, so their anti-joins are unhinted and
+AQE picks broadcast vs shuffle from runtime sizes.
 """
 
 from __future__ import annotations
@@ -78,14 +80,16 @@ def _exact_dedup(docs: DataFrame) -> DataFrame:
 def _near_dedup(docs: DataFrame, threshold: float) -> DataFrame:
     from environmental_stac_generator_spark.queries.dedup import verified_pairs_of
 
-    # drop the higher id of every verified pair (keep-first policy);
-    # the loser set is candidate-bounded, so the anti-join broadcasts.
+    # drop the higher id of every verified pair (keep-first policy).
+    # No broadcast hint: the loser set is candidate-bounded, which is
+    # corpus-scale in a duplicate-heavy corpus — AQE runtime-sizes the
+    # anti-join (still a broadcast when the set is actually small).
     losers = (
         verified_pairs_of(docs, threshold=threshold)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    return docs.join(F.broadcast(losers), "doc_id", "left_anti")
+    return docs.join(losers, "doc_id", "left_anti")
 
 
 def _decontaminate(docs: DataFrame, probes: DataFrame) -> DataFrame:
@@ -105,7 +109,9 @@ def _decontaminate(docs: DataFrame, probes: DataFrame) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    return docs.join(F.broadcast(contaminated), "doc_id", "left_anti")
+    # contaminated-id volume tracks contamination rate, not the eval
+    # set — unhinted, so AQE runtime-sizes the anti-join
+    return docs.join(contaminated, "doc_id", "left_anti")
 
 
 def _semantic_dedup(
@@ -117,7 +123,8 @@ def _semantic_dedup(
 
     # SemDeDup: k-means clusters prune the pair space, exact cosine
     # confirms; drop the higher id of each pair (keep-first). The
-    # loser set is pair-bounded, so the anti-join broadcasts.
+    # loser set is pair-bounded — corpus-scale when duplication is
+    # heavy — so the anti-join is unhinted and AQE runtime-sizes it.
     pairs = semantic_pairs_of(
         embeddings.select(
             F.col("doc_id").alias("vec_id"), "embedding"
@@ -125,7 +132,7 @@ def _semantic_dedup(
         threshold=threshold,
     )
     losers = pairs.select(F.col("vec_b").alias("doc_id")).distinct()
-    return docs.join(F.broadcast(losers), "doc_id", "left_anti")
+    return docs.join(losers, "doc_id", "left_anti")
 
 
 def _redact(docs: DataFrame) -> DataFrame:

@@ -150,7 +150,7 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clean = (
         d.filter(F.col("doc_id") >= N_PROBE_DOCS)
-        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+        .join(contaminated, "doc_id", "left_anti")  # AQE runtime-sizes
     )
     return clean.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_clean"),

@@ -585,9 +585,10 @@ def verified_pairs_of(
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) near-dup pairs of a (doc_id, text)
     frame: LSH candidates confirmed by exact shingle-set Jaccard >=
-    ``threshold``. The candidate set is broadcast against the per-doc
-    shingle arrays and the set algebra runs map-side — O(candidates),
-    never O(n²)."""
+    ``threshold``. The set algebra runs map-side — O(candidates),
+    never O(n²). The candidate-pair joins are unhinted: candidates
+    are corpus-scale in a duplicate-heavy corpus, so AQE runtime-sizes
+    the strategy (broadcast when actually small)."""
     sets = (
         d.withColumn("words", F.split("text", " "))
         .filter(F.size("words") >= 3)
@@ -596,7 +597,7 @@ def verified_pairs_of(
     pairs = bucket_pairs(bands_of(d), ["band", "band_hash"], "doc_id", max_bucket)
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    joined = a.join(F.broadcast(pairs), "doc_a").join(b, "doc_b")
+    joined = a.join(pairs, "doc_a").join(b, "doc_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter.cast("double") / union
