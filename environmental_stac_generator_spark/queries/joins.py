@@ -37,7 +37,9 @@ from environmental_stac_generator_spark.tables import load
 def skip_existing_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     existing = o.filter(F.col("o_orderkey") % 3 == 0).select("o_orderkey")
-    new = o.join(F.broadcast(existing), "o_orderkey", "left_anti")
+    # unhinted: the existing-key set is catalog-scale, not a fixed
+    # dimension — AQE runtime-sizes the anti-join
+    new = o.join(existing, "o_orderkey", "left_anti")
     return new.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n_new"))
 
 

@@ -54,8 +54,10 @@ def read_existing_keys(
 
 
 def skip_existing(df: DataFrame, existing_keys: DataFrame, key_columns: list[str]) -> DataFrame:
-    """J4/J5: broadcast left-anti join on the (composite) key."""
-    return df.join(F.broadcast(existing_keys), key_columns, "left_anti")
+    """J4/J5: left-anti join on the (composite) key — unhinted, since
+    the stored-key relation grows with the catalog; AQE broadcasts it
+    while it actually fits and shuffles once it does not."""
+    return df.join(existing_keys, key_columns, "left_anti")
 
 
 def upsert_dataframe(

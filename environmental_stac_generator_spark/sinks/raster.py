@@ -600,8 +600,10 @@ def skip_existing_outputs(planned: DataFrame, out_dir: str | Path, spark) -> Dat
         .load(str(out_dir))
         .select(F.col("path").alias("_existing_path"))
     )
+    # unhinted: the existing-output listing grows with the catalog;
+    # AQE runtime-sizes the anti-join
     return planned.join(
-        F.broadcast(existing),
+        existing,
         planned["path"] == F.regexp_replace("_existing_path", "^file:", ""),
         "left_anti",
     )

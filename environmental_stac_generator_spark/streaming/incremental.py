@@ -69,8 +69,10 @@ def merge_batch_into_table(
     # missing #2), localCheckpoint otherwise.
     try:
         existing = spark.read.parquet(table_dir)
+        # unhinted: the stored table grows without bound across
+        # batches; AQE broadcasts its key projection while small
         fresh = batch_df.join(
-            F.broadcast(existing.select(*key_columns)), key_columns, "left_anti"
+            existing.select(*key_columns), key_columns, "left_anti"
         )
         merged = cut_lineage(existing.unionByName(fresh))
     except Exception:  # first batch: table does not exist yet
