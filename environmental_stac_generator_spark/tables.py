@@ -46,9 +46,9 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, T.LongType):
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
+            # integer division: epoch nanos (~1.7e18) exceed double's
+            # 2^53 exact range, so `/ 1000` in double loses microseconds
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif not isinstance(ts_type, T.TimestampType):
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df

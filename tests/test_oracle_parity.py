@@ -79,3 +79,35 @@ def test_duplicate_clusters_with_reliable_checkpoint(spark, sf_dir, tmp_path):
         # restore "no checkpoint dir" on the shared session fixture
         # (no public unset API; the Scala setter is checkpointDir_=)
         getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
+
+
+def test_events_loader_handles_nanos_parquet(spark, sf_dir, tmp_path):
+    """The OTHER physical layout: a TIMESTAMP(NANOS) events.parquet
+    (what the driver shipped before the timestamp[us] drift) must load
+    to the same TIMESTAMP column values via the nanosAsLong branch."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from environmental_stac_generator_spark.tables import load
+
+    ev = load(spark, sf_dir, "events")
+    want = {r["event_id"]: r["ts"] for r in ev.select("event_id", "ts").collect()}
+
+    pdf = ev.toPandas()
+    tbl = pa.Table.from_pandas(pdf)
+    idx = tbl.schema.get_field_index("ts")
+    tbl = tbl.set_column(
+        idx, pa.field("ts", pa.timestamp("ns")), tbl.column("ts").cast(pa.timestamp("ns"))
+    )
+    (tmp_path / "events.parquet").mkdir()
+    pq.write_table(
+        tbl, tmp_path / "events.parquet" / "part-0.parquet",
+        use_deprecated_int96_timestamps=False,
+        coerce_timestamps=None,
+    )
+    from pyspark.sql import types as T
+
+    ev2 = load(spark, str(tmp_path), "events")
+    assert isinstance(ev2.schema["ts"].dataType, T.TimestampType)
+    got = {r["event_id"]: r["ts"] for r in ev2.select("event_id", "ts").collect()}
+    assert got == want
