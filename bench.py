@@ -64,6 +64,7 @@ HEADLINE = [
     "semdedup_pairs",
     "importance_weights",
     "perplexity_score",
+    "int8_quantize",
 ]
 
 

@@ -44,6 +44,7 @@ QUERIES = [
     "ann_lsh_buckets",
     "ivf_ann_probe",
     "embedding_near_dup",
+    "int8_quantize",
     "salted_agg",
     "exact_percentiles",
 ]

@@ -31,6 +31,7 @@ QUERIES = [
     "incremental_lsh_dedup",
     "importance_weights",
     "perplexity_score",
+    "int8_quantize",
 ]
 
 

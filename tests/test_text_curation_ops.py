@@ -343,3 +343,21 @@ def test_perplexity_flags_disfluent_text(spark, tmp_path):
     fluent_rate = got[0].nll_micro / got[0].n_bigrams
     odd_rate = got[100].nll_micro / got[100].n_bigrams
     assert odd_rate > fluent_rate
+
+
+def test_int8_quantize_matches_numpy(spark, sf_dir):
+    """int8_quantize == a numpy absmax-scale recompute; codes bounded
+    to [-127, 127] and exact zeros stay zero."""
+    from environmental_stac_generator_spark.queries.similarity import int8_quantize
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    exp = {}
+    for r in emb:
+        v = np.array(r.embedding, dtype=np.float64)
+        scale = np.abs(v).max() / 127.0
+        s = scale if scale != 0.0 else 1.0
+        for i, x in enumerate(v):
+            exp[(r.vec_id, i)] = math.floor(float(x) / s + 0.5)
+    got = {(r.vec_id, r.idx): r.q for r in int8_quantize(spark, sf_dir).collect()}
+    assert got == exp and len(got) > 0
+    assert all(-127 <= q <= 127 for q in got.values())

@@ -40,7 +40,7 @@ AUDIT = [
     "token_budget_select", "sequence_pack", "repetition_profile",
     "kmeans_clusters", "chunk_documents", "incremental_lsh_dedup",
     "vocab_top_tokens", "pii_scan", "semdedup_pairs", "span_dedup",
-    "importance_weights", "perplexity_score",
+    "importance_weights", "perplexity_score", "int8_quantize",
 ]
 # consolidated (driver-facing) merged entries worth auditing explicitly
 MERGED = [
