@@ -91,6 +91,12 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     cur.add_argument("--output", default=None, help="Write selected docs here (parquet)")
     cur.add_argument("--jaccard", type=float, default=0.5, help="Near-dup threshold (negative disables)")
+    cur.add_argument(
+        "--dedup-keep",
+        choices=["first", "best_quality"],
+        default="first",
+        help="Near-dup survivor policy: lowest doc_id or highest quality",
+    )
     cur.add_argument("--quality-min", type=float, default=None, help="Minimum quality score")
     cur.add_argument(
         "--perplexity-max",
@@ -237,6 +243,7 @@ def _curate(spark, args) -> dict:
     )
     cfg = CurationConfig(
         near_dup_jaccard=None if args.jaccard < 0 else args.jaccard,
+        dedup_keep=args.dedup_keep,
         semantic_cosine=args.semantic_cosine,
         redact_pii=args.redact_pii,
         quality_min=args.quality_min,

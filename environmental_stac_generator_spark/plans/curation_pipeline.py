@@ -46,6 +46,11 @@ class CurationConfig:
 
     exact_dedup: bool = True
     near_dup_jaccard: float | None = 0.5  # None disables the stage
+    # near-dup survivor policy: "first" keeps the lowest doc_id of
+    # each duplicate cluster; "best_quality" keeps the highest-quality
+    # member (quality score, lowest-id tiebreak) — what production
+    # curators usually want
+    dedup_keep: str = "first"
     semantic_cosine: float | None = None  # needs an embeddings frame
     redact_pii: bool = False
     quality_min: float | None = None
@@ -77,18 +82,43 @@ def _exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def _near_dedup(docs: DataFrame, threshold: float) -> DataFrame:
-    from environmental_stac_generator_spark.queries.dedup import verified_pairs_of
-
-    # drop the higher id of every verified pair (keep-first policy).
-    # No broadcast hint: the loser set is candidate-bounded, which is
-    # corpus-scale in a duplicate-heavy corpus — AQE runtime-sizes the
-    # anti-join (still a broadcast when the set is actually small).
-    losers = (
-        verified_pairs_of(docs, threshold=threshold)
-        .select(F.col("doc_b").alias("doc_id"))
-        .distinct()
+def _near_dedup(
+    docs: DataFrame, threshold: float, keep: str = "first"
+) -> DataFrame:
+    from environmental_stac_generator_spark.queries.dedup import (
+        components_of,
+        verified_pairs_of,
     )
+
+    # No broadcast hint on the loser anti-join: the loser set is
+    # candidate-bounded, which is corpus-scale in a duplicate-heavy
+    # corpus — AQE runtime-sizes it (still a broadcast when the set is
+    # actually small).
+    pairs = verified_pairs_of(docs, threshold=threshold)
+    if keep == "first":
+        # drop the higher id of every verified pair
+        losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    elif keep == "best_quality":
+        # group verified pairs into duplicate clusters, keep the
+        # highest-quality member per cluster (lowest-id tiebreak); the
+        # quality relation is computed only for cluster members —
+        # duplicate-volume-bounded, never the whole corpus
+        from environmental_stac_generator_spark.queries.text import with_quality
+
+        members = components_of(pairs)
+        scored = members.join(
+            with_quality(docs).select("doc_id", "quality"), "doc_id"
+        )
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.col("quality").desc(), F.col("doc_id")
+        )
+        losers = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > 1)
+            .select("doc_id")
+        )
+    else:
+        raise ValueError(f"unknown dedup_keep policy: {keep!r}")
     return docs.join(losers, "doc_id", "left_anti")
 
 
@@ -258,7 +288,10 @@ def curate(
     if cfg.exact_dedup:
         cur = staged(_exact_dedup(cur), "exact_dedup")
     if cfg.near_dup_jaccard is not None:
-        cur = staged(_near_dedup(cur, cfg.near_dup_jaccard), "near_dedup")
+        cur = staged(
+            _near_dedup(cur, cfg.near_dup_jaccard, keep=cfg.dedup_keep),
+            "near_dedup",
+        )
     if cfg.semantic_cosine is not None and embeddings is not None:
         cur = staged(
             _semantic_dedup(cur, embeddings, cfg.semantic_cosine),

@@ -510,7 +510,18 @@ def _cut_lineage(df: DataFrame) -> DataFrame:
     "recursive-CTE reachability in DuckDB.",
 )
 def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = lsh_candidate_pairs(spark, sf_dir)
+    return components_of(lsh_candidate_pairs(spark, sf_dir)).orderBy("doc_id")
+
+
+def components_of(pairs: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id) connected components of a (doc_a, doc_b)
+    pair relation — min-label propagation to fixpoint; diameter of
+    near-dup clusters is tiny, so this loops a handful of times
+    regardless of corpus size. cut_lineage keeps each round's plan
+    constant-size (reliable checkpoint when a dir is configured).
+    Convergence check: labels only ever decrease, so the label sum
+    strictly decreases until the fixpoint — one cheap aggregate per
+    round instead of a join + count."""
     edges = _cut_lineage(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -520,12 +531,6 @@ def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
-    # min-label propagation to fixpoint; diameter of near-dup clusters
-    # is tiny, so this loops a handful of times regardless of corpus
-    # size. localCheckpoint keeps each round's plan constant-size.
-    # Convergence check: labels only ever decrease, so the label sum
-    # strictly decreases until the fixpoint — one cheap aggregate per
-    # round instead of a join + count.
     prev_sum = labels.agg(F.sum("label")).first()[0]
     while True:
         labels = _cut_lineage(
@@ -539,8 +544,8 @@ def duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")).orderBy(
-        "doc_id"
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
 
 

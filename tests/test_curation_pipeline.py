@@ -168,3 +168,23 @@ def test_curate_perplexity_stage(spark, sf_dir):
     }
     got = {r.doc_id for r in res.selected.collect()}
     assert got == expect
+
+
+def test_curate_dedup_keep_best_quality(spark, tmp_path):
+    """keep='best_quality' keeps the highest-quality member of each
+    duplicate cluster; keep='first' keeps the lowest id."""
+    base = " ".join(f"tok{i}" for i in range(40))
+    extra = " ".join(f"extra{i}" for i in range(25))
+    rows = [
+        (1, base, "web"),                 # near-dup of 2, lower quality
+        (2, f"{base} {extra}", "web"),    # longer, more diverse: higher quality
+        (3, " ".join(f"solo{i}" for i in range(30)), "web"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+    first = curate(df, config=CurationConfig())
+    assert {r.doc_id for r in first.selected.collect()} == {1, 3}
+
+    best = curate(df, config=CurationConfig(dedup_keep="best_quality"))
+    assert {r.doc_id for r in best.selected.collect()} == {2, 3}
+    assert best.stats["near_dedup"] == 2
