@@ -19,16 +19,25 @@ made safe for re-execution:
    differently and silently mis-assign offsets at scale. (A persist
    also pins the partitioning, but holds a relation-sized cache for
    the session; VERDICT r3 #4.)
-2. per-bucket totals (map-side combined → one row per bucket) are
-   prefix-summed into offsets by a window over that tiny relation,
-   INSIDE the same plan, and broadcast-joined back;
+2. per-bucket totals (map-side combined → one row per bucket, at
+   most ``num_partitions`` rows) are collected to the driver and
+   prefix-summed into offsets there — K-sized driver state, the same
+   class as k-means centroids — then shipped back as a broadcast
+   LocalTableScan (no second scan, no SinglePartition window job);
 3. a PARALLEL within-bucket cumsum window plus the offset yields the
    exact global running total.
 
-No cached state, no driver totals collect, bit-stable at any
-parallelism. Boundary quality affects only balance, never
-correctness: whatever boundaries were frozen, every branch applies
-the same literals.
+No cached state, bit-stable at any parallelism; the collect makes
+the call EAGER (it runs the totals job at plan-construction time).
+Boundary quality affects only balance, never correctness: whatever
+boundaries were frozen, every branch applies the same literals.
+
+The totals job and the final window pass each scan the input once.
+When the input derives from an expensive projection (tokenization of
+document text), materialize it first — ``operators.lineage.
+cut_lineage(df, eager=False)`` — so the expensive map runs once and
+both passes read the stored narrow partitions (per-doc metrics are
+~0.03% of corpus bytes, executor-storage-sized even at 100 TB).
 """
 
 from __future__ import annotations
@@ -40,6 +49,14 @@ from pyspark.sql import Column, DataFrame, Window
 
 _SAMPLE_PER_BUCKET = 20  # sampled keys per target bucket
 _SEED = 42
+
+# Stats-driven physical strategy (the CBO/AQE pattern): below this
+# row count a single-reducer window sort is strictly faster than the
+# two-phase plan (one job vs two; ≤ tens of MB through one task), and
+# above it the bucketed plan is the only one that scales. Callers
+# pass ``input_rows`` from relation stats (parquet footer row counts,
+# catalog stats); no hint → always the scale-safe bucketed plan.
+SMALL_INPUT_ROWS = 1_000_000
 
 
 def _norm_order(order) -> list[tuple[Column, bool]]:
@@ -105,17 +122,29 @@ def global_running_sum(
     out_col: str = "running_total",
     num_partitions: int | None = None,
     boundaries: list | None = None,
+    input_rows: int | None = None,
 ) -> DataFrame:
     """Exact global running sum of ``value_col`` in ``order``,
-    without a single-partition sort.
+    without a single-partition sort (unless stats prove it cheap).
 
     ``order`` is a list of Columns (ascending) or ``(Column,
     ascending)`` pairs forming a total order over non-null keys (add
     a unique tiebreak column). ``boundaries`` optionally supplies the
     bucket-boundary key tuples (sorted in the configured order —
     e.g. even cuts of a score with a known range, skipping the
-    sampling scan); otherwise :func:`sample_boundaries` runs."""
+    sampling scan); otherwise :func:`sample_boundaries` runs.
+    ``input_rows`` is an optional relation-stats hint: when provided
+    and ≤ :data:`SMALL_INPUT_ROWS`, the plan is the plain one-job
+    window cumsum (exactly what a cost-based optimizer picks for a
+    provably small relation); both paths are property-tested equal
+    (tests/test_properties.py)."""
     keys = _norm_order(order)
+    if input_rows is not None and input_rows <= SMALL_INPUT_ROWS:
+        sort_cols = [k.asc() if asc else k.desc() for k, asc in keys]
+        w = Window.orderBy(*sort_cols).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        return df.withColumn(out_col, F.sum(value_col).over(w))
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     bounds = boundaries if boundaries is not None else sample_boundaries(df, keys, n)
     if bounds:
@@ -128,20 +157,29 @@ def global_running_sum(
         pid = F.lit(0)
     bucketed = df.withColumn("_pid", pid)
     # tiny: one row per non-empty bucket (map-side combined — a hot
-    # bucket reaches its reducer as one row per map task); the offset
-    # is the sum of STRICTLY PRECEDING bucket totals (sum skips null
-    # totals, matching "treat an all-null bucket as 0")
-    totals = bucketed.groupBy("_pid").agg(F.sum(value_col).alias("_t"))
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(
-        "_pid", F.coalesce(F.sum("_t").over(w_off), F.lit(0)).alias("_off")
+    # bucket reaches its reducer as one row per map task), collected
+    # and prefix-summed driver-side; a null total (all-null bucket)
+    # contributes 0, matching SQL sum's null-skipping
+    totals_df = bucketed.groupBy("_pid").agg(F.sum(value_col).alias("_t"))
+    sum_type = totals_df.schema["_t"].dataType
+    totals = {r["_pid"]: r["_t"] for r in totals_df.collect()}
+    if not totals:
+        return df.withColumn(out_col, F.lit(None).cast(sum_type))
+    offsets, run = [], 0
+    for p in sorted(totals):
+        offsets.append((p, run))
+        run += totals[p] or 0
+    spark = df.sparkSession
+    offsets_df = spark.createDataFrame(
+        offsets,
+        schema=f"_pid int, _off {sum_type.simpleString()}",
     )
     sort_cols = [k.asc() if asc else k.desc() for k, asc in keys]
     w = Window.partitionBy("_pid").orderBy(*sort_cols).rowsBetween(
         Window.unboundedPreceding, 0
     )
     return (
-        bucketed.join(F.broadcast(offsets), "_pid")
+        bucketed.join(F.broadcast(offsets_df), "_pid")
         .withColumn(out_col, F.sum(value_col).over(w) + F.col("_off"))
         .drop("_pid", "_off")
     )

@@ -19,8 +19,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def cut_lineage(df: DataFrame) -> DataFrame:
+def cut_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
+    """``eager=False`` defers materialization to the first action over
+    the returned frame — use it when the very next step is itself an
+    action (a totals collect, a boundary sample), so one job both
+    computes and stores the partitions instead of two."""
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
-        return df.checkpoint()
-    return df.localCheckpoint()
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)

@@ -225,7 +225,9 @@ def _importance_select(docs: DataFrame, target: str) -> DataFrame:
     return docs.join(winners, "doc_id", "left_semi")
 
 
-def _budget_select(docs: DataFrame, budget: int) -> DataFrame:
+def _budget_select(
+    docs: DataFrame, budget: int, input_rows: int | None = None
+) -> DataFrame:
     from environmental_stac_generator_spark.operators.cumulative import (
         global_running_sum,
     )
@@ -236,18 +238,22 @@ def _budget_select(docs: DataFrame, budget: int) -> DataFrame:
     n = docs.sparkSession.sparkContext.defaultParallelism
     bounds = [(1.0 - i / n, -1) for i in range(1, n)]
     ranked = global_running_sum(
-        docs, order, "n_tokens", out_col="_cum", boundaries=bounds
+        docs, order, "n_tokens", out_col="_cum", boundaries=bounds,
+        input_rows=input_rows,
     )
     return ranked.filter(F.col("_cum") <= budget).drop("_cum")
 
 
-def _pack(docs: DataFrame, seq_len: int) -> DataFrame:
+def _pack(
+    docs: DataFrame, seq_len: int, input_rows: int | None = None
+) -> DataFrame:
     from environmental_stac_generator_spark.operators.cumulative import (
         global_running_sum,
     )
 
     placed = global_running_sum(
-        docs, [(F.col("doc_id"), True)], "n_tokens", out_col="_cum"
+        docs, [(F.col("doc_id"), True)], "n_tokens", out_col="_cum",
+        input_rows=input_rows,
     ).withColumn("_start", F.col("_cum") - F.col("n_tokens"))
     return (
         placed.groupBy(
@@ -277,11 +283,13 @@ def curate(
     spark = docs.sparkSession
     reliable = bool(spark.sparkContext.getCheckpointDir())
 
+    last_count: list[int] = [0]
+
     def staged(df: DataFrame, stage: str) -> DataFrame:
         # one materialization per stage: downstream multi-consumption
         # reads the stored partitions instead of re-running upstream
         out = df.checkpoint() if reliable else df.localCheckpoint()
-        stats[stage] = out.count()
+        stats[stage] = last_count[0] = out.count()
         return out
 
     cur = staged(docs, "input")
@@ -321,7 +329,12 @@ def curate(
             _importance_select(scored, cfg.importance_target), "importance"
         )
     if cfg.token_budget is not None:
-        scored = staged(_budget_select(scored, cfg.token_budget), "budget")
+        # every stage in this chain is a 1:1 map or a row filter over
+        # the last staged frame, so last_count is an upper bound on
+        # the prefix-sum input — exactly the stats a CBO would use
+        scored = staged(
+            _budget_select(scored, cfg.token_budget, last_count[0]), "budget"
+        )
 
-    packed = staged(_pack(scored, cfg.seq_len), "sequences")
+    packed = staged(_pack(scored, cfg.seq_len, last_count[0]), "sequences")
     return CurationResult(selected=scored, packed=packed, stats=stats)

@@ -12,10 +12,11 @@ extensions): the selection half of a pretraining pipeline.
   scanned once and anti-joined — never self-joined.
 - ``token_budget_select`` — greedy quality-ordered selection under a
   global token budget: rank by quality, running-sum token counts,
-  keep while the budget holds. The running sum is the two-phase
-  range-partitioned prefix sum (``operators.cumulative``), never a
-  single-partition window sort, and only the per-doc metric relation
-  (not the corpus text) is shuffled.
+  keep while the budget holds. The running sum is stats-adaptive
+  (``operators.cumulative``): parquet footer row counts pick the
+  one-job window plan for provably small relations and the two-phase
+  range-partitioned prefix sum at scale, where only the per-doc
+  metric relation (not the corpus text) is shuffled.
 
 - ``sequence_pack`` — lay documents end-to-end in deterministic id
   order and assign each to the fixed-length context window its start
@@ -36,7 +37,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from environmental_stac_generator_spark.registry import register
-from environmental_stac_generator_spark.tables import load
+from environmental_stac_generator_spark.tables import load, table_rows
 
 # stratum -> keep percentage (a data-mixing recipe)
 SAMPLE_RATES = {"web": 25, "books": 75, "wiki": 50, "code": 100}
@@ -188,14 +189,20 @@ TOKEN_BUDGET = 20_000
     doc="Token-budget curation: rank documents by lexical diversity "
     "(distinct/total token ratio, deterministic id tiebreak), take "
     "the prefix whose running token sum fits the global budget. The "
-    "running sum uses operators.cumulative.global_running_sum — the "
-    "two-phase range-partitioned prefix sum, NOT a single-partition "
-    "window sort: both passes are fully parallel at 100 TB, and only "
-    "the per-doc metric relation (never the text) is shuffled.",
+    "running sum is operators.cumulative.global_running_sum with "
+    "relation stats (parquet footer row count): small inputs get the "
+    "one-job window plan, large ones the two-phase range-partitioned "
+    "prefix sum — fully parallel at 100 TB, shuffling only the "
+    "per-doc metric relation (never the text). Path equality is "
+    "property-tested.",
 )
 def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from environmental_stac_generator_spark.operators.cumulative import (
+        SMALL_INPUT_ROWS,
         global_running_sum,
+    )
+    from environmental_stac_generator_spark.operators.lineage import (
+        cut_lineage,
     )
 
     d = load(spark, sf_dir, "documents")
@@ -213,8 +220,19 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     # boundary-sampling scan entirely (balance-only decision)
     n = spark.sparkContext.defaultParallelism
     bounds = [(1.0 - i / n, -1) for i in range(1, n)]
+    rows = table_rows(sf_dir, "documents")
+    if rows is None or rows > SMALL_INPUT_ROWS:
+        # tokenize ONCE on the bucketed path: the totals job and the
+        # window pass both consume metrics; store the narrow per-doc
+        # relation (lazily — the totals collect materializes it)
+        metrics = cut_lineage(metrics, eager=False)
     ranked = global_running_sum(
-        metrics, order, "n_tokens", out_col="cum_tokens", boundaries=bounds
+        metrics,
+        order,
+        "n_tokens",
+        out_col="cum_tokens",
+        boundaries=bounds,
+        input_rows=rows,
     )
     return (
         ranked.filter(F.col("cum_tokens") <= TOKEN_BUDGET)
@@ -253,21 +271,32 @@ SEQ_LEN = 2_048
     doc="Sequence packing: lay documents end-to-end in deterministic "
     "id order and assign each to the fixed-length training sequence "
     "its start offset falls in — the pretraining context-window "
-    "packing pass. The running offset is the two-phase parallel "
-    "prefix sum (operators/cumulative.py), so packing 100 TB needs "
-    "no single-reducer sort; only (doc_id, n_tokens) pairs shuffle.",
+    "packing pass. The running offset is the stats-adaptive prefix "
+    "sum (operators/cumulative.py): packing 100 TB takes the "
+    "two-phase plan with no single-reducer sort, shuffling only "
+    "(doc_id, n_tokens) pairs.",
 )
 def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from environmental_stac_generator_spark.operators.cumulative import (
+        SMALL_INPUT_ROWS,
         global_running_sum,
     )
 
-    d = load(spark, sf_dir, "documents")
-    metrics = d.select(
-        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    from environmental_stac_generator_spark.operators.lineage import (
+        cut_lineage,
     )
+
+    d = load(spark, sf_dir, "documents")
+    metrics = d.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+    rows = table_rows(sf_dir, "documents")
+    if rows is None or rows > SMALL_INPUT_ROWS:
+        metrics = cut_lineage(metrics, eager=False)
     placed = global_running_sum(
-        metrics, [(F.col("doc_id"), True)], "n_tokens", out_col="cum"
+        metrics,
+        [(F.col("doc_id"), True)],
+        "n_tokens",
+        out_col="cum",
+        input_rows=rows,
     ).withColumn("start_off", F.col("cum") - F.col("n_tokens"))
     return (
         placed.groupBy(

@@ -57,3 +57,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLE_NAMES}
+
+
+def table_rows(sf_dir: str, name: str) -> int | None:
+    """Relation row count from parquet footer metadata — the stats a
+    cost-based optimizer would read from the catalog. Driver-side,
+    footer-only (no data pages, no Spark job); ``None`` when the file
+    is missing or unreadable, so callers degrade to the stats-less
+    (scale-safe) plan."""
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.read_metadata(f"{sf_dir}/{name}.parquet").num_rows
+    except Exception:
+        return None

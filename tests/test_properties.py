@@ -413,3 +413,40 @@ def test_global_running_sum_boundary_path_matches_naive(spark):
     )
     want = {r["id"]: r["rt"] for r in df.withColumn("rt", F.sum("v").over(w)).collect()}
     assert got == want
+
+
+def test_global_running_sum_stats_hint_path_matches_bucketed(spark):
+    """The stats-driven small-relation path (``input_rows`` ≤
+    SMALL_INPUT_ROWS → one-job window plan) must produce exactly the
+    bucketed two-phase result, and a large hint must keep the
+    scale-safe bucketed plan (no SinglePartition exchange of the
+    input)."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from environmental_stac_generator_spark.operators.cumulative import (
+        SMALL_INPUT_ROWS,
+        global_running_sum,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, rng.randint(0, 50), rng.randint(1, 9)) for i in range(2_000)]
+    df = spark.createDataFrame(rows, "id bigint, grp bigint, v bigint")
+    order = [(F.col("grp"), False), (F.col("id"), True)]
+    small = global_running_sum(
+        df, order, "v", out_col="rt", input_rows=len(rows)
+    )
+    bucketed = global_running_sum(
+        df, order, "v", out_col="rt", num_partitions=8,
+        input_rows=SMALL_INPUT_ROWS + 1,
+    )
+    assert {r["id"]: r["rt"] for r in small.collect()} == {
+        r["id"]: r["rt"] for r in bucketed.collect()
+    }
+    # the small path is the one-job plan …
+    assert "SinglePartition" in small._jdf.queryExecution().executedPlan().toString()
+    # … and the large-hint plan never funnels the input through one
+    # reducer: its only window is partitioned by the bucket id
+    plan = bucketed._jdf.queryExecution().toString()
+    assert "_pid" in plan
