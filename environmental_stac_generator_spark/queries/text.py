@@ -483,28 +483,46 @@ def perplexity_of(d: DataFrame, lm: DataFrame | None = None) -> DataFrame:
     # both count tables come from the one bigram relation: the
     # denominator is the CONTEXT count (bigrams grouped by first
     # token) — the true bigram-MLE denominator — so no separate
-    # token explode is needed. The two count aggregates are LAZY
-    # branches of one plan, so their scans run as concurrent stages
-    # (a driver-collected single-pass variant measured slower: it
-    # serializes the counting job before the scoring job).
-    lm_bg = bgrams(lm_w, [])
-    uni = (
-        lm_bg.select(
-            F.expr(_lm_spark_bucket("substring_index(bg, ' ', 1)")).alias("b1")
-        )
-        .groupBy("b1")
-        .agg(F.count(F.lit(1)).alias("c1"))
-    )
-    big = (
-        lm_bg.select(F.expr(_lm_spark_bucket("bg")).alias("b2"))
-        .groupBy("b2")
-        .agg(F.count(F.lit(1)).alias("c2"))
-    )
+    # token explode is needed.
     g = bgrams(w, ["doc_id"]).select(
         "doc_id",
         F.expr(_lm_spark_bucket("bg")).alias("b2"),
         F.expr(_lm_spark_bucket("substring_index(bg, ' ', 1)")).alias("b1"),
     )
+    if lm is d:
+        # self-LM: the scoring relation IS the count source, so the
+        # bucketed (doc_id, b1, b2) bigram relation — ints only,
+        # ~shuffle-sized, never the text — is materialized ONCE
+        # (lazily; the first broadcast build runs the explode) and
+        # feeds both count aggregates and the scoring join. One corpus
+        # explode instead of three. (An earlier driver-collected
+        # single-pass variant measured slower: blocking collects
+        # serialize stages that lazy branches run concurrently —
+        # stored-partition reads keep the fan-out lazy.)
+        from environmental_stac_generator_spark.operators.lineage import (
+            cut_lineage,
+        )
+
+        g = cut_lineage(g, eager=False)
+        uni = g.groupBy("b1").agg(F.count(F.lit(1)).alias("c1"))
+        big = g.groupBy("b2").agg(F.count(F.lit(1)).alias("c2"))
+    else:
+        # held-out reference LM: counts come from the lm corpus, the
+        # scores from d — two distinct relations, two lazy branches
+        # whose scans run as concurrent stages
+        lm_bg = bgrams(lm_w, [])
+        uni = (
+            lm_bg.select(
+                F.expr(_lm_spark_bucket("substring_index(bg, ' ', 1)")).alias("b1")
+            )
+            .groupBy("b1")
+            .agg(F.count(F.lit(1)).alias("c1"))
+        )
+        big = (
+            lm_bg.select(F.expr(_lm_spark_bucket("bg")).alias("b2"))
+            .groupBy("b2")
+            .agg(F.count(F.lit(1)).alias("c2"))
+        )
     nll = (
         F.floor(
             (F.log(F.col("c1") + NB_LM) - F.log(F.col("c2") + F.lit(1.0)))
