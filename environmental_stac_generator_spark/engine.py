@@ -159,11 +159,17 @@ class EnvStacEngine:
         return df
 
     def release(self) -> None:
-        """Unpersist every frame cached by earlier ``process`` calls.
-        Call once the returned frames have been consumed (inspected /
+        """Unpersist every frame cached by earlier ``process`` calls,
+        plus any module-tracked pair-bucket caches (ADVICE r4). Call
+        once the returned frames have been consumed (inspected /
         saved): results stay valid but recompute on next use."""
+        from environmental_stac_generator_spark.operators.lineage import (
+            release_tracked,
+        )
+
         while self._persisted:
             self._persisted.pop().unpersist()
+        release_tracked()
 
     # ---- catalog save (K4) ----
 

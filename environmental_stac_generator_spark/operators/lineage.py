@@ -19,6 +19,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+# Module-level registry of persisted relations that outlive their
+# query function (pair-generation buckets consumed by two plan
+# branches). A bare ``persist()`` with no unpersist path pins a
+# relation-sized cache in the CacheManager for the session — one per
+# DISTINCT input frame, so repeated curate() runs over different
+# corpora accumulate pins (ADVICE r4). ``persist_tracked`` keeps the
+# CacheManager reuse (ReuseExchange alone re-runs reduce-side collect
+# aggs per consumer) while making every pin releasable:
+# ``release_tracked()`` drains the registry, and the curate chain
+# calls it after each stage materializes (the stage output is
+# checkpointed, so nothing still needs the cache).
+_TRACKED: list[DataFrame] = []
+
+
+def persist_tracked(df: DataFrame) -> DataFrame:
+    _TRACKED.append(df.persist())
+    return df
+
+
+def release_tracked() -> None:
+    while _TRACKED:
+        _TRACKED.pop().unpersist()
+
+
 def cut_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
     """``eager=False`` defers materialization to the first action over
     the returned frame — use it when the very next step is itself an

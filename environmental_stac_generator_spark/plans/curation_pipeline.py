@@ -38,6 +38,10 @@ from dataclasses import dataclass, field
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from environmental_stac_generator_spark.operators.lineage import (
+    release_tracked,
+)
+
 
 @dataclass
 class CurationConfig:
@@ -106,8 +110,15 @@ def _near_dedup(
         from environmental_stac_generator_spark.queries.text import with_quality
 
         members = components_of(pairs)
+        # semi-join docs down to cluster members BEFORE scoring:
+        # Catalyst will not prune the map-side quality expression
+        # (full tokenization) to members through an inner join, so the
+        # narrowing must sit below with_quality in the plan (ADVICE r4)
+        member_docs = docs.join(
+            members.select("doc_id"), "doc_id", "left_semi"
+        )
         scored = members.join(
-            with_quality(docs).select("doc_id", "quality"), "doc_id"
+            with_quality(member_docs).select("doc_id", "quality"), "doc_id"
         )
         w = Window.partitionBy("cluster_id").orderBy(
             F.col("quality").desc(), F.col("doc_id")
@@ -290,6 +301,12 @@ def curate(
         # reads the stored partitions instead of re-running upstream
         out = df.checkpoint() if reliable else df.localCheckpoint()
         stats[stage] = last_count[0] = out.count()
+        # the stage output is stored, so any tracked pair-bucket
+        # caches created while building it (dedup.bucket_pairs,
+        # similarity.embedding_near_dup) are no longer needed —
+        # release them here instead of pinning one per input frame
+        # for the session (ADVICE r4)
+        release_tracked()
         return out
 
     cur = staged(docs, "input")

@@ -463,7 +463,7 @@ SPAN_W = 16  # tokens per exact-match window (Lee et al. use 50 BPE
     "volume without changing the plan shape.",
 )
 def span_dedup(
-    spark: SparkSession, sf_dir: str, skew_safe: bool = False
+    spark: SparkSession, sf_dir: str, skew_safe: bool = True
 ) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     toks = (
@@ -491,13 +491,16 @@ def span_dedup(
     #
     # Skew caveat (VERDICT r3 #7): a viral boilerplate span makes one
     # hot hash, and WindowExec must buffer that entire hash group in a
-    # single task. `skew_safe=True` switches to a plan with no window
-    # at all: repartition the (hash, doc) grain by h ONCE, derive the
-    # >=2-distinct-docs hash set with a partial-agg count (map-side
-    # combined — a hot hash reaches its reducer as one row per map
-    # task), and flag by an h-co-partitioned join (the repartition
-    # exchange is reused by both consumers, so still one scan; the hot
-    # hash streams through the join instead of buffering).
+    # single task. `skew_safe=True` (the DEFAULT — the registered
+    # query must take the plan that survives a viral span, ADVICE r4;
+    # parity with the window plan is property-tested) switches to a
+    # plan with no window at all: repartition the (hash, doc) grain by
+    # h ONCE, derive the >=2-distinct-docs hash set with a partial-agg
+    # count (map-side combined — a hot hash reaches its reducer as one
+    # row per map task), and flag by an h-co-partitioned join (the
+    # repartition exchange is reused by both consumers, so still one
+    # scan; the hot hash streams through the join instead of
+    # buffering).
     from pyspark.sql.window import Window
 
     if skew_safe:

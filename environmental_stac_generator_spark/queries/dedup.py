@@ -208,14 +208,18 @@ def bucket_pairs(
     grouped relation twice; persist materializes it once (ReuseExchange
     alone re-runs the reduce-side collect agg per consumer — measured
     ~2x slower on the bench protocol). The cached relation is the
-    deduplicated bucket table (ids only, never text), and repeated
-    invocations in one session reuse it via CacheManager plan
-    matching."""
-    grouped = (
+    deduplicated bucket table (ids only, never text); the pin is
+    TRACKED (``lineage.persist_tracked``) so the curate chain / engine
+    release it once downstream materializes — no unbounded
+    per-input-frame accumulation (ADVICE r4)."""
+    from environmental_stac_generator_spark.operators.lineage import (
+        persist_tracked,
+    )
+
+    grouped = persist_tracked(
         members.groupBy(*bucket_cols)
         .agg(F.sort_array(F.collect_set(id_col)).alias("ds"))
         .filter(F.size("ds") >= 2)
-        .persist()
     )
     small = grouped.filter(F.size("ds") <= max_bucket)
     small_pairs = small.select(

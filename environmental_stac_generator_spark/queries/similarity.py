@@ -261,14 +261,19 @@ def embedding_near_dup(
     # through a bucket-restricted self-join — identical pairs, no
     # executor holding an entire hot bucket in one row.
     buckets = _lsh_bucketed(spark, sf_dir)
-    # persisted: the small/big split consumes this twice, and the
-    # reduce-side collect agg re-runs per consumer under bare
-    # ReuseExchange (measured ~2x slower on the bench protocol)
-    grouped = (
+    # persisted via the TRACKED registry (releasable, not a dangling
+    # session pin — ADVICE r4): the small/big split consumes this
+    # twice, and the reduce-side collect agg re-runs per consumer
+    # under bare ReuseExchange (measured ~2x slower on the bench
+    # protocol)
+    from environmental_stac_generator_spark.operators.lineage import (
+        persist_tracked,
+    )
+
+    grouped = persist_tracked(
         buckets.groupBy("bucket")
         .agg(F.sort_array(F.collect_list(F.struct("vec_id", "embedding"))).alias("ms"))
         .filter(F.size("ms") >= 2)
-        .persist()
     )
     small_pairs = (
         grouped.filter(F.size("ms") <= max_bucket)

@@ -77,15 +77,22 @@ class ExtentProcessor(StatefulProcessor):
         for pdf in rows:
             ts = pd.to_datetime(pdf["forecast_reference_time"])
             lo, hi = ts.min(), ts.max()
-            start = lo if start is None or lo < pd.Timestamp(start) else start
-            end = hi if end is None or hi > pd.Timestamp(end) else end
+            # an all-null (or empty) chunk yields NaT bounds; NaT
+            # comparisons are always False, so a NaT written into
+            # state would freeze the extent forever — skip the chunk's
+            # bounds, still count its rows (ADVICE r4)
+            if not pd.isna(lo):
+                start = lo if start is None or lo < pd.Timestamp(start) else start
+            if not pd.isna(hi):
+                end = hi if end is None or hi > pd.Timestamp(end) else end
             n += len(pdf)
-        self._extent.update((pd.Timestamp(start), pd.Timestamp(end), int(n)))
+        if start is not None and end is not None:
+            self._extent.update((pd.Timestamp(start), pd.Timestamp(end), int(n)))
         yield pd.DataFrame(
             {
                 "collection": [key[0]],
-                "extent_start": [pd.Timestamp(start)],
-                "extent_end": [pd.Timestamp(end)],
+                "extent_start": [pd.Timestamp(start) if start is not None else pd.NaT],
+                "extent_end": [pd.Timestamp(end) if end is not None else pd.NaT],
                 "n_items": [int(n)],
             }
         )

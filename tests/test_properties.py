@@ -415,6 +415,29 @@ def test_global_running_sum_boundary_path_matches_naive(spark):
     assert got == want
 
 
+def test_tracked_pair_caches_are_releasable(spark, sf_dir):
+    """ADVICE r4: the pair-bucket persists must not pin the session —
+    after release_tracked() no tracked RDD may remain persisted."""
+    from environmental_stac_generator_spark.operators.lineage import (
+        _TRACKED,
+        release_tracked,
+    )
+    from environmental_stac_generator_spark.queries.dedup import (
+        lsh_candidate_pairs,
+    )
+
+    release_tracked()  # clean slate
+    assert lsh_candidate_pairs(spark, sf_dir).count() > 0
+    assert _TRACKED, "bucket_pairs must register its persist"
+    tracked = list(_TRACKED)
+    release_tracked()
+    assert not _TRACKED
+    assert all(
+        df.storageLevel.useMemory is False and df.storageLevel.useDisk is False
+        for df in tracked
+    )
+
+
 def test_global_running_sum_stats_hint_path_matches_bucketed(spark):
     """The stats-driven small-relation path (``input_rows`` ≤
     SMALL_INPUT_ROWS → one-job window plan) must produce exactly the

@@ -269,3 +269,50 @@ def test_stateful_running_extent_transform_with_state(spark, tmp_path):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", provider_before
             )
+
+
+def test_extent_processor_skips_nat_chunks():
+    """ADVICE r4: an all-NaT (or empty) chunk must not write NaT into
+    ValueState — NaT comparisons are always False, so a poisoned state
+    would freeze the extent forever. Drive handleInputRows directly
+    with a fake state handle (the TWS lane is env-gated)."""
+    import pandas as pd
+
+    from environmental_stac_generator_spark.streaming.stateful import (
+        ExtentProcessor,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+    p = ExtentProcessor()
+    p._extent = FakeState()
+    nat_chunk = pd.DataFrame(
+        {"forecast_reference_time": pd.to_datetime([None, None])}
+    )
+    out = list(p.handleInputRows(("c",), iter([nat_chunk]), None))
+    assert p._extent.v is None, "all-NaT batch must not poison state"
+    assert out[0]["n_items"].iloc[0] == 2
+
+    good = pd.DataFrame(
+        {"forecast_reference_time": pd.to_datetime(["2024-01-02", "2024-01-05"])}
+    )
+    list(p.handleInputRows(("c",), iter([good]), None))
+    start, end, n = p._extent.v
+    assert start == pd.Timestamp("2024-01-02") and end == pd.Timestamp("2024-01-05")
+
+    # a later NaT chunk keeps the recovered extent and counts rows
+    list(p.handleInputRows(("c",), iter([nat_chunk]), None))
+    start, end, n = p._extent.v
+    assert start == pd.Timestamp("2024-01-02") and end == pd.Timestamp("2024-01-05")
+    assert n == 4
