@@ -99,20 +99,137 @@ def grid_from_long(pdf: pd.DataFrame) -> tuple[np.ndarray, list[str], np.ndarray
     return arr, bands, ys, xs
 
 
+# --- Dependency-free tiled-TIFF writer -------------------------------
+# The deterministic encoder emits a STRUCTURALLY VALID little-endian
+# TIFF 6.0: 256-px tiles (the reference COG profile's block size, ref
+# ``cog.py:20``), DEFLATE-compressed planar float64 tile data, and
+# per-band STATISTICS_* + band-name items in a GDAL_METADATA ASCII
+# tag exactly where GDAL stores them (ref ``cog.py:79-87``). With
+# ``meta["overviews"]`` it chains /2,/4,/8,/16 reduced-resolution IFD
+# pages (NewSubfileType=1, average resampling — ref ``cog.py:63-66``),
+# i.e. the COG layout. The repo's own pure-Python IFD walker
+# (``sources/raster_probe.py``) parses these files back — closing the
+# K2 -> S5 round trip without rasterio in the loop.
+
+TIFF_TILE = 256
+
+# TIFF 6.0 field types / tag ids used by the writer.
+_T_ASCII, _T_SHORT, _T_LONG = 2, 3, 4
+
+
+def _gdal_metadata_xml(arr: np.ndarray, bands: list[str]) -> str:
+    """GDAL_METADATA payload: band descriptions + nan-stats items in
+    GDAL's XML shape (``<Item name=... sample=N>``)."""
+    items = []
+    for i, name in enumerate(bands):
+        b = arr[i]
+        items.append(
+            f'  <Item name="DESCRIPTION" sample="{i}" '
+            f'role="description">{name}</Item>'
+        )
+        for key, val in (
+            ("STATISTICS_MINIMUM", np.nanmin(b)),
+            ("STATISTICS_MAXIMUM", np.nanmax(b)),
+            ("STATISTICS_MEAN", np.nanmean(b)),
+            ("STATISTICS_STDDEV", np.nanstd(b)),
+        ):
+            # repr round-trips doubles exactly; the probe's float()
+            # parse recovers the identical bits
+            items.append(f'  <Item name="{key}" sample="{i}">{float(val)!r}</Item>')
+    return "<GDALMetadata>\n" + "\n".join(items) + "\n</GDALMetadata>\n"
+
+
+def _append_tiff_page(
+    buf: bytearray,
+    arr: np.ndarray,
+    bands: list[str],
+    subfile_type: int,
+    with_meta: bool,
+    tile: int = TIFF_TILE,
+) -> tuple[int, int]:
+    """Append one IFD page (tile data, external arrays, IFD) to
+    ``buf``; returns ``(ifd_offset, next_ifd_pointer_position)``.
+    Planar configuration 2: each band's tiles are stored separately,
+    row-major, bands in order — tile count = bands * tiles_y * tiles_x."""
+    nb, h, w = arr.shape
+    a = np.ascontiguousarray(arr, dtype="<f8")
+    ty_n, tx_n = -(-h // tile), -(-w // tile)
+    offsets: list[int] = []
+    counts: list[int] = []
+    for b in range(nb):
+        padded = np.full((ty_n * tile, tx_n * tile), np.nan, dtype="<f8")
+        padded[:h, :w] = a[b]
+        for ty in range(ty_n):
+            for tx in range(tx_n):
+                blob = zlib.compress(
+                    padded[
+                        ty * tile : (ty + 1) * tile, tx * tile : (tx + 1) * tile
+                    ].tobytes(),
+                    6,
+                )
+                if len(buf) % 2:
+                    buf += b"\x00"
+                offsets.append(len(buf))
+                counts.append(len(blob))
+                buf += blob
+    entries: list[tuple[int, int, int, bytes]] = [
+        (254, _T_LONG, 1, struct.pack("<I", subfile_type)),  # NewSubfileType
+        (256, _T_LONG, 1, struct.pack("<I", w)),  # ImageWidth
+        (257, _T_LONG, 1, struct.pack("<I", h)),  # ImageLength
+        (258, _T_SHORT, nb, struct.pack(f"<{nb}H", *([64] * nb))),  # BitsPerSample
+        (259, _T_SHORT, 1, struct.pack("<H", 8)),  # Compression: DEFLATE
+        (262, _T_SHORT, 1, struct.pack("<H", 1)),  # Photometric: BlackIsZero
+        (277, _T_SHORT, 1, struct.pack("<H", nb)),  # SamplesPerPixel
+        (284, _T_SHORT, 1, struct.pack("<H", 2)),  # PlanarConfig: separate
+        (322, _T_SHORT, 1, struct.pack("<H", tile)),  # TileWidth
+        (323, _T_SHORT, 1, struct.pack("<H", tile)),  # TileLength
+        (324, _T_LONG, len(offsets), struct.pack(f"<{len(offsets)}I", *offsets)),
+        (325, _T_LONG, len(counts), struct.pack(f"<{len(counts)}I", *counts)),
+        (339, _T_SHORT, nb, struct.pack(f"<{nb}H", *([3] * nb))),  # IEEE float
+    ]
+    if with_meta:
+        xml = _gdal_metadata_xml(arr, bands).encode() + b"\x00"
+        entries.append((42112, _T_ASCII, len(xml), xml))  # GDAL_METADATA
+    recs = []
+    for tag, typ, count, data in sorted(entries):
+        if len(data) <= 4:
+            val = data + b"\x00" * (4 - len(data))
+        else:
+            if len(buf) % 2:
+                buf += b"\x00"
+            val = struct.pack("<I", len(buf))
+            buf += data
+        recs.append(struct.pack("<HHI", tag, typ, count) + val)
+    if len(buf) % 2:
+        buf += b"\x00"
+    ifd_off = len(buf)
+    buf += struct.pack("<H", len(recs)) + b"".join(recs)
+    next_ptr_pos = len(buf)
+    buf += struct.pack("<I", 0)
+    return ifd_off, next_ptr_pos
+
+
 def fake_tiff_encoder(arr: np.ndarray, bands: list[str], meta: dict) -> bytes:
-    """Deterministic stand-in for rio-cogeo: zlib-compressed container
-    with dims + band names + per-band nan-stats "tags" (the A3/A4
-    values the real writer embeds, ref ``cog.py:78-87``)."""
-    header = struct.pack("<3i", *arr.shape)
-    names = ("\n".join(bands)).encode()
-    stats = np.array(
-        [
-            [np.nanmin(b), np.nanmax(b), np.nanmean(b), np.nanstd(b)]
-            for b in arr
-        ]
-    ).tobytes()
-    payload = header + struct.pack("<i", len(names)) + names + stats + arr.tobytes()
-    return b"FAKECOG1" + zlib.compress(payload, 6)
+    """Deterministic stand-in for rio-cogeo that is nonetheless a
+    structurally valid tiled TIFF (256-px DEFLATE tiles, per-band
+    GDAL_METADATA stats tags — the A3/A4 values the real writer
+    embeds, ref ``cog.py:78-87``), parseable by
+    ``sources.raster_probe.parse_tiff_header``. Pass
+    ``meta={"overviews": True}`` to chain the /2,/4,/8,/16
+    average-resampled overview pages (COG layout, ref ``cog.py:63-66``)."""
+    buf = bytearray(struct.pack("<2sHI", b"II", 42, 0))
+    a = np.asarray(arr, dtype="float64")
+    pages: list[tuple[np.ndarray, int, bool]] = [(a, 0, True)]
+    if meta.get("overviews"):
+        for level in OVERVIEW_LEVELS:
+            ov = np.stack([average_downsample(b, level) for b in a])
+            pages.append((ov, 1, False))
+    ptr_pos = 4  # header's first-IFD pointer
+    for page_arr, sft, with_meta in pages:
+        ifd_off, next_ptr = _append_tiff_page(buf, page_arr, bands, sft, with_meta)
+        struct.pack_into("<I", buf, ptr_pos, ifd_off)
+        ptr_pos = next_ptr
+    return bytes(buf)
 
 
 def rio_cogeo_encoder(arr: np.ndarray, bands: list[str], meta: dict) -> bytes:

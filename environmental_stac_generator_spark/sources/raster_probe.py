@@ -20,6 +20,7 @@ dtype extraction gated behind an xarray import-try.
 from __future__ import annotations
 
 import json
+import re
 import struct
 from collections.abc import Iterator
 
@@ -36,11 +37,107 @@ _TAG_BITS = 258
 _TAG_SAMPLES = 277
 _TAG_FORMAT = 339
 _FMT_NAME = {1: "uint", 2: "int", 3: "float"}
+# Extended geometry/layout tags the K2->S5 round trip reads back.
+_TAG_WIDTH = 256
+_TAG_HEIGHT = 257
+_TAG_COMPRESSION = 259
+_TAG_PLANAR = 284
+_TAG_TILE_W = 322
+_TAG_TILE_H = 323
+_TAG_TILE_OFFSETS = 324
+_TAG_TILE_COUNTS = 325
+_TAG_GDAL_META = 42112
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I"}
+_MAX_IFDS = 32  # chain guard against cyclic/corrupt next pointers
+
+_GDAL_ITEM_RE = re.compile(
+    r'<Item name="([A-Z_]+|DESCRIPTION)" sample="(\d+)"'
+    r'(?: role="description")?>([^<]*)</Item>'
+)
+
+
+def _read_ifd(end: str, data: bytes, ifd_off: int) -> tuple[dict, int]:
+    """One IFD: {tag: (count, raw_bytes)} plus the next-IFD offset.
+    Values ≤4 bytes are inline, larger live at an offset — both paths
+    return the raw value bytes."""
+    (n_entries,) = struct.unpack(end + "H", data[ifd_off : ifd_off + 2])
+    tags: dict[int, tuple[int, bytes]] = {}
+    for i in range(n_entries):
+        off = ifd_off + 2 + 12 * i
+        tag, typ, count = struct.unpack(end + "HHI", data[off : off + 8])
+        size = _TYPE_SIZE.get(typ)
+        if size is None:
+            continue  # RATIONAL etc. — not used by our readers
+        total = size * count
+        if total <= 4:
+            raw = data[off + 8 : off + 8 + total]
+        else:
+            (ptr,) = struct.unpack_from(end + "I", data, off + 8)
+            raw = data[ptr : ptr + total]
+        tags[tag] = (count, raw)
+    (nxt,) = struct.unpack_from(
+        end + "I", data, ifd_off + 2 + 12 * n_entries
+    )
+    return tags, nxt
+
+
+def _tag_first(end: str, tags: dict, tag: int, typ_hint: int = 3) -> int | None:
+    """First integer value of a SHORT/LONG tag (bands share dtype in
+    rasters we write/read, so the first element suffices)."""
+    if tag not in tags:
+        return None
+    count, raw = tags[tag]
+    for typ in (3, 4, 1):  # infer width from the raw size
+        size = _TYPE_SIZE[typ]
+        if len(raw) == size * count:
+            return int(struct.unpack_from(end + _TYPE_FMT[typ], raw, 0)[0])
+    return None
+
+
+def _tag_ints(end: str, tags: dict, tag: int) -> list[int]:
+    """All integer values of a SHORT/LONG array tag."""
+    if tag not in tags:
+        return []
+    count, raw = tags[tag]
+    for typ in (3, 4):
+        size = _TYPE_SIZE[typ]
+        if len(raw) == size * count:
+            return list(struct.unpack(end + f"{count}{_TYPE_FMT[typ]}", raw))
+    return []
+
+
+def _parse_gdal_metadata(raw: bytes) -> tuple[list[str], list[dict]]:
+    """(band_names, per-band stats dicts) from a GDAL_METADATA XML
+    payload (``<Item name=... sample=N>`` rows, as GDAL and our
+    encoder write them)."""
+    names: dict[int, str] = {}
+    stats: dict[int, dict] = {}
+    for key, sample, val in _GDAL_ITEM_RE.findall(
+        raw.rstrip(b"\x00").decode("utf-8", "replace")
+    ):
+        i = int(sample)
+        if key == "DESCRIPTION":
+            names[i] = val
+        else:
+            try:
+                stats.setdefault(i, {})[key] = float(val)
+            except ValueError:
+                pass
+    nb = max(list(names) + list(stats), default=-1) + 1
+    return (
+        [names.get(i, "") for i in range(nb)],
+        [stats.get(i, {}) for i in range(nb)],
+    )
 
 
 def parse_tiff_header(data: bytes) -> dict | None:
-    """Pure-Python TIFF IFD walk. Returns dtype/bit_depth/byte_order/
-    band_count, or None if not a TIFF."""
+    """Pure-Python TIFF IFD walk. Core keys (the probe schema):
+    dtype/bit_depth/byte_order/band_count. Extended keys (consumed by
+    the K2->S5 round-trip tests, dropped by the probe's column
+    projection): width/height/tile_width/tile_height/compression/
+    planar/n_overviews/band_names/band_stats/tile_offsets/
+    tile_byte_counts. Returns None if not a TIFF."""
     if len(data) < 8 or data[:2] not in (b"II", b"MM"):
         return None
     little = data[:2] == b"II"
@@ -49,34 +146,37 @@ def parse_tiff_header(data: bytes) -> dict | None:
     if magic != 42:
         return None
     try:
-        (n_entries,) = struct.unpack(end + "H", data[ifd_off : ifd_off + 2])
-        tags: dict[int, int] = {}
-        for i in range(n_entries):
-            off = ifd_off + 2 + 12 * i
-            tag, typ, count = struct.unpack(end + "HHI", data[off : off + 8])
-            if tag in (_TAG_BITS, _TAG_SAMPLES, _TAG_FORMAT):
-                # SHORT(3)/LONG(4) with count 1 fit inline; count>1
-                # values live at an offset — first element suffices
-                # (bands share a dtype in rasters we write/read).
-                if count == 1:
-                    fmt = "H" if typ == 3 else "I"
-                    (val,) = struct.unpack_from(end + fmt, data, off + 8)
-                else:
-                    (ptr,) = struct.unpack_from(end + "I", data, off + 8)
-                    fmt = "H" if typ == 3 else "I"
-                    (val,) = struct.unpack_from(end + fmt, data, ptr)
-                tags[tag] = int(val)
+        tags, nxt = _read_ifd(end, data, ifd_off)
+        n_overviews = 0
+        while nxt and n_overviews < _MAX_IFDS:
+            _, nxt = _read_ifd(end, data, nxt)
+            n_overviews += 1
     except (struct.error, IndexError):
         return None
-    bits = tags.get(_TAG_BITS, 8)
-    sfmt = _FMT_NAME.get(tags.get(_TAG_FORMAT, 1), "uint")
+    bits = _tag_first(end, tags, _TAG_BITS) or 8
+    sfmt = _FMT_NAME.get(_tag_first(end, tags, _TAG_FORMAT) or 1, "uint")
     dtype = f"{sfmt}{bits}" if sfmt != "float" else f"float{bits}"
+    band_names: list[str] = []
+    band_stats: list[dict] = []
+    if _TAG_GDAL_META in tags:
+        band_names, band_stats = _parse_gdal_metadata(tags[_TAG_GDAL_META][1])
     return {
         "format": "GTiff",
         "dtype": dtype,
         "bit_depth": bits,
         "byte_order": "little" if little else "big",
-        "band_count": tags.get(_TAG_SAMPLES, 1),
+        "band_count": _tag_first(end, tags, _TAG_SAMPLES) or 1,
+        "width": _tag_first(end, tags, _TAG_WIDTH),
+        "height": _tag_first(end, tags, _TAG_HEIGHT),
+        "tile_width": _tag_first(end, tags, _TAG_TILE_W),
+        "tile_height": _tag_first(end, tags, _TAG_TILE_H),
+        "compression": _tag_first(end, tags, _TAG_COMPRESSION),
+        "planar": _tag_first(end, tags, _TAG_PLANAR),
+        "n_overviews": n_overviews,
+        "band_names": band_names,
+        "band_stats": band_stats,
+        "tile_offsets": _tag_ints(end, tags, _TAG_TILE_OFFSETS),
+        "tile_byte_counts": _tag_ints(end, tags, _TAG_TILE_COUNTS),
     }
 
 

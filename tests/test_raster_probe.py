@@ -30,13 +30,16 @@ def make_tiff(little: bool = True, bits: int = 16, sfmt: int = 1, bands: int = 3
 
 def test_parse_tiff_little_endian_float():
     info = rp.parse_tiff_header(make_tiff(little=True, bits=32, sfmt=3, bands=2))
-    assert info == {
+    core = {k: info[k] for k in
+            ("format", "dtype", "bit_depth", "byte_order", "band_count")}
+    assert core == {
         "format": "GTiff",
         "dtype": "float32",
         "bit_depth": 32,
         "byte_order": "little",
         "band_count": 2,
     }
+    assert info["n_overviews"] == 0  # single-IFD file
 
 
 def test_parse_tiff_big_endian_uint():

@@ -10,6 +10,9 @@ import pytest
 
 from environmental_stac_generator_spark.sinks import raster
 from environmental_stac_generator_spark.sources import netcdf
+from environmental_stac_generator_spark.sources.raster_probe import (
+    parse_tiff_header,
+)
 
 
 @pytest.fixture(scope="module")
@@ -44,7 +47,13 @@ def test_encode_cogs_and_thumbnails(long_df, tmp_path):
     assert all(not r["skipped"] for r in res)
     for r in res:
         data = open(r["path"], "rb").read()
-        assert data.startswith(b"FAKECOG1")
+        # K2->S5: the encoded file is a structurally valid tiled TIFF
+        # that the repo's own IFD walker parses back
+        info = parse_tiff_header(data)
+        assert info is not None and info["format"] == "GTiff"
+        assert info["band_count"] == 2 and info["dtype"] == "float64"
+        assert (info["width"], info["height"]) == (8, 8)
+        assert info["tile_width"] == raster.TIFF_TILE
         assert r["multihash"] == raster.multihash_md5(data)
         assert r["multihash"].startswith("d510")  # F9 multihash prefix
         assert r["n_bands"] == 2 and r["height"] == 8 and r["width"] == 8
@@ -61,18 +70,15 @@ def test_fake_cog_embeds_band_stats(long_df):
     one = pdf[pdf.leadtime_idx == 0]
     arr, bands, _, _ = raster.grid_from_long(one)
     blob = raster.fake_tiff_encoder(arr, bands, {})
-    payload = zlib.decompress(blob[8:])
-    nb, h, w = struct.unpack("<3i", payload[:12])
-    assert (nb, h, w) == arr.shape
-    (name_len,) = struct.unpack("<i", payload[12:16])
-    names = payload[16 : 16 + name_len].decode().split("\n")
-    assert names == bands
-    stats = np.frombuffer(
-        payload[16 + name_len : 16 + name_len + nb * 4 * 8]
-    ).reshape(nb, 4)
-    # A4: embedded tags equal nan-stats of the array (ref cog.py:78-87)
-    assert stats[0][0] == np.nanmin(arr[0])
-    assert stats[0][3] == np.nanstd(arr[0])
+    info = parse_tiff_header(blob)
+    assert info["band_names"] == bands
+    # A4: embedded GDAL_METADATA tags equal nan-stats of the array
+    # (ref cog.py:78-87); repr/float round-trips doubles exactly
+    stats = info["band_stats"]
+    assert stats[0]["STATISTICS_MINIMUM"] == np.nanmin(arr[0])
+    assert stats[0]["STATISTICS_MAXIMUM"] == np.nanmax(arr[0])
+    assert stats[0]["STATISTICS_MEAN"] == np.nanmean(arr[0])
+    assert stats[0]["STATISTICS_STDDEV"] == np.nanstd(arr[0])
 
 
 def test_skip_existing(long_df, tmp_path):
