@@ -55,6 +55,11 @@ class CurationConfig:
     # member (quality score, lowest-id tiebreak) — what production
     # curators usually want
     dedup_keep: str = "first"
+    # connected-components algorithm for duplicate clustering:
+    # "label" (min-label propagation, fewest jobs on shallow near-dup
+    # graphs) or "star" (large-star/small-star contraction, O(log
+    # diameter) rounds — the scale path for chain-shaped graphs)
+    cc_algorithm: str = "label"
     semantic_cosine: float | None = None  # needs an embeddings frame
     redact_pii: bool = False
     quality_min: float | None = None
@@ -87,7 +92,10 @@ def _exact_dedup(docs: DataFrame) -> DataFrame:
 
 
 def _near_dedup(
-    docs: DataFrame, threshold: float, keep: str = "first"
+    docs: DataFrame,
+    threshold: float,
+    keep: str = "first",
+    cc_algorithm: str = "label",
 ) -> DataFrame:
     from environmental_stac_generator_spark.queries.dedup import (
         components_of,
@@ -109,7 +117,7 @@ def _near_dedup(
         # duplicate-volume-bounded, never the whole corpus
         from environmental_stac_generator_spark.queries.text import with_quality
 
-        members = components_of(pairs)
+        members = components_of(pairs, algorithm=cc_algorithm)
         # semi-join docs down to cluster members BEFORE scoring:
         # Catalyst will not prune the map-side quality expression
         # (full tokenization) to members through an inner join, so the
@@ -314,7 +322,12 @@ def curate(
         cur = staged(_exact_dedup(cur), "exact_dedup")
     if cfg.near_dup_jaccard is not None:
         cur = staged(
-            _near_dedup(cur, cfg.near_dup_jaccard, keep=cfg.dedup_keep),
+            _near_dedup(
+                cur,
+                cfg.near_dup_jaccard,
+                keep=cfg.dedup_keep,
+                cc_algorithm=cfg.cc_algorithm,
+            ),
             "near_dedup",
         )
     if cfg.semantic_cosine is not None and embeddings is not None:

@@ -473,3 +473,53 @@ def test_global_running_sum_stats_hint_path_matches_bucketed(spark):
     # reducer: its only window is partitioned by the bucket id
     plan = bucketed._jdf.queryExecution().toString()
     assert "_pid" in plan
+
+
+# ---------------------------------------------------------------------------
+# Connected components: star contraction == label propagation, and the
+# star path resolves high-diameter (chain) graphs in fewer rounds —
+# the scale argument for components_of(algorithm="star").
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=24),
+            st.integers(min_value=0, max_value=24),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_star_components_equal_label_components(spark, edges):
+    from environmental_stac_generator_spark.queries.dedup import components_of
+
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    label = {
+        (r["doc_id"], r["cluster_id"])
+        for r in components_of(pairs, algorithm="label").collect()
+    }
+    star = {
+        (r["doc_id"], r["cluster_id"])
+        for r in components_of(pairs, algorithm="star").collect()
+    }
+    assert star == label
+
+
+def test_star_takes_fewer_rounds_on_chain(spark):
+    from environmental_stac_generator_spark.queries.dedup import (
+        _components_label,
+        _components_star,
+    )
+
+    # a 17-node chain: min-label propagation needs one round per hop,
+    # star contraction collapses it at a doubling rate
+    chain = [(i, i + 1) for i in range(16)]
+    pairs = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    ldf, label_rounds = _components_label(pairs)
+    sdf, star_rounds = _components_star(pairs)
+    expect = {(i, 0) for i in range(17)}
+    assert {(r["doc_id"], r["cluster_id"]) for r in ldf.collect()} == expect
+    assert {(r["doc_id"], r["cluster_id"]) for r in sdf.collect()} == expect
+    assert star_rounds * 2 <= label_rounds  # at least halves the rounds
