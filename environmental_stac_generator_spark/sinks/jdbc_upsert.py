@@ -26,13 +26,21 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 
-def build_upsert_sql(table: str, columns: list[str], key_columns: list[str]) -> str:
+def build_upsert_sql(
+    table: str,
+    columns: list[str],
+    key_columns: list[str],
+    placeholder: str = "%s",
+) -> str:
     """INSERT ... ON CONFLICT DO UPDATE statement (J7,
-    ref ``Methods.upsert`` at ``stac/dataloader.py:171``)."""
+    ref ``Methods.upsert`` at ``stac/dataloader.py:171``).
+    ``placeholder`` follows the driver's paramstyle: ``%s`` for
+    psycopg (pyformat), ``?`` for sqlite3 (qmark) — the statement
+    text is otherwise identical in both dialects."""
     if not set(key_columns) <= set(columns):
         raise ValueError("key_columns must be a subset of columns")
     collist = ", ".join(columns)
-    placeholders = ", ".join(["%s"] * len(columns))
+    placeholders = ", ".join([placeholder] * len(columns))
     keys = ", ".join(key_columns)
     updates = ", ".join(
         f"{c} = EXCLUDED.{c}" for c in columns if c not in key_columns
@@ -60,25 +68,58 @@ def skip_existing(df: DataFrame, existing_keys: DataFrame, key_columns: list[str
     return df.join(existing_keys, key_columns, "left_anti")
 
 
+def psycopg_connection_factory(dsn: str):
+    """Default production engine: live Postgres via psycopg
+    (pyformat paramstyle)."""
+    try:
+        import psycopg
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError(
+            "JDBC upsert needs psycopg on executors"
+        ) from exc
+    return psycopg.connect(dsn)
+
+
+def sqlite_connection_factory(dsn: str):
+    """Embedded ON CONFLICT engine for tests/dev: sqlite3 (qmark
+    paramstyle) speaks the identical ``INSERT ... ON CONFLICT (keys)
+    DO UPDATE SET c = EXCLUDED.c`` dialect as Postgres (since SQLite
+    3.24), so the REAL ``upsert_partition`` path — batching, conflict
+    resolution, FK ordering — executes against a live database in
+    stock pytest. ``dsn`` is the database file path. The long timeout
+    serializes concurrent partition writers on the file lock."""
+    import sqlite3
+
+    conn = sqlite3.connect(dsn, timeout=60)
+    conn.execute("PRAGMA foreign_keys = ON")  # match Postgres FK checks
+    return conn
+
+
+_PARAMSTYLE_PLACEHOLDER = {"pyformat": "%s", "format": "%s", "qmark": "?"}
+
+
 def upsert_dataframe(
     df: DataFrame,
     dsn: str,
     table: str,
     key_columns: list[str],
     batch_size: int = 1000,
+    connection_factory=psycopg_connection_factory,
+    paramstyle: str = "pyformat",
 ) -> None:
-    """J7/U6: partition-parallel ON CONFLICT upsert via psycopg."""
+    """J7/U6: partition-parallel ON CONFLICT upsert through any
+    DB-API engine whose dialect has Postgres upsert semantics —
+    psycopg against live pgSTAC in production, sqlite3 in the
+    embedded test lane. N_partitions round trips total, not N_rows."""
     columns = df.columns
-    sql = build_upsert_sql(table, columns, key_columns)
+    sql = build_upsert_sql(
+        table, columns, key_columns, _PARAMSTYLE_PLACEHOLDER[paramstyle]
+    )
 
     def upsert_partition(rows: Iterator) -> None:
+        conn = connection_factory(dsn)
         try:
-            import psycopg
-        except ImportError as exc:  # pragma: no cover
-            raise NotImplementedError(
-                "JDBC upsert needs psycopg on executors"
-            ) from exc
-        with psycopg.connect(dsn) as conn, conn.cursor() as cur:
+            cur = conn.cursor()
             batch = []
             for row in rows:
                 batch.append(tuple(row[c] for c in columns))
@@ -88,6 +129,8 @@ def upsert_dataframe(
             if batch:
                 cur.executemany(sql, batch)
             conn.commit()
+        finally:
+            conn.close()
 
     df.foreachPartition(upsert_partition)
 
@@ -100,6 +143,8 @@ def ingest_catalog(
     dsn: str,
     overwrite: bool = False,
     properties: dict | None = None,
+    connection_factory=psycopg_connection_factory,
+    paramstyle: str = "pyformat",
 ) -> dict[str, int]:
     """The full ingest plan (ref ``ingest_stac_catalog``,
     ``stac/dataloader.py:102-194``): bulk key scans → anti-join
@@ -127,8 +172,15 @@ def ingest_catalog(
         counts = {"collections": coll_obs.get["n"], "items": item_obs.get["n"]}
     else:
         counts = {"collections": collections.count(), "items": items.count()}
-        upsert_dataframe(collections, dsn, "collections", ["id"])
-        upsert_dataframe(items, dsn, "items", ["id", "collection"])
+        # FK order: collections before items (ref dataloader.py:173-189)
+        upsert_dataframe(
+            collections, dsn, "collections", ["id"],
+            connection_factory=connection_factory, paramstyle=paramstyle,
+        )
+        upsert_dataframe(
+            items, dsn, "items", ["id", "collection"],
+            connection_factory=connection_factory, paramstyle=paramstyle,
+        )
     return counts
 
 
