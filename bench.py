@@ -163,5 +163,175 @@ def _cog_pipeline_throughput(spark) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# --soak: one order-of-magnitude scale datapoint (VERDICT r4 #6).
+# Synthesizes a ~10x corpus from $SPARK_GRAFT_SF_DIR's documents +
+# embeddings (replication with id offsets; odd replicas perturbed so
+# the corpus carries BOTH exact and near duplicates, even replicas
+# exact), symlinks the other tables, runs the dedup/ANN/curation
+# chains, and asserts the documented plan shapes survive AQE at the
+# larger size: map-side signatures stay zero-shuffle, no pair join
+# degrades to a nested-loop/cartesian product.
+
+SOAK_FACTOR = 10
+
+SOAK_QUERIES = [
+    # dedup family
+    "dedup_exact",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "simhash",
+    "duplicate_clusters",
+    "span_dedup",
+    "incremental_lsh_dedup",
+    # ANN / embedding family
+    "cosine_topk",
+    "ivf_ann_probe",
+    "embedding_near_dup",
+    "kmeans_clusters",
+    "semdedup_pairs",
+    "int8_quantize",
+    # curation / text family
+    "quality_score",
+    "repetition_profile",
+    "pii_scan",
+    "decontaminate",
+    "token_budget_select",
+    "sequence_pack",
+    "vocab_top_tokens",
+    "importance_weights",
+    "perplexity_score",
+    "chunk_documents",
+    "stratified_sample",
+]
+
+# zero-shuffle map stages must stay zero-shuffle at any scale
+SOAK_MAP_SIDE = ["minhash_signatures", "simhash", "quality_score", "int8_quantize"]
+
+
+def _synthesize_soak_dir(src: str, factor: int) -> str:
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    base = Path(tempfile.mkdtemp(prefix="envstac_soak_"))
+    for t in (
+        "region nation customer supplier part orders lineitem events".split()
+    ):
+        p = Path(src) / f"{t}.parquet"
+        if p.exists():
+            (base / p.name).symlink_to(p)
+    docs = pq.read_table(f"{src}/documents.parquet").to_pandas()
+    span = int(docs["doc_id"].max()) + 1
+    reps = []
+    for r in range(factor):
+        d = docs.copy()
+        d["doc_id"] = d["doc_id"] + r * span
+        if r % 2:  # odd replicas: near-dups; even replicas: exact dups
+            d["text"] = d["text"] + f" rep{r}"
+            d["n_chars"] = d["n_chars"] + len(f" rep{r}")
+        reps.append(d)
+    pd.concat(reps, ignore_index=True).to_parquet(base / "documents.parquet")
+    emb = pq.read_table(f"{src}/embeddings.parquet").to_pandas()
+    vspan = int(emb["vec_id"].max()) + 1
+    rng = np.random.default_rng(1234)
+    ereps = []
+    for r in range(factor):
+        e = emb.copy()
+        e["vec_id"] = e["vec_id"] + r * vspan
+        if r:
+            noise = rng.normal(scale=0.01, size=(len(e), len(e["embedding"].iloc[0])))
+            e["embedding"] = [
+                (np.asarray(v, dtype="float32") + n.astype("float32")).tolist()
+                for v, n in zip(e["embedding"], noise)
+            ]
+        ereps.append(e)
+    pd.concat(ereps, ignore_index=True).to_parquet(base / "embeddings.parquet")
+    return str(base)
+
+
+def soak() -> None:
+    import re
+    import shutil
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    soak_dir = _synthesize_soak_dir(sf_dir, SOAK_FACTOR)
+    spark = get_spark(
+        app_name="envstac-soak",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = load_full_registry()
+
+    def _executed_plan(name: str) -> str:
+        return (
+            reg[name].fn(spark, soak_dir)._jdf.queryExecution().executedPlan().toString()
+        )
+
+    shape_failures = []
+    for name in SOAK_MAP_SIDE:
+        plan = _executed_plan(name)
+        n = len(re.findall(r"Exchange (hash|range)partitioning", plan))
+        if n:
+            shape_failures.append(f"{name}: {n} shuffles in map-side plan")
+
+    def _bad_joins(df) -> set[str]:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return {
+            bad
+            for bad in ("CartesianProduct", "BroadcastNestedLoopJoin")
+            if bad in plan
+        }
+
+    # baseline fingerprint at the base sf: the 1-row scalar cross
+    # joins (probe vector / totals frame) legitimately plan as BNLJ
+    # at every scale — a DEGRADATION is a bad-join kind that appears
+    # at soak scale only (an AQE/size-driven strategy flip).
+    base_joins: dict[str, set[str]] = {}
+    reg["q1_pricing_summary"].fn(spark, sf_dir).collect()
+    for name in SOAK_QUERIES:
+        df = reg[name].fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        base_joins[name] = _bad_joins(df)
+
+    timings: dict[str, float] = {}
+    degraded = []
+    reg["q1_pricing_summary"].fn(spark, soak_dir).collect()
+    for name in SOAK_QUERIES:
+        t0 = time.perf_counter()
+        df = reg[name].fn(spark, soak_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        for bad in _bad_joins(df) - base_joins[name]:
+            degraded.append(f"{name}: {bad}")
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "soak_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "base_sf_dir": sf_dir,
+                "scale_factor": SOAK_FACTOR,
+                "doc_rows": 5000 * SOAK_FACTOR,
+                "plan_shape_failures": shape_failures,
+                "degraded_joins": degraded,
+            }
+        )
+    )
+    shutil.rmtree(soak_dir, ignore_errors=True)
+    spark.stop()
+    if shape_failures or degraded:
+        sys.exit(1)
+
+
 if __name__ == "__main__":
-    main()
+    if "--soak" in sys.argv:
+        soak()
+    else:
+        main()
