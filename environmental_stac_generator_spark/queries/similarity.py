@@ -742,7 +742,7 @@ def semdedup_pairs(
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return semantic_pairs_of(
         e, max_bucket=max_bucket, init_cents=_init_cents_from_parquet(sf_dir)
-    )
+    ).orderBy("vec_a", "vec_b")
 
 
 # Broadcast build-side budget for the fast semantic-pair path: total
@@ -903,10 +903,12 @@ def semantic_pairs_of(
                 "vec_a", "emb_a", "nrm_a", "vec_b", "emb_b", "nrm_b"
             )
         )
-    return (
-        pairs.select("vec_a", "vec_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
-        .orderBy("vec_a", "vec_b")
+    # no global sort here: chain consumers (semantic dedup's anti-join)
+    # are order-free, and a 100 TB pair relation must not pay a range
+    # exchange for cosmetics — the registered query orders for its
+    # deterministic oracle comparison
+    return pairs.select("vec_a", "vec_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= threshold
     )
 
 

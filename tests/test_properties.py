@@ -537,14 +537,14 @@ def test_semantic_pairs_auto_k(spark, sf_dir):
     from environmental_stac_generator_spark.tables import load
 
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    auto1 = [
+    auto1 = {
         (r["vec_a"], r["vec_b"], r["cosine"])
         for r in semantic_pairs_of(e, n_clusters="auto").collect()
-    ]
-    auto2 = [
+    }
+    auto2 = {
         (r["vec_a"], r["vec_b"], r["cosine"])
         for r in semantic_pairs_of(e, n_clusters="auto").collect()
-    ]
+    }
     assert auto1 == auto2 and len(auto1) > 0  # deterministic
     assert all(c >= SEM_THRESHOLD and a < b for a, b, c in auto1)
     # pinning an explicit K equal to the default reproduces the
