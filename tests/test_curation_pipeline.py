@@ -85,11 +85,14 @@ def test_curate_semantic_and_redact(spark, sf_dir):
         semantic_pairs_of,
     )
 
+    # mirror the chain's default clustering (semantic_clusters="auto")
+    # so the expected loser set comes from the same K the chain used
     losers = {
         r.vec_b
         for r in semantic_pairs_of(
             emb.select(F.col("doc_id").alias("vec_id"), "embedding"),
             threshold=0.35,
+            n_clusters="auto",
         ).collect()
     }
     survivors = {r.doc_id for r in res.selected.collect()}
