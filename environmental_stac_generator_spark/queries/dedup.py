@@ -480,13 +480,16 @@ def _duck_bands_cte() -> str:
     )"""
 
 
-def _cut_lineage(df: DataFrame) -> DataFrame:
+def _cut_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
     """Truncate lineage between fixpoint rounds (VERDICT r1 'what's
     wrong' 4); reliable-vs-local storage decision lives in
-    :mod:`operators.lineage`."""
+    :mod:`operators.lineage`. ``eager=False`` when the caller's very
+    next step is an action (the convergence aggregate): that action
+    materializes the checkpoint, so each fixpoint round costs one job
+    instead of two."""
     from environmental_stac_generator_spark.operators.lineage import cut_lineage
 
-    return cut_lineage(df)
+    return cut_lineage(df, eager=eager)
 
 
 @register(
@@ -547,12 +550,18 @@ def _components_label(pairs: DataFrame) -> tuple[DataFrame, int]:
     dir is configured). Convergence check: labels only ever decrease,
     so the label sum strictly decreases until the fixpoint — one
     cheap aggregate per round instead of a join + count."""
-    edges = _cut_lineage(
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-        )
-    )  # cut lineage: edges are reused every round
+    # materialize the PAIR relation, not the union: both union
+    # branches scan `pairs`, so cutting after the union executes the
+    # upstream pair pipeline (LSH bands / cosine buckets) twice —
+    # storing the pairs first runs it once and the symmetric closure
+    # is a projection over stored partitions, cheap to re-read each
+    # round without a second materialization job
+    pairs = _cut_lineage(pairs.select("doc_a", "doc_b"))
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
@@ -564,7 +573,8 @@ def _components_label(pairs: DataFrame) -> tuple[DataFrame, int]:
             .select(F.col("dst").alias("node"), "label")
             .unionByName(labels)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label")),
+            eager=False,  # the convergence aggregate materializes it
         )
         rounds += 1
         cur_sum = labels.agg(F.sum("label")).first()[0]
@@ -586,6 +596,10 @@ def _components_star(pairs: DataFrame) -> tuple[DataFrame, int]:
     D label hops. Edges stay (larger, smaller)-oriented and distinct;
     each round shuffles the edge relation twice and runs one
     constant-size checksum aggregate for the fixpoint test."""
+    # store the pair relation once: bidir scans it twice and feeds
+    # two separately-materialized frames (nodes, edges) — without the
+    # cut the upstream pair pipeline would execute four times
+    pairs = _cut_lineage(pairs.select("doc_a", "doc_b"))
     bidir = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).unionByName(
@@ -638,7 +652,8 @@ def _components_star(pairs: DataFrame) -> tuple[DataFrame, int]:
             .filter(F.col("v") != F.col("mn"))
             .select(F.col("v").alias("u"), F.col("mn").alias("v"))
             .unionByName(smin.select("u", F.col("mn").alias("v")))
-            .distinct()
+            .distinct(),
+            eager=False,  # the checksum aggregate materializes it
         )
         rounds += 1
         chk = _checksum(small)
