@@ -83,6 +83,10 @@ def main() -> None:
     # queries, not session startup.
     reg["q1_pricing_summary"].fn(spark, sf_dir).collect()
 
+    steal0 = _steal_jiffies()
+    _calibration_probe(spark)  # warm: first run pays codegen compile
+    calib_start = _calibration_probe(spark)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         # best of 2 runs: the first pays one-time plan compilation /
@@ -90,7 +94,7 @@ def main() -> None:
         # what throughput at scale tracks. Queries with driver-side
         # state (iterative centroid/label collects) rerun fully both
         # times, so nothing is cached between attempts.
-        best = float("inf")
+        attempts: list[float] = []
         for _ in range(2):
             t0 = time.perf_counter()
             df = reg[name].fn(spark, sf_dir)
@@ -98,9 +102,21 @@ def main() -> None:
             # collection, so timings measure the query, not row
             # transfer.
             df.write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            attempts.append(time.perf_counter() - t0)
+        # a transient host-contention spike (this box shows CPU-steal
+        # bursts) can inflate both attempts; when they disagree by
+        # >40% the fast one may still be the spiked one, so buy one
+        # more sample before taking the min
+        if max(attempts) > 1.4 * min(attempts):
+            t0 = time.perf_counter()
+            reg[name].fn(spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            attempts.append(time.perf_counter() - t0)
+        timings[name] = round(min(attempts), 3)
 
+    calib_end = _calibration_probe(spark)
+    steal1 = _steal_jiffies()
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -112,10 +128,47 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cog_pipeline": _cog_pipeline_throughput(spark),
+                "machine": _machine_report(calib_start, calib_end, steal0, steal1),
             }
         )
     )
     spark.stop()
+
+
+def _calibration_probe(spark) -> float:
+    """Fixed CPU-bound probe — xxhash64-sum over a 400M-row range,
+    pure whole-stage-codegen JVM work, no IO, no Python. Its runtime
+    tracks the MACHINE (host CPU steal, co-tenant contention), not
+    the engine, so round-over-round bench totals can be normalized:
+    observed probe variance on this box spans ~3x between quiet and
+    stolen periods while the engine code is identical."""
+    t0 = time.perf_counter()
+    spark.range(
+        0, 400_000_000, 1, spark.sparkContext.defaultParallelism
+    ).selectExpr("bit_xor(xxhash64(id)) AS s").collect()  # no ANSI overflow
+    return round(time.perf_counter() - t0, 3)
+
+
+def _steal_jiffies() -> tuple[int, int] | None:
+    """(steal, total) jiffies from /proc/stat, or None off-Linux."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(v) for v in parts[1:]]
+        return vals[7] if len(vals) > 7 else 0, sum(vals)
+    except OSError:
+        return None
+
+
+def _machine_report(calib_start, calib_end, steal0, steal1) -> dict:
+    """Environment-noise context for the bench numbers: the fixed
+    CPU probe at start/end plus hypervisor CPU-steal over the run."""
+    rep = {"probe_sec_start": calib_start, "probe_sec_end": calib_end}
+    if steal0 and steal1 and steal1[1] > steal0[1]:
+        rep["steal_pct"] = round(
+            100.0 * (steal1[0] - steal0[0]) / (steal1[1] - steal0[1]), 2
+        )
+    return rep
 
 
 def _cog_pipeline_throughput(spark) -> dict:
@@ -301,6 +354,9 @@ def soak() -> None:
     timings: dict[str, float] = {}
     degraded = []
     reg["q1_pricing_summary"].fn(spark, soak_dir).collect()
+    steal0 = _steal_jiffies()
+    _calibration_probe(spark)  # warm: first run pays codegen compile
+    calib_start = _calibration_probe(spark)
     for name in SOAK_QUERIES:
         t0 = time.perf_counter()
         df = reg[name].fn(spark, soak_dir)
@@ -308,6 +364,8 @@ def soak() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         for bad in _bad_joins(df) - base_joins[name]:
             degraded.append(f"{name}: {bad}")
+    calib_end = _calibration_probe(spark)
+    steal1 = _steal_jiffies()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -321,6 +379,7 @@ def soak() -> None:
                 "doc_rows": 5000 * SOAK_FACTOR,
                 "plan_shape_failures": shape_failures,
                 "degraded_joins": degraded,
+                "machine": _machine_report(calib_start, calib_end, steal0, steal1),
             }
         )
     )
