@@ -525,6 +525,31 @@ def test_star_takes_fewer_rounds_on_chain(spark):
     assert star_rounds * 2 <= label_rounds  # at least halves the rounds
 
 
+def test_components_execute_pair_pipeline_once(spark):
+    """The pair relation feeding connected components must execute
+    exactly once: the symmetric edge closure scans it from BOTH union
+    branches, so without the upfront lineage cut the upstream pair
+    pipeline (LSH bands / cosine buckets) would re-run per branch —
+    twice in the label path, four times in star (nodes + edges).
+    An accumulator-instrumented pipeline counts actual executions."""
+    from environmental_stac_generator_spark.queries.dedup import components_of
+
+    base = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "doc_a long, doc_b long"
+    )
+    for algorithm in ("label", "star"):
+        acc = spark.sparkContext.accumulator(0)
+
+        def gen(batches):
+            for pdf in batches:
+                acc.add(len(pdf))
+                yield pdf
+
+        pairs = base.repartition(4).mapInPandas(gen, base.schema)
+        components_of(pairs, algorithm=algorithm).collect()
+        assert acc.value == 50, f"{algorithm}: pipeline ran {acc.value / 50}x"
+
+
 def test_semantic_pairs_auto_k(spark, sf_dir):
     """n_clusters='auto' (K ~ sqrt(N), the bounded-cluster SemDeDup
     posture) runs deterministically, honors the threshold, and its
