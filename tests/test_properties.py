@@ -525,6 +525,27 @@ def test_star_takes_fewer_rounds_on_chain(spark):
     assert star_rounds * 2 <= label_rounds  # at least halves the rounds
 
 
+def test_numpy_assignment_kernel_equals_hof_kernel(spark, sf_dir):
+    """The vectorized Arrow assignment kernel (auto-K scale path)
+    must produce the same clustering as the bit-exact HOF kernel —
+    same cluster per vector at K=64, and therefore the same semantic
+    pair set (pair cosines are computed JVM-side from the raw
+    embeddings either way)."""
+    from environmental_stac_generator_spark.queries.similarity import (
+        _lloyd_assign,
+    )
+    from environmental_stac_generator_spark.tables import load
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = {}
+    for kernel in ("auto", "numpy"):
+        assigned, _ = _lloyd_assign(e, k=64, kernel=kernel)
+        out[kernel] = {
+            (r["vec_id"], r["cluster"]) for r in assigned.collect()
+        }
+    assert out["auto"] == out["numpy"] and len(out["auto"]) > 0
+
+
 def test_components_execute_pair_pipeline_once(spark):
     """The pair relation feeding connected components must execute
     exactly once: the symmetric edge closure scans it from BOTH union
