@@ -262,7 +262,7 @@ SOAK_QUERIES = [
 SOAK_MAP_SIDE = ["minhash_signatures", "simhash", "quality_score", "int8_quantize"]
 
 
-def _synthesize_soak_dir(src: str, factor: int) -> str:
+def _synthesize_soak_dir(src: str, factor: int) -> tuple[str, int]:
     import tempfile
 
     import numpy as np
@@ -302,7 +302,7 @@ def _synthesize_soak_dir(src: str, factor: int) -> str:
             ]
         ereps.append(e)
     pd.concat(ereps, ignore_index=True).to_parquet(base / "embeddings.parquet")
-    return str(base)
+    return str(base), len(docs) * factor
 
 
 def soak() -> None:
@@ -311,7 +311,7 @@ def soak() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    soak_dir = _synthesize_soak_dir(sf_dir, SOAK_FACTOR)
+    soak_dir, doc_rows = _synthesize_soak_dir(sf_dir, SOAK_FACTOR)
     spark = get_spark(
         app_name="envstac-soak",
         master=f"local[{cpus}]",
@@ -332,8 +332,15 @@ def soak() -> None:
         if n:
             shape_failures.append(f"{name}: {n} shuffles in map-side plan")
 
-    def _bad_joins(df) -> set[str]:
-        plan = df._jdf.queryExecution().executedPlan().toString()
+    def _run_and_bad_joins(df) -> set[str]:
+        """Execute the dataframe's OWN QueryExecution and inspect that
+        plan: a noop write runs a separate QueryExecution, so AQE
+        runtime strategy flips (the thing this soak asserts about)
+        would be invisible in df's never-executed plan. toRdd()
+        executes the AdaptiveSparkPlan to its final form."""
+        qe = df._jdf.queryExecution()
+        qe.toRdd().count()
+        plan = qe.executedPlan().toString()
         return {
             bad
             for bad in ("CartesianProduct", "BroadcastNestedLoopJoin")
@@ -347,9 +354,7 @@ def soak() -> None:
     base_joins: dict[str, set[str]] = {}
     reg["q1_pricing_summary"].fn(spark, sf_dir).collect()
     for name in SOAK_QUERIES:
-        df = reg[name].fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        base_joins[name] = _bad_joins(df)
+        base_joins[name] = _run_and_bad_joins(reg[name].fn(spark, sf_dir))
 
     timings: dict[str, float] = {}
     degraded = []
@@ -359,11 +364,25 @@ def soak() -> None:
     calib_start = _calibration_probe(spark)
     for name in SOAK_QUERIES:
         t0 = time.perf_counter()
-        df = reg[name].fn(spark, soak_dir)
-        df.write.mode("overwrite").format("noop").save()
+        bad_now = _run_and_bad_joins(reg[name].fn(spark, soak_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
-        for bad in _bad_joins(df) - base_joins[name]:
+        for bad in bad_now - base_joins[name]:
             degraded.append(f"{name}: {bad}")
+    # the curate chain's scale posture for SemDeDup: K ~ sqrt(N)
+    # bounds per-cluster populations, so the O(n²/K) within-cluster
+    # pair work grows ~n^1.5 instead of n² — timed in the SAME run as
+    # the oracle-pinned fixed-K row so the ratio is noise-free
+    from environmental_stac_generator_spark.queries.similarity import (
+        semantic_pairs_of,
+    )
+    from environmental_stac_generator_spark.tables import load as _load
+
+    t0 = time.perf_counter()
+    semantic_pairs_of(
+        _load(spark, soak_dir, "embeddings").select("vec_id", "embedding"),
+        n_clusters="auto",
+    ).write.mode("overwrite").format("noop").save()
+    timings["semdedup_pairs_auto_k"] = round(time.perf_counter() - t0, 3)
     calib_end = _calibration_probe(spark)
     steal1 = _steal_jiffies()
     total = round(sum(timings.values()), 3)
@@ -376,7 +395,7 @@ def soak() -> None:
                 "queries": timings,
                 "base_sf_dir": sf_dir,
                 "scale_factor": SOAK_FACTOR,
-                "doc_rows": 5000 * SOAK_FACTOR,
+                "doc_rows": doc_rows,
                 "plan_shape_failures": shape_failures,
                 "degraded_joins": degraded,
                 "machine": _machine_report(calib_start, calib_end, steal0, steal1),

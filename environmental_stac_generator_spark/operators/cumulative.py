@@ -123,6 +123,7 @@ def global_running_sum(
     num_partitions: int | None = None,
     boundaries: list | None = None,
     input_rows: int | None = None,
+    materialize_input: bool = False,
 ) -> DataFrame:
     """Exact global running sum of ``value_col`` in ``order``,
     without a single-partition sort (unless stats prove it cheap).
@@ -137,7 +138,11 @@ def global_running_sum(
     and ≤ :data:`SMALL_INPUT_ROWS`, the plan is the plain one-job
     window cumsum (exactly what a cost-based optimizer picks for a
     provably small relation); both paths are property-tested equal
-    (tests/test_properties.py)."""
+    (tests/test_properties.py). ``materialize_input=True`` declares
+    the input expensive to recompute (e.g. it tokenizes the corpus):
+    the bucketed multi-consuming path then stores it once (lazy
+    checkpoint) — the small-path plan consumes it once and never
+    materializes."""
     keys = _norm_order(order)
     if input_rows is not None and input_rows <= SMALL_INPUT_ROWS:
         sort_cols = [k.asc() if asc else k.desc() for k, asc in keys]
@@ -146,6 +151,19 @@ def global_running_sum(
         )
         return df.withColumn(out_col, F.sum(value_col).over(w))
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if materialize_input:
+        # the bucketed path consumes the input at least twice (totals
+        # agg + window pass, plus boundary sampling): store it ONCE,
+        # lazily — the first action below materializes it, so an
+        # expensive upstream projection (document tokenization) runs
+        # a single time. The small/large gate stays HERE: callers
+        # declare the input expensive, this function decides whether
+        # the plan taken actually multi-consumes it.
+        from environmental_stac_generator_spark.operators.lineage import (
+            cut_lineage,
+        )
+
+        df = cut_lineage(df, eager=False)
     bounds = boundaries if boundaries is not None else sample_boundaries(df, keys, n)
     if bounds:
         pid = reduce(
@@ -165,10 +183,25 @@ def global_running_sum(
     totals = {r["_pid"]: r["_t"] for r in totals_df.collect()}
     if not totals:
         return df.withColumn(out_col, F.lit(None).cast(sum_type))
-    offsets, run = [], 0
+    # the running offset must be built in the sum column's own Python
+    # type: createDataFrame verifies a DoubleType/DecimalType field
+    # against float/Decimal exactly, so an int 0 seed raises TypeError
+    # for any fractional value column
+    from decimal import Decimal
+
+    from pyspark.sql.types import DecimalType, FractionalType
+
+    zero = (
+        Decimal(0)
+        if isinstance(sum_type, DecimalType)
+        else 0.0
+        if isinstance(sum_type, FractionalType)
+        else 0
+    )
+    offsets, run = [], zero
     for p in sorted(totals):
         offsets.append((p, run))
-        run += totals[p] or 0
+        run += totals[p] if totals[p] is not None else zero
     spark = df.sparkSession
     offsets_df = spark.createDataFrame(
         offsets,

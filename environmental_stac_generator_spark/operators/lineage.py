@@ -16,10 +16,12 @@ mid-job. HOW to materialize is an availability decision:
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
 
-# Module-level registry of persisted relations that outlive their
+# THREAD-LOCAL registry of persisted relations that outlive their
 # query function (pair-generation buckets consumed by two plan
 # branches). A bare ``persist()`` with no unpersist path pins a
 # relation-sized cache in the CacheManager for the session — one per
@@ -29,18 +31,29 @@ from pyspark.sql import DataFrame
 # aggs per consumer) while making every pin releasable:
 # ``release_tracked()`` drains the registry, and the curate chain
 # calls it after each stage materializes (the stage output is
-# checkpointed, so nothing still needs the cache).
-_TRACKED: list[DataFrame] = []
+# checkpointed, so nothing still needs the cache). The registry is
+# per-DRIVER-THREAD so a curate() on one thread never unpersists the
+# in-flight buckets of a pipeline running concurrently on another
+# (pins must be released on the thread that created them).
+_TRACKED = threading.local()
+
+
+def _tracked_list() -> list[DataFrame]:
+    lst = getattr(_TRACKED, "frames", None)
+    if lst is None:
+        lst = _TRACKED.frames = []
+    return lst
 
 
 def persist_tracked(df: DataFrame) -> DataFrame:
-    _TRACKED.append(df.persist())
+    _tracked_list().append(df.persist())
     return df
 
 
 def release_tracked() -> None:
-    while _TRACKED:
-        _TRACKED.pop().unpersist()
+    lst = _tracked_list()
+    while lst:
+        lst.pop().unpersist()
 
 
 def cut_lineage(df: DataFrame, eager: bool = True) -> DataFrame:

@@ -198,11 +198,7 @@ TOKEN_BUDGET = 20_000
 )
 def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from environmental_stac_generator_spark.operators.cumulative import (
-        SMALL_INPUT_ROWS,
         global_running_sum,
-    )
-    from environmental_stac_generator_spark.operators.lineage import (
-        cut_lineage,
     )
 
     d = load(spark, sf_dir, "documents")
@@ -220,12 +216,10 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     # boundary-sampling scan entirely (balance-only decision)
     n = spark.sparkContext.defaultParallelism
     bounds = [(1.0 - i / n, -1) for i in range(1, n)]
+    # small/large plan choice AND the tokenize-once materialization
+    # both live inside global_running_sum (one source of truth);
+    # materialize_input declares metrics expensive (it tokenizes)
     rows = table_rows(sf_dir, "documents")
-    if rows is None or rows > SMALL_INPUT_ROWS:
-        # tokenize ONCE on the bucketed path: the totals job and the
-        # window pass both consume metrics; store the narrow per-doc
-        # relation (lazily — the totals collect materializes it)
-        metrics = cut_lineage(metrics, eager=False)
     ranked = global_running_sum(
         metrics,
         order,
@@ -233,6 +227,7 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_col="cum_tokens",
         boundaries=bounds,
         input_rows=rows,
+        materialize_input=True,
     )
     return (
         ranked.filter(F.col("cum_tokens") <= TOKEN_BUDGET)
@@ -278,25 +273,19 @@ SEQ_LEN = 2_048
 )
 def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from environmental_stac_generator_spark.operators.cumulative import (
-        SMALL_INPUT_ROWS,
         global_running_sum,
-    )
-
-    from environmental_stac_generator_spark.operators.lineage import (
-        cut_lineage,
     )
 
     d = load(spark, sf_dir, "documents")
     metrics = d.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
     rows = table_rows(sf_dir, "documents")
-    if rows is None or rows > SMALL_INPUT_ROWS:
-        metrics = cut_lineage(metrics, eager=False)
     placed = global_running_sum(
         metrics,
         [(F.col("doc_id"), True)],
         "n_tokens",
         out_col="cum",
         input_rows=rows,
+        materialize_input=True,
     ).withColumn("start_off", F.col("cum") - F.col("n_tokens"))
     return (
         placed.groupBy(

@@ -684,6 +684,12 @@ def _init_cents_from_parquet(sf_dir: str):
             filter=ds.field("vec_id") < K_CLUSTERS,
             columns=["vec_id", "embedding"],
         )
+        if tb.num_rows == 0:
+            # ids don't start at 0 (offset/non-contiguous corpora):
+            # an empty bootstrap must fall through to _lloyd_assign's
+            # orderBy().limit() scan, NOT masquerade as an empty
+            # corpus — [] is falsy but is not None there
+            return None
         return sorted(
             (int(i), [float(v) for v in emb])
             for i, emb in zip(
@@ -901,16 +907,28 @@ def semantic_pairs_of(
     )
     cos = rnd(_dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b")), 5)
     # The broadcast/bucket gate is BALANCE-ONLY (both paths emit the
-    # identical pair set — property-tested at max_bucket=1), so it can
-    # run on the penultimate round's cluster histogram, piggybacked on
-    # the Lloyd's update aggregation at zero extra jobs: assignment
-    # churn between consecutive rounds is small, and a borderline
-    # misgate only shifts work between two correct plans. Single-round
-    # k-means (no update step) falls back to an exact sizes job.
-    sizes = hist or [
-        (r["cluster"], r["n"])
-        for r in members.groupBy("cluster").agg(F.count("*").alias("n")).collect()
-    ]
+    # identical pair set — property-tested at max_bucket=1), so the
+    # penultimate round's cluster histogram (piggybacked on the
+    # Lloyd's update aggregation, zero extra jobs) can drive it —
+    # but ONLY when that histogram reflects a post-update assignment:
+    # with < 3 iterations the "penultimate" round is the BOOTSTRAP
+    # assignment, and one centroid update can balloon a cluster far
+    # past max_bucket, misrouting it into the collect_list path whose
+    # single-row buffering the cap exists to prevent. In that case
+    # size exactly: the aggregate doubles as the lazy checkpoint's
+    # materializing action, so the pair join reads stored partitions
+    # instead of re-running the argmin pass — the extra cost is one
+    # K-row shuffle, not a corpus scan.
+    sizes = (
+        hist
+        if hist and KMEANS_ITERS >= 3
+        else [
+            (r["cluster"], r["n"])
+            for r in members.groupBy("cluster")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        ]
+    )
     total = sum(n for _, n in sizes)
     biggest = max((n for _, n in sizes), default=0)
     spark = e.sparkSession

@@ -88,6 +88,8 @@ def _tag_first(end: str, tags: dict, tag: int, typ_hint: int = 3) -> int | None:
     if tag not in tags:
         return None
     count, raw = tags[tag]
+    if count == 0 or not raw:  # malformed tag: nothing to decode
+        return None
     for typ in (3, 4, 1):  # infer width from the raw size
         size = _TYPE_SIZE[typ]
         if len(raw) == size * count:
@@ -145,21 +147,27 @@ def parse_tiff_header(data: bytes) -> dict | None:
     magic, ifd_off = struct.unpack(end + "HI", data[2:8])
     if magic != 42:
         return None
+    # tag-value decoding stays INSIDE the try: a truncated or corrupt
+    # file with a valid magic can still carry tags whose raw bytes
+    # don't unpack (count=0, short reads) — malformed TIFFs must
+    # return None ("not a TIFF"), never crash the probe task
     try:
         tags, nxt = _read_ifd(end, data, ifd_off)
         n_overviews = 0
         while nxt and n_overviews < _MAX_IFDS:
             _, nxt = _read_ifd(end, data, nxt)
             n_overviews += 1
+        bits = _tag_first(end, tags, _TAG_BITS) or 8
+        sfmt = _FMT_NAME.get(_tag_first(end, tags, _TAG_FORMAT) or 1, "uint")
+        dtype = f"{sfmt}{bits}" if sfmt != "float" else f"float{bits}"
+        band_names: list[str] = []
+        band_stats: list[dict] = []
+        if _TAG_GDAL_META in tags:
+            band_names, band_stats = _parse_gdal_metadata(
+                tags[_TAG_GDAL_META][1]
+            )
     except (struct.error, IndexError):
         return None
-    bits = _tag_first(end, tags, _TAG_BITS) or 8
-    sfmt = _FMT_NAME.get(_tag_first(end, tags, _TAG_FORMAT) or 1, "uint")
-    dtype = f"{sfmt}{bits}" if sfmt != "float" else f"float{bits}"
-    band_names: list[str] = []
-    band_stats: list[dict] = []
-    if _TAG_GDAL_META in tags:
-        band_names, band_stats = _parse_gdal_metadata(tags[_TAG_GDAL_META][1])
     return {
         "format": "GTiff",
         "dtype": dtype,

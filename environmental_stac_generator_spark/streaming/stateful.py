@@ -72,6 +72,12 @@ class ExtentProcessor(StatefulProcessor):
     ) -> Iterator[pd.DataFrame]:
         if self._extent.exists():
             start, end, n = self._extent.get()
+            # a count-only state (rows seen before any valid
+            # timestamp) stores null bounds; normalize NaT back to
+            # None so a later batch can still establish the extent
+            # (NaT comparisons are always False)
+            start = None if start is None or pd.isna(start) else start
+            end = None if end is None or pd.isna(end) else end
         else:
             start, end, n = None, None, 0
         for pdf in rows:
@@ -88,6 +94,12 @@ class ExtentProcessor(StatefulProcessor):
             n += len(pdf)
         if start is not None and end is not None:
             self._extent.update((pd.Timestamp(start), pd.Timestamp(end), int(n)))
+        elif n:
+            # rows seen but no valid timestamp yet: persist the COUNT
+            # with null bounds so it isn't lost — otherwise n_items
+            # would depend on whether the null-ts rows arrived before
+            # or after the first valid batch
+            self._extent.update((None, None, int(n)))
         yield pd.DataFrame(
             {
                 "collection": [key[0]],

@@ -301,7 +301,9 @@ def test_extent_processor_skips_nat_chunks():
         {"forecast_reference_time": pd.to_datetime([None, None])}
     )
     out = list(p.handleInputRows(("c",), iter([nat_chunk]), None))
-    assert p._extent.v is None, "all-NaT batch must not poison state"
+    start, end, n = p._extent.v
+    assert start is None and end is None, "NaT must not poison bounds"
+    assert n == 2, "rows before the first valid ts still count"
     assert out[0]["n_items"].iloc[0] == 2
 
     good = pd.DataFrame(
@@ -310,9 +312,10 @@ def test_extent_processor_skips_nat_chunks():
     list(p.handleInputRows(("c",), iter([good]), None))
     start, end, n = p._extent.v
     assert start == pd.Timestamp("2024-01-02") and end == pd.Timestamp("2024-01-05")
+    assert n == 4, "count carries across the count-only state"
 
     # a later NaT chunk keeps the recovered extent and counts rows
     list(p.handleInputRows(("c",), iter([nat_chunk]), None))
     start, end, n = p._extent.v
     assert start == pd.Timestamp("2024-01-02") and end == pd.Timestamp("2024-01-05")
-    assert n == 4
+    assert n == 6
