@@ -448,7 +448,7 @@ def test_tracked_pair_caches_are_releasable(spark, sf_dir):
     """ADVICE r4: the pair-bucket persists must not pin the session —
     after release_tracked() no tracked RDD may remain persisted."""
     from environmental_stac_generator_spark.operators.lineage import (
-        _TRACKED,
+        _tracked_list,
         release_tracked,
     )
     from environmental_stac_generator_spark.queries.dedup import (
@@ -457,10 +457,10 @@ def test_tracked_pair_caches_are_releasable(spark, sf_dir):
 
     release_tracked()  # clean slate
     assert lsh_candidate_pairs(spark, sf_dir).count() > 0
-    assert _TRACKED, "bucket_pairs must register its persist"
-    tracked = list(_TRACKED)
+    assert _tracked_list(), "bucket_pairs must register its persist"
+    tracked = list(_tracked_list())
     release_tracked()
-    assert not _TRACKED
+    assert not _tracked_list()
     assert all(
         df.storageLevel.useMemory is False and df.storageLevel.useDisk is False
         for df in tracked
