@@ -305,6 +305,22 @@ def _synthesize_soak_dir(src: str, factor: int) -> tuple[str, int]:
     return str(base), len(docs) * factor
 
 
+def _run_and_bad_joins(df) -> set[str]:
+    """Execute the dataframe's OWN QueryExecution and inspect that
+    plan: a noop write runs a separate QueryExecution, so AQE
+    runtime strategy flips (the thing the soak asserts about) would
+    be invisible in df's never-executed plan. toRdd() executes the
+    AdaptiveSparkPlan to its final form."""
+    qe = df._jdf.queryExecution()
+    qe.toRdd().count()
+    plan = qe.executedPlan().toString()
+    return {
+        bad
+        for bad in ("CartesianProduct", "BroadcastNestedLoopJoin")
+        if bad in plan
+    }
+
+
 def soak() -> None:
     import re
     import shutil
@@ -331,21 +347,6 @@ def soak() -> None:
         n = len(re.findall(r"Exchange (hash|range)partitioning", plan))
         if n:
             shape_failures.append(f"{name}: {n} shuffles in map-side plan")
-
-    def _run_and_bad_joins(df) -> set[str]:
-        """Execute the dataframe's OWN QueryExecution and inspect that
-        plan: a noop write runs a separate QueryExecution, so AQE
-        runtime strategy flips (the thing this soak asserts about)
-        would be invisible in df's never-executed plan. toRdd()
-        executes the AdaptiveSparkPlan to its final form."""
-        qe = df._jdf.queryExecution()
-        qe.toRdd().count()
-        plan = qe.executedPlan().toString()
-        return {
-            bad
-            for bad in ("CartesianProduct", "BroadcastNestedLoopJoin")
-            if bad in plan
-        }
 
     # baseline fingerprint at the base sf: the 1-row scalar cross
     # joins (probe vector / totals frame) legitimately plan as BNLJ

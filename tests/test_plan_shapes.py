@@ -110,3 +110,23 @@ def test_no_python_in_sql_oracle_plans(spark, sf_dir):
         if any(m in plan for m in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas", "MapInPandas")):
             offenders.append(name)
     assert offenders == []
+
+
+def test_soak_join_detector_sees_final_adaptive_plan(spark):
+    """The soak's degraded-join check must inspect the EXECUTED
+    adaptive plan of the frame it is given: a genuine nested-loop
+    join is flagged, a broadcastable equi-join is not, and the
+    inspected plan is AQE-final (not the never-executed initial
+    plan, which a separate noop-write QueryExecution would leave
+    behind)."""
+    import bench
+
+    a = spark.range(0, 50).withColumnRenamed("id", "x")
+    b = spark.range(0, 7).withColumnRenamed("id", "y")
+    bad = bench._run_and_bad_joins(a.crossJoin(b))
+    assert "BroadcastNestedLoopJoin" in bad or "CartesianProduct" in bad
+
+    good = a.join(b, a.x == b.y)
+    assert bench._run_and_bad_joins(good) == set()
+    plan = good._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
