@@ -23,6 +23,7 @@ Encoders are pluggable:
 from __future__ import annotations
 
 import hashlib
+import os
 import struct
 import zlib
 from collections.abc import Callable
@@ -75,6 +76,16 @@ NETCDF_RESULT_SCHEMA = StructType(
 )
 
 
+def atomic_write_bytes(path: Path, data: bytes) -> None:
+    """Crash-safe output write: tmp file in the same directory +
+    ``os.replace`` (atomic on POSIX), so a task dying mid-write can
+    never leave a truncated file that a later skip-existing run
+    (which keys on existence) would treat as complete."""
+    tmp = path.with_name(path.name + f".tmp.{os.getpid()}")
+    tmp.write_bytes(data)
+    os.replace(tmp, path)
+
+
 def multihash_md5(data: bytes) -> str:
     """F9/F10: md5 multihash — fn code 0xd5 + length 0x10 + digest
     (ref ``stac/utils.py:17-56``)."""
@@ -120,12 +131,17 @@ _T_ASCII, _T_SHORT, _T_LONG = 2, 3, 4
 def _gdal_metadata_xml(arr: np.ndarray, bands: list[str]) -> str:
     """GDAL_METADATA payload: band descriptions + nan-stats items in
     GDAL's XML shape (``<Item name=... sample=N>``)."""
+    from xml.sax.saxutils import escape
+
     items = []
     for i, name in enumerate(bands):
         b = arr[i]
+        # escape band (variable) names: a '<' or '&' in the name would
+        # otherwise emit malformed XML that GDAL rejects and the
+        # probe's [^<]* capture truncates
         items.append(
             f'  <Item name="DESCRIPTION" sample="{i}" '
-            f'role="description">{name}</Item>'
+            f'role="description">{escape(name)}</Item>'
         )
         for key, val in (
             ("STATISTICS_MINIMUM", np.nanmin(b)),
@@ -360,7 +376,10 @@ def fake_external_overviews(cog_path: Path, arr: np.ndarray) -> None:
             ov = average_downsample(band, level)
             payload += struct.pack("<3i", level, *ov.shape)
             payload += ov.astype("float64").tobytes()
-    Path(str(cog_path) + ".ovr").write_bytes(b"FAKEOVR1" + zlib.compress(bytes(payload), 6))
+    atomic_write_bytes(
+        Path(str(cog_path) + ".ovr"),
+        b"FAKEOVR1" + zlib.compress(bytes(payload), 6),
+    )
 
 
 def gdaladdo_external_overviews(cog_path: Path, arr: np.ndarray) -> None:
@@ -465,12 +484,23 @@ def default_grid_reproject(
 
 
 def _valid_time(ref: pd.Timestamp, lead: int, unit: str, step: float) -> pd.Timestamp:
-    """Kernel-side twin of operators.forecast.valid_time (F2)."""
+    """Kernel-side twin of operators.forecast.valid_time (F2) —
+    same branch structure, so fractional month/year steps don't
+    truncate to a zero offset (int(lead*step) at lead=1, step=0.5
+    collapsed two leadtimes onto one output path)."""
     unit = unit if unit.endswith("s") else unit + "s"
-    if unit in ("months", "years"):
-        months = int(lead * step) * (12 if unit == "years" else 1)
-        return ref + pd.DateOffset(months=months)
-    return ref + pd.DateOffset(**{unit: lead * step})
+    n = lead * step
+    if unit == "months":
+        if step == int(step):
+            return ref + pd.DateOffset(months=lead * int(step))
+        return ref + pd.Timedelta(days=30) * n  # F2's fractional twin
+    if unit == "years":
+        if step == int(step):
+            return ref + pd.DateOffset(months=lead * int(12 * step))
+        return ref + pd.DateOffset(months=int(n * 12))
+    if unit == "weeks":
+        return ref + pd.Timedelta(days=7) * n
+    return ref + pd.Timedelta(**{unit: 1}) * n  # hours / days
 
 
 def encode_cogs(
@@ -575,12 +605,17 @@ def _encode_one(
     else:
         data = encoder(arr, bands, meta)
         d.mkdir(parents=True, exist_ok=True)
-        cog_path.write_bytes(data)
+        # sidecars FIRST, the COG last and atomically: skip-existing
+        # keys on the COG's existence, so the COG appearing must imply
+        # the thumbnail/.ovr beside it are complete — a crash between
+        # writes then re-encodes on the next run instead of leaving a
+        # half-written group that is skipped forever
         if external_overviews is not None:
             external_overviews(cog_path, arr)
         if lead == 0:
             thumb = thumbnail_encoder(arr, bands, meta)
-            (d / f"forecast_init_{lead_stamp}.jpg").write_bytes(thumb)
+            atomic_write_bytes(d / f"forecast_init_{lead_stamp}.jpg", thumb)
+        atomic_write_bytes(cog_path, data)
     return pd.DataFrame(
         [
             {
@@ -665,6 +700,39 @@ def fake_netcdf_encoder(pdf: pd.DataFrame, meta: dict) -> bytes:
     )
 
 
+def _netcdf_encode_group(
+    out: str, key, pdf: pd.DataFrame, encoder, overwrite: bool
+) -> pd.DataFrame:
+    """Shared K1/U3 per-(collection, init) encode body: path scheme,
+    skip-existing, atomic write, result row — used by both the
+    long-rows and the packed-grids sinks (only the encoder differs)."""
+    collection, ref_time = key
+    d = Path(out) / "netcdf" / str(collection) / str(pd.Timestamp(ref_time).date())
+    stamp = pd.Timestamp(ref_time).strftime("%Y-%m-%dT%H-%M-%SZ")
+    nc_path = d / f"{stamp}.nc"
+    if nc_path.exists() and not overwrite:
+        data = nc_path.read_bytes()
+        skipped = True
+    else:
+        data = encoder(pdf, {"collection": collection})
+        d.mkdir(parents=True, exist_ok=True)
+        atomic_write_bytes(nc_path, data)
+        skipped = False
+    return pd.DataFrame(
+        [
+            {
+                "collection": collection,
+                "forecast_reference_time": ref_time,
+                "path": str(nc_path),
+                "n_variables": pdf["variable"].nunique(),
+                "size": len(data),
+                "multihash": multihash_md5(data),
+                "skipped": skipped,
+            }
+        ]
+    )
+
+
 def write_netcdf_slices(
     long_df: DataFrame,
     out_dir: str | Path,
@@ -677,31 +745,7 @@ def write_netcdf_slices(
     out = str(out_dir)
 
     def encode_group(key, pdf: pd.DataFrame):
-        collection, ref_time = key
-        d = Path(out) / "netcdf" / str(collection) / str(pd.Timestamp(ref_time).date())
-        stamp = pd.Timestamp(ref_time).strftime("%Y-%m-%dT%H-%M-%SZ")
-        nc_path = d / f"{stamp}.nc"
-        if nc_path.exists() and not overwrite:
-            data = nc_path.read_bytes()
-            skipped = True
-        else:
-            data = encoder(pdf, {"collection": collection})
-            d.mkdir(parents=True, exist_ok=True)
-            nc_path.write_bytes(data)
-            skipped = False
-        return pd.DataFrame(
-            [
-                {
-                    "collection": collection,
-                    "forecast_reference_time": ref_time,
-                    "path": str(nc_path),
-                    "n_variables": pdf["variable"].nunique(),
-                    "size": len(data),
-                    "multihash": multihash_md5(data),
-                    "skipped": skipped,
-                }
-            ]
-        )
+        return _netcdf_encode_group(out, key, pdf, encoder, overwrite)
 
     return long_df.groupBy("collection", "forecast_reference_time").applyInPandas(
         encode_group, schema=NETCDF_RESULT_SCHEMA
@@ -710,7 +754,13 @@ def write_netcdf_slices(
 
 def skip_existing_outputs(planned: DataFrame, out_dir: str | Path, spark) -> DataFrame:
     """J6: anti-join planned output paths against a distributed
-    listing of what already exists (ref ``stac/generator.py:906-907``)."""
+    listing of what already exists (ref ``stac/generator.py:906-907``).
+    A missing output dir (the very first run — nothing to skip) passes
+    ``planned`` through unchanged instead of failing the load."""
+    hpath = spark._jvm.org.apache.hadoop.fs.Path(str(out_dir))
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return planned
     existing = (
         spark.read.format("binaryFile")
         .option("recursiveFileLookup", "true")
@@ -753,31 +803,7 @@ def write_netcdf_slices_grids(
     out = str(out_dir)
 
     def encode_group(key, pdf: pd.DataFrame):
-        collection, ref_time = key
-        d = Path(out) / "netcdf" / str(collection) / str(pd.Timestamp(ref_time).date())
-        stamp = pd.Timestamp(ref_time).strftime("%Y-%m-%dT%H-%M-%SZ")
-        nc_path = d / f"{stamp}.nc"
-        if nc_path.exists() and not overwrite:
-            data = nc_path.read_bytes()
-            skipped = True
-        else:
-            data = encoder(pdf, {"collection": collection})
-            d.mkdir(parents=True, exist_ok=True)
-            nc_path.write_bytes(data)
-            skipped = False
-        return pd.DataFrame(
-            [
-                {
-                    "collection": collection,
-                    "forecast_reference_time": ref_time,
-                    "path": str(nc_path),
-                    "n_variables": pdf["variable"].nunique(),
-                    "size": len(data),
-                    "multihash": multihash_md5(data),
-                    "skipped": skipped,
-                }
-            ]
-        )
+        return _netcdf_encode_group(out, key, pdf, encoder, overwrite)
 
     return grids_df.groupBy("collection", "forecast_reference_time").applyInPandas(
         encode_group, schema=NETCDF_RESULT_SCHEMA

@@ -114,34 +114,37 @@ def xarray_decoder(path: str, content: bytes | None) -> Iterator[pd.DataFrame]:
         ) from exc
 
     src = io.BytesIO(content) if content is not None else path.removeprefix("file:")
-    ds = xr.open_dataset(src, decode_coords="all")
-    names = list(ds.coords) + list(ds.dims)
-    x = find_coord(names, X_CANDIDATES)
-    y = find_coord(names, Y_CANDIDATES)
-    t = find_coord(names, TIME_CANDIDATES)
-    lead = find_coord(names, LEAD_CANDIDATES)
-    collection = _collection_from_path(path)
-    # 4-D filter (ref stac/generator.py:506)
-    valid = [v for v in ds.data_vars if len(ds[v].dims) == 4]
-    xs = ds[x].values.astype("float64")
-    ys = ds[y].values.astype("float64")
-    yy, xx = np.meshgrid(ys, xs, indexing="ij")
-    for var in valid:
-        for ti, tv in enumerate(pd.to_datetime(ds[t].values)):
-            for li in range(ds.sizes[lead]):
-                slab = ds[var].isel({t: ti, lead: li}).values.astype("float64")
-                yield pd.DataFrame(
-                    {
-                        "collection": collection,
-                        "path": path,
-                        "forecast_reference_time": tv,
-                        "leadtime_idx": np.int32(li),
-                        "variable": var,
-                        "yc": yy.ravel(),
-                        "xc": xx.ravel(),
-                        "value": slab.ravel(),
-                    }
-                )
+    # close the dataset even when the consuming generator is abandoned
+    # mid-iteration: long-lived executor workers decode thousands of
+    # files, and an unclosed HDF5 handle per file runs into ulimit
+    with xr.open_dataset(src, decode_coords="all") as ds:
+        names = list(ds.coords) + list(ds.dims)
+        x = find_coord(names, X_CANDIDATES)
+        y = find_coord(names, Y_CANDIDATES)
+        t = find_coord(names, TIME_CANDIDATES)
+        lead = find_coord(names, LEAD_CANDIDATES)
+        collection = _collection_from_path(path)
+        # 4-D filter (ref stac/generator.py:506)
+        valid = [v for v in ds.data_vars if len(ds[v].dims) == 4]
+        xs = ds[x].values.astype("float64")
+        ys = ds[y].values.astype("float64")
+        yy, xx = np.meshgrid(ys, xs, indexing="ij")
+        for var in valid:
+            for ti, tv in enumerate(pd.to_datetime(ds[t].values)):
+                for li in range(ds.sizes[lead]):
+                    slab = ds[var].isel({t: ti, lead: li}).values.astype("float64")
+                    yield pd.DataFrame(
+                        {
+                            "collection": collection,
+                            "path": path,
+                            "forecast_reference_time": tv,
+                            "leadtime_idx": np.int32(li),
+                            "variable": var,
+                            "yc": yy.ravel(),
+                            "xc": xx.ravel(),
+                            "value": slab.ravel(),
+                        }
+                    )
 
 
 def _collection_from_path(path: str) -> str:

@@ -120,7 +120,11 @@ def _parse_gdal_metadata(raw: bytes) -> tuple[list[str], list[dict]]:
     ):
         i = int(sample)
         if key == "DESCRIPTION":
-            names[i] = val
+            # the encoder XML-escapes band names; reverse it so the
+            # K2->S5 round trip returns the original name
+            from xml.sax.saxutils import unescape
+
+            names[i] = unescape(val)
         else:
             try:
                 stats.setdefault(i, {})[key] = float(val)

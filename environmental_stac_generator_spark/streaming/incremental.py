@@ -63,20 +63,34 @@ def merge_batch_into_table(
 
     spark = batch_df.sparkSession
     table_dir = str(table_dir)
-    # the merged frame must materialize BEFORE the overwrite (it reads
-    # the same parquet dir it rewrites); cut_lineage picks a reliable
-    # checkpoint when a checkpoint dir is configured (VERDICT r3
-    # missing #2), localCheckpoint otherwise.
-    try:
+    # a micro-batch can re-deliver the same key twice (e.g. one file
+    # listed in two trigger windows): dedup WITHIN the batch on both
+    # paths, or the anti-join lets both rows through and the keyed
+    # table holds duplicates forever
+    batch = batch_df.dropDuplicates(key_columns)
+    # explicit existence probe via the Hadoop FS API (works for any
+    # scheme, not just local paths). This must NOT be a broad
+    # try/except around the read: treating an arbitrary failure
+    # (schema drift in unionByName, a transient storage error) as
+    # "first batch" would fall through to mode("overwrite") and wipe
+    # every previously merged row with just the current batch.
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(table_dir)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
         existing = spark.read.parquet(table_dir)
         # unhinted: the stored table grows without bound across
         # batches; AQE broadcasts its key projection while small
-        fresh = batch_df.join(
+        fresh = batch.join(
             existing.select(*key_columns), key_columns, "left_anti"
         )
+        # the merged frame must materialize BEFORE the overwrite (it
+        # reads the same parquet dir it rewrites); cut_lineage picks a
+        # reliable checkpoint when a checkpoint dir is configured
+        # (VERDICT r3 missing #2), localCheckpoint otherwise.
         merged = cut_lineage(existing.unionByName(fresh))
-    except Exception:  # first batch: table does not exist yet
-        merged = cut_lineage(batch_df.dropDuplicates(key_columns))
+    else:  # first batch: table does not exist yet
+        merged = cut_lineage(batch)
     merged.write.mode("overwrite").parquet(table_dir)
 
 

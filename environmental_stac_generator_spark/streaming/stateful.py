@@ -115,12 +115,22 @@ class ExtentProcessor(StatefulProcessor):
 
 def stateful_running_extent_tws(stream_df: DataFrame) -> DataFrame:
     """T2 via ``transformWithStateInPandas``. Sets the RocksDB state
-    store provider on the session (required by the operator; also the
-    provider a 100 TB deployment wants — state spills off-heap with
-    changelog checkpointing instead of living in executor heap)."""
-    stream_df.sparkSession.conf.set(
-        "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
-    )
+    store provider on the session IF NOT already configured (the
+    operator requires RocksDB; it is also the provider a 100 TB
+    deployment wants — state spills off-heap with changelog
+    checkpointing instead of living in executor heap). An explicit
+    provider set by the application is respected: silently flipping a
+    session-wide config would change how OTHER streaming queries on
+    the session load their checkpointed state."""
+    conf = stream_df.sparkSession.conf
+    if conf.get("spark.sql.streaming.stateStore.providerClass", None) in (
+        None,
+        "org.apache.spark.sql.execution.streaming.state."
+        "HDFSBackedStateStoreProvider",
+    ):
+        conf.set(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+        )
     return stream_df.groupBy("collection").transformWithStateInPandas(
         statefulProcessor=ExtentProcessor(),
         outputStructType=EXTENT_OUTPUT_SCHEMA,

@@ -66,20 +66,31 @@ def _extent_state_fn(
     forecast_reference_time, held in the state store across batches."""
     if state.exists:
         start, end, n = state.get
+        # count-only state (rows seen before any valid timestamp)
+        # carries null bounds; normalize NaT back to None — NaT
+        # comparisons are always False, so a NaT bound would freeze
+        # the extent forever (same guard as stateful.ExtentProcessor)
+        start = None if start is None or pd.isna(start) else start
+        end = None if end is None or pd.isna(end) else end
     else:
         start, end, n = None, None, 0
     for pdf in pdfs:
         ts = pd.to_datetime(pdf["forecast_reference_time"])
         lo, hi = ts.min(), ts.max()
-        start = lo if start is None or lo < pd.Timestamp(start) else start
-        end = hi if end is None or hi > pd.Timestamp(end) else end
+        if not pd.isna(lo):
+            start = lo if start is None or lo < pd.Timestamp(start) else start
+        if not pd.isna(hi):
+            end = hi if end is None or hi > pd.Timestamp(end) else end
         n += len(pdf)
-    state.update((pd.Timestamp(start), pd.Timestamp(end), n))
+    if start is not None and end is not None:
+        state.update((pd.Timestamp(start), pd.Timestamp(end), n))
+    elif n:
+        state.update((None, None, n))
     yield pd.DataFrame(
         {
             "collection": [key[0]],
-            "extent_start": [pd.Timestamp(start)],
-            "extent_end": [pd.Timestamp(end)],
+            "extent_start": [pd.Timestamp(start) if start is not None else pd.NaT],
+            "extent_end": [pd.Timestamp(end) if end is not None else pd.NaT],
             "n_items": [n],
         }
     )

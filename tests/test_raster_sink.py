@@ -236,3 +236,36 @@ def test_passthrough_reproject_semantics():
     except ImportError:
         with pytest.raises(NotImplementedError):
             raster.rasterio_grid_reproject(arr, ys, xs, {"crs": "EPSG:6931"})
+
+
+def test_valid_time_fractional_month_steps_do_not_collide():
+    """int(lead*step) truncation collapsed fractional month/year
+    offsets to zero, pointing two leadtimes at one output path; the
+    kernel twin now mirrors operators.forecast.valid_time's branches."""
+    import pandas as pd
+
+    from environmental_stac_generator_spark.sinks.raster import _valid_time
+
+    ref = pd.Timestamp("2024-01-01")
+    vts = [_valid_time(ref, lead, "months", 0.5) for lead in range(4)]
+    assert len(set(vts)) == 4, vts
+    # integer steps stay calendar-aware (add_months semantics)
+    assert _valid_time(ref, 2, "months", 1.0) == ref + pd.DateOffset(months=2)
+    assert _valid_time(ref, 1, "years", 1.0) == ref + pd.DateOffset(months=12)
+
+
+def test_skip_existing_outputs_missing_dir_passes_through(spark, tmp_path):
+    """First run: no output dir yet — the planned frame must pass
+    through unchanged instead of failing the binaryFile load."""
+    import pyspark.sql.functions as F
+
+    from environmental_stac_generator_spark.sinks.raster import (
+        skip_existing_outputs,
+    )
+
+    planned = spark.range(3).select(
+        F.concat(F.lit(str(tmp_path / "missing_out/cogs/f")), F.col("id"))
+        .alias("path")
+    )
+    out = skip_existing_outputs(planned, tmp_path / "missing_out", spark)
+    assert out.count() == 3

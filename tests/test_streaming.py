@@ -319,3 +319,94 @@ def test_extent_processor_skips_nat_chunks():
     start, end, n = p._extent.v
     assert start == pd.Timestamp("2024-01-02") and end == pd.Timestamp("2024-01-05")
     assert n == 6
+
+
+def test_merge_raises_on_schema_drift_instead_of_wiping(spark, tmp_path):
+    """A failure mid-merge (e.g. schema drift in unionByName) must
+    RAISE, never fall through to an overwrite that replaces the whole
+    table with just the current batch."""
+    import pytest
+
+    table = tmp_path / "keyed"
+    t = pd.Timestamp("2025-01-01").to_pydatetime()
+    first = spark.createDataFrame(
+        [("icenet", "a", t)], "collection string, item_id string, ts timestamp"
+    )
+    incremental.merge_batch_into_table(first, table, ["collection", "item_id"])
+    assert spark.read.parquet(str(table)).count() == 1
+
+    drifted = spark.createDataFrame(
+        [("icenet", "b")], "collection string, renamed_id string"
+    )
+    with pytest.raises(Exception):
+        incremental.merge_batch_into_table(
+            drifted, table, ["collection", "item_id"]
+        )
+    # the previously merged rows survived the failed batch
+    assert spark.read.parquet(str(table)).count() == 1
+
+
+def test_merge_dedups_keys_within_a_batch(spark, tmp_path):
+    """A micro-batch re-delivering the same key twice must land ONE
+    row — on the first batch and on merges into an existing table."""
+    table = tmp_path / "keyed2"
+    t = pd.Timestamp("2025-01-01").to_pydatetime()
+    dup = spark.createDataFrame(
+        [("icenet", "a", t), ("icenet", "a", t)],
+        "collection string, item_id string, ts timestamp",
+    )
+    incremental.merge_batch_into_table(dup, table, ["collection", "item_id"])
+    assert spark.read.parquet(str(table)).count() == 1
+
+    dup2 = spark.createDataFrame(
+        [("icenet", "b", t), ("icenet", "b", t)],
+        "collection string, item_id string, ts timestamp",
+    )
+    incremental.merge_batch_into_table(dup2, table, ["collection", "item_id"])
+    out = spark.read.parquet(str(table))
+    assert out.count() == 2
+    assert sorted(r["item_id"] for r in out.collect()) == ["a", "b"]
+
+
+def test_extent_state_fn_skips_nat_and_keeps_count():
+    """The applyInPandasWithState twin must carry the same NaT guard
+    as ExtentProcessor: null-timestamp rows count but never poison
+    the stored bounds, regardless of arrival order."""
+    from environmental_stac_generator_spark.streaming.windows import (
+        _extent_state_fn,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.v = None
+
+        @property
+        def exists(self):
+            return self.v is not None
+
+        @property
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+    s = FakeState()
+    nat = pd.DataFrame({"forecast_reference_time": pd.to_datetime([None, None])})
+    out = list(_extent_state_fn(("c",), iter([nat]), s))
+    start, end, n = s.v
+    assert start is None and end is None and n == 2
+    assert out[0]["n_items"].iloc[0] == 2
+
+    good = pd.DataFrame(
+        {"forecast_reference_time": pd.to_datetime(["2024-03-01", "2024-03-09"])}
+    )
+    list(_extent_state_fn(("c",), iter([good]), s))
+    start, end, n = s.v
+    assert start == pd.Timestamp("2024-03-01") and n == 4
+
+    list(_extent_state_fn(("c",), iter([nat]), s))
+    start, end, n = s.v
+    assert start == pd.Timestamp("2024-03-01")
+    assert end == pd.Timestamp("2024-03-09")
+    assert n == 6

@@ -142,3 +142,14 @@ def test_engine_k2_to_s5_loop(spark, tmp_path):
         assert p["format"] == "GTiff"
         assert p["dtype"] == "float64"
         assert p["band_count"] == r["n_bands"]
+
+
+def test_band_names_with_xml_specials_roundtrip():
+    """Band (variable) names containing XML specials must survive the
+    K2->S5 round trip: the encoder escapes them into GDAL_METADATA and
+    the probe unescapes them back."""
+    arr = _grid(2, 8, 8)
+    names = ["temp<2m", "wind&gust"]
+    data = raster.fake_tiff_encoder(arr, names, {})
+    info = rp.parse_tiff_header(data)
+    assert info["band_names"] == names
