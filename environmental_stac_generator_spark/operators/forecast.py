@@ -148,29 +148,29 @@ def valid_time(
 ) -> Column:
     """F2: calendar-aware valid-time arithmetic,
     ``t + relativedelta(**{unit: i*step})`` (ref
-    ``stac/generator.py:855-857``). Whole months/years use
-    ``add_months`` (same end-of-month clamping as relativedelta);
-    hour/day/week go through ``make_interval``; fractional steps are
-    scaled into the next smaller unit."""
+    ``stac/generator.py:855-857``). Delegates to
+    :func:`functions.frequency.leadtime_offset` so there is ONE
+    implementation of the relativedelta semantics (property-tested):
+    fractional hours/days/weeks are exact microsecond durations,
+    non-integer month/year offsets raise at evaluation time exactly
+    as dateutil does ("Non-integer years and months are ambiguous"),
+    and month arithmetic clamps to month end while PRESERVING
+    time-of-day — the previous ``add_months(...).cast("timestamp")``
+    silently truncated a 06:00 init time to midnight, and its
+    fractional branches disagreed with the sibling implementation
+    (30-day months here, an error there)."""
+    from environmental_stac_generator_spark.functions.frequency import (
+        FrequencyParseError,
+        leadtime_offset,
+    )
+
     t = F.col(ref_time) if isinstance(ref_time, str) else ref_time
     i = F.col(leadtime_idx) if isinstance(leadtime_idx, str) else leadtime_idx
-    n = i * F.lit(step)
-    if unit in ("hours", "hour"):
-        return t + (n.cast("double") * F.expr("INTERVAL 1 HOUR"))
-    if unit in ("days", "day"):
-        return t + (n.cast("double") * F.expr("INTERVAL 1 DAY"))
-    if unit in ("weeks", "week"):
-        return t + (n.cast("double") * F.expr("INTERVAL 7 DAY"))
-    if unit in ("months", "month"):
-        if step == int(step):
-            return F.add_months(t, (i * int(step)).cast("int")).cast("timestamp")
-        # fractional months -> 30.4375-day approximation documented
-        return t + (n.cast("double") * F.expr("INTERVAL 30 DAY"))
-    if unit in ("years", "year"):
-        if step == int(step):
-            return F.add_months(t, (i * int(12 * step)).cast("int")).cast("timestamp")
-        return F.add_months(t, (n * 12).cast("int")).cast("timestamp")
-    raise ValueError(f"unknown leadtime unit {unit!r}")
+    plural = unit if unit.endswith("s") else unit + "s"
+    try:
+        return leadtime_offset(t, plural, i * F.lit(float(step)))
+    except FrequencyParseError as exc:
+        raise ValueError(f"unknown leadtime unit {unit!r}") from exc
 
 
 def forecast_info(df: DataFrame) -> DataFrame:

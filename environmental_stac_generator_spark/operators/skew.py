@@ -29,9 +29,15 @@ from pyspark.sql import Column, DataFrame
 
 # (partial_expr, final_expr) per supported aggregate: partial runs on
 # (keys + salt), final re-combines partials on the true keys.
+# count follows SQL null-skipping: count(col) counts non-null values,
+# count("*") counts rows — the partial must NOT collapse both to
+# count(*) or results diverge from the unsalted plan on null inputs.
 _ALGEBRAIC = {
     "sum": (F.sum, F.sum),
-    "count": (lambda c: F.count(F.lit(1)), F.sum),
+    "count": (
+        lambda c: F.count(F.lit(1)) if c in ("*", None) else F.count(c),
+        F.sum,
+    ),
     "min": (F.min, F.min),
     "max": (F.max, F.max),
 }
@@ -61,7 +67,10 @@ def salted_agg(
     post = []
     for out, (name, col) in aggs.items():
         if name == "avg":
-            partials += [F.sum(col).alias(f"__s_{out}"), F.count(F.lit(1)).alias(f"__c_{out}")]
+            # AVG skips nulls in numerator AND denominator: the count
+            # partial must be count(col), not count(*), or a null row
+            # deflates the mean vs the unsalted plan
+            partials += [F.sum(col).alias(f"__s_{out}"), F.count(col).alias(f"__c_{out}")]
             finals += [F.sum(f"__s_{out}").alias(f"__s_{out}"), F.sum(f"__c_{out}").alias(f"__c_{out}")]
             post.append((F.col(f"__s_{out}") / F.col(f"__c_{out}")).alias(out))
         elif name in _ALGEBRAIC:
@@ -87,7 +96,19 @@ def salted_join(
 ) -> DataFrame:
     """Skew-safe equi-join: the small side is replicated ``n_salt``
     times (explode of a sequence literal — map-side, no shuffle of the
-    big side beyond the join's own exchange on (key, salt))."""
+    big side beyond the join's own exchange on (key, salt)).
+
+    Only join types where an UNMATCHED small-side row emits nothing
+    are allowed: for right/full outer the n_salt replicas of an
+    unmatched small row would each emit a null-padded output row
+    (n_salt duplicates vs the unsalted plan), so those raise."""
+    if how.replace("_", "").lower() not in (
+        "inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti"
+    ):
+        raise ValueError(
+            f"salted_join cannot preserve {how!r} semantics: unmatched "
+            "replicated small-side rows would duplicate the output"
+        )
     replicated = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
     )
@@ -109,19 +130,28 @@ def skew_report(df: DataFrame, keys: list[str], top: int = 10) -> DataFrame:
     ``s``× the mean wants ~``s`` salts to level its reducers)."""
     counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
     key_repr = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
-    return counts.agg(
+    summary = counts.agg(
         F.sum("n").alias("total_rows"),
         F.count(F.lit(1)).alias("distinct_keys"),
         F.max("n").alias("max_key_rows"),
         (F.sum("n") / F.count(F.lit(1))).alias("mean_key_rows"),
         (F.max("n") * F.count(F.lit(1)) / F.sum("n")).alias("skew_factor"),
         (F.max("n") / F.sum("n")).alias("top_key_share"),
-        F.slice(
+    )
+    # the hottest keys come from a TakeOrdered limit, NOT a
+    # collect_list over every distinct key — at 10^8 distinct keys a
+    # single aggregate row holding them all is the one-hot-reducer
+    # pattern this module exists to avoid; only `top` structs ever
+    # reach one task here (sort_array on <= top entries restores the
+    # descending order the limit selected by)
+    hottest = (
+        counts.orderBy(F.desc("n"), key_repr)
+        .limit(top)
+        .agg(
             F.sort_array(
                 F.collect_list(F.struct(F.col("n"), key_repr.alias("key"))),
                 asc=False,
-            ),
-            1,
-            top,
-        ).alias("hottest"),
+            ).alias("hottest")
+        )
     )
+    return summary.crossJoin(F.broadcast(hottest))

@@ -79,8 +79,14 @@ def range_join(
         F.explode(
             F.sequence(
                 F.floor(F.col(lo_col) / bucket_width).cast("long"),
-                # hi is exclusive: the bucket of the last contained value
-                F.floor((F.col(hi_col) - 1e-9) / bucket_width).cast("long"),
+                # OVER-cover the exclusive hi bound: floor(hi/width)
+                # may add one bucket no contained value can land in
+                # (hi exactly on a boundary), but the exact post-join
+                # filter drops it. An epsilon subtraction UNDER-covers
+                # instead — a value within epsilon below a hi just
+                # past a boundary silently loses its match — so
+                # correctness demands the extra bucket, not the trim.
+                F.floor(F.col(hi_col) / bucket_width).cast("long"),
             )
         ),
     )

@@ -80,19 +80,32 @@ def validate(
     """Evaluate every rule in one aggregate pass; returns one row per
     rule: (kind, column, metric, threshold, ok). ``exact_unique``
     swaps the HLL duplicate estimate for an exact count_distinct
-    (same single pass, but the shuffle carries the keys)."""
+    (same single pass, but the shuffle carries the keys). A unique
+    rule whose tolerance sits INSIDE the HLL error envelope
+    (threshold < 2×rsd) forces the exact path on its own: an
+    approx_count_distinct that under-estimates by <1% would flag a
+    perfectly unique column as failed, and an over-estimate would
+    mask that many real duplicates — the estimator cannot answer a
+    question tighter than its own error bar. Over-estimates are also
+    clamped so the violation count never goes negative."""
+    _HLL_RSD = 0.01
     aggs = [F.count(F.lit(1)).alias("_n")]
     for i, r in enumerate(rules):
         if r.kind == "row_count_min":
             continue
         if r.kind == "unique":
+            use_exact = (
+                exact_unique or r.max_violation_fraction < 2 * _HLL_RSD
+            )
             distinct = (
                 F.count_distinct(F.col(r.column))
-                if exact_unique
-                else F.approx_count_distinct(r.column, rsd=0.01)
+                if use_exact
+                else F.approx_count_distinct(r.column, rsd=_HLL_RSD)
             )
             aggs.append(
-                (F.count(r.column) - distinct).cast("long").alias(f"_v{i}")
+                F.greatest(F.lit(0), F.count(r.column) - distinct)
+                .cast("long")
+                .alias(f"_v{i}")
             )
         else:
             aggs.append(_violations(r).alias(f"_v{i}"))

@@ -43,6 +43,13 @@ def store_or_validate_config(
         p.write_text(json.dumps(current, sort_keys=True))
         return
     stored = json.loads(p.read_text())
+    # collections first seen THIS run: validated never (nothing to
+    # compare against), but they must be persisted now — otherwise
+    # they stay absent from the file and are exempt from drift
+    # detection on every future run, which defeats the guard
+    new_colls = {c: v for c, v in current.items() if c not in stored}
+    if new_colls:
+        p.write_text(json.dumps({**stored, **new_colls}, sort_keys=True))
     # per-collection scope: ref DeepDiffs config_data[collection] only
     # when collection already exists in the stored file — so only
     # collections present on BOTH sides are compared

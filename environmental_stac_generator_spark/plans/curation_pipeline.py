@@ -182,8 +182,16 @@ def _semantic_dedup(
     # confirms; drop the higher id of each pair (keep-first). The
     # loser set is pair-bounded — corpus-scale when duplication is
     # heavy — so the anti-join is unhinted and AQE runtime-sizes it.
+    #
+    # Scope the embeddings to the CURRENT survivor set first: pairing
+    # over the full corpus lets a surviving doc lose to a pair-mate an
+    # earlier stage already removed — cosine similarity is not
+    # transitive through the removed doc's own keeper, so both copies
+    # of that content could vanish. The semi-join also keeps the
+    # k-means pass (and the auto-K sqrt(N)) sized to the rows that
+    # can actually be dropped.
     pairs = semantic_pairs_of(
-        embeddings.select(
+        embeddings.join(docs.select("doc_id"), "doc_id", "left_semi").select(
             F.col("doc_id").alias("vec_id"), "embedding"
         ),
         threshold=threshold,

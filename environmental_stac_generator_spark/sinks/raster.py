@@ -484,20 +484,19 @@ def default_grid_reproject(
 
 
 def _valid_time(ref: pd.Timestamp, lead: int, unit: str, step: float) -> pd.Timestamp:
-    """Kernel-side twin of operators.forecast.valid_time (F2) —
-    same branch structure, so fractional month/year steps don't
-    truncate to a zero offset (int(lead*step) at lead=1, step=0.5
-    collapsed two leadtimes onto one output path)."""
+    """Kernel-side twin of operators.forecast.valid_time (F2), same
+    relativedelta semantics as functions.frequency.leadtime_offset:
+    fractional hours/days/weeks are exact durations; a non-integer
+    month/year offset raises exactly as dateutil does (the previous
+    int(lead*step) truncation collapsed two fractional-step leadtimes
+    onto one output path); month arithmetic preserves time-of-day."""
     unit = unit if unit.endswith("s") else unit + "s"
     n = lead * step
-    if unit == "months":
-        if step == int(step):
-            return ref + pd.DateOffset(months=lead * int(step))
-        return ref + pd.Timedelta(days=30) * n  # F2's fractional twin
-    if unit == "years":
-        if step == int(step):
-            return ref + pd.DateOffset(months=lead * int(12 * step))
-        return ref + pd.DateOffset(months=int(n * 12))
+    if unit in ("months", "years"):
+        months = n * (12 if unit == "years" else 1)
+        if months != int(months):
+            raise ValueError(f"Non-integer {unit} are ambiguous: {n}")
+        return ref + pd.DateOffset(months=int(months))
     if unit == "weeks":
         return ref + pd.Timedelta(days=7) * n
     return ref + pd.Timedelta(**{unit: 1}) * n  # hours / days

@@ -38,6 +38,31 @@ def save_items(items_json: DataFrame, out_dir: str | Path) -> None:
     items_json.foreachPartition(write_partition)
 
 
+def _merge_collection_doc(old: dict, new: dict) -> dict:
+    """J8 on disk: a collection re-written by a later input keeps the
+    UNION of extents (bbox element-wise min/max, temporal min-start /
+    max-end with None = unbounded) instead of silently shrinking to
+    the latest input's coverage. Malformed stored docs fall back to
+    the new one."""
+    try:
+        ob = old["extent"]["spatial"]["bbox"][0]
+        nb = new["extent"]["spatial"]["bbox"][0]
+        new["extent"]["spatial"]["bbox"][0] = [
+            min(ob[0], nb[0]),
+            min(ob[1], nb[1]),
+            max(ob[2], nb[2]),
+            max(ob[3], nb[3]),
+        ]
+        oi = old["extent"]["temporal"]["interval"][0]
+        ni = new["extent"]["temporal"]["interval"][0]
+        lo = None if oi[0] is None or ni[0] is None else min(oi[0], ni[0])
+        hi = None if oi[1] is None or ni[1] is None else max(oi[1], ni[1])
+        new["extent"]["temporal"]["interval"][0] = [lo, hi]
+    except (KeyError, IndexError, TypeError):
+        pass
+    return new
+
+
 def save_collections(collections_json: DataFrame, out_dir: str | Path) -> None:
     out = str(out_dir)
 
@@ -45,7 +70,14 @@ def save_collections(collections_json: DataFrame, out_dir: str | Path) -> None:
         for row in rows:
             d = Path(out) / row["collection_id"]
             d.mkdir(parents=True, exist_ok=True)
-            (d / "collection.json").write_text(row["json"])
+            p = d / "collection.json"
+            doc = json.loads(row["json"])
+            if p.exists():  # multi-input / re-run: merge extents
+                try:
+                    doc = _merge_collection_doc(json.loads(p.read_text()), doc)
+                except json.JSONDecodeError:
+                    pass
+            p.write_text(json.dumps(doc, indent=2))
 
     collections_json.foreachPartition(write_partition)
 
@@ -57,9 +89,22 @@ def save_catalog_root(
     out_dir: str | Path,
 ) -> Path:
     """Catalog root document — tiny, driver-side
-    (ref ``stac/generator.py:111-142``)."""
+    (ref ``stac/generator.py:111-142``). Child links MERGE with an
+    existing root: a multi-input preprocess saves the catalog once
+    per input, and overwriting with only the current input's
+    collections would leave the earlier inputs' collections written
+    on disk but unlinked from the root."""
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
+    p = out / "catalog.json"
+    ids = set(collection_ids)
+    if p.exists():
+        try:
+            for link in json.loads(p.read_text()).get("links", []):
+                if link.get("rel") == "child":
+                    ids.add(link["href"].split("/")[-2])
+        except (json.JSONDecodeError, IndexError, KeyError):
+            pass
     doc = {
         "type": "Catalog",
         "stac_version": STAC_VERSION,
@@ -67,10 +112,9 @@ def save_catalog_root(
         "description": description,
         "links": [
             {"rel": "child", "href": f"./{cid}/collection.json"}
-            for cid in sorted(collection_ids)
+            for cid in sorted(ids)
         ],
     }
-    p = out / "catalog.json"
     p.write_text(json.dumps(doc, indent=2))
     return p
 

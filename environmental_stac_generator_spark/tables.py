@@ -39,6 +39,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # so either physical layout yields one canonical TIMESTAMP
         # column (session tz is UTC, so NTZ→LTZ is identity on the
         # instant). Both paths stay pushdown-friendly native scans.
+        #
+        # The conf deliberately stays set for the session: scans are
+        # LAZY, so a restore-after-read would flip it back before the
+        # plan ever executes. Session scope is the documented choice —
+        # any other TIMESTAMP(NANOS) parquet read on this session will
+        # also surface as raw long nanos (the dtype branch below shows
+        # the conversion); host applications embedding this engine in
+        # a shared session should read such files through their own
+        # session.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         from pyspark.sql import functions as F

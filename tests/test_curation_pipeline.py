@@ -85,12 +85,21 @@ def test_curate_semantic_and_redact(spark, sf_dir):
         semantic_pairs_of,
     )
 
-    # mirror the chain's default clustering (semantic_clusters="auto")
-    # so the expected loser set comes from the same K the chain used
+    # mirror the chain exactly: pairs are generated over the
+    # exact-dedup SURVIVORS (not the full corpus — a doc must not
+    # lose to a pair-mate already removed upstream), with the chain's
+    # default auto clustering so the K matches too
+    from environmental_stac_generator_spark.plans.curation_pipeline import (
+        _exact_dedup,
+    )
+
+    survivors_in = _exact_dedup(docs).select("doc_id")
     losers = {
         r.vec_b
         for r in semantic_pairs_of(
-            emb.select(F.col("doc_id").alias("vec_id"), "embedding"),
+            emb.join(survivors_in, "doc_id", "left_semi").select(
+                F.col("doc_id").alias("vec_id"), "embedding"
+            ),
             threshold=0.35,
             n_clusters="auto",
         ).collect()

@@ -238,20 +238,27 @@ def test_passthrough_reproject_semantics():
             raster.rasterio_grid_reproject(arr, ys, xs, {"crs": "EPSG:6931"})
 
 
-def test_valid_time_fractional_month_steps_do_not_collide():
-    """int(lead*step) truncation collapsed fractional month/year
-    offsets to zero, pointing two leadtimes at one output path; the
-    kernel twin now mirrors operators.forecast.valid_time's branches."""
+def test_valid_time_matches_relativedelta_semantics():
+    """The kernel twin follows leadtime_offset's relativedelta
+    semantics: integral month/year offsets are calendar-aware and
+    preserve time-of-day, non-integer ones raise (dateutil's
+    'ambiguous' rule — the old int(lead*step) truncation silently
+    collapsed two fractional-step leadtimes onto one output path)."""
     import pandas as pd
+    import pytest
 
     from environmental_stac_generator_spark.sinks.raster import _valid_time
 
-    ref = pd.Timestamp("2024-01-01")
-    vts = [_valid_time(ref, lead, "months", 0.5) for lead in range(4)]
-    assert len(set(vts)) == 4, vts
-    # integer steps stay calendar-aware (add_months semantics)
-    assert _valid_time(ref, 2, "months", 1.0) == ref + pd.DateOffset(months=2)
-    assert _valid_time(ref, 1, "years", 1.0) == ref + pd.DateOffset(months=12)
+    ref = pd.Timestamp("2024-01-31 06:00")
+    # integral offsets: month-end clamp + time-of-day preserved
+    assert _valid_time(ref, 1, "months", 1.0) == pd.Timestamp("2024-02-29 06:00")
+    assert _valid_time(ref, 1, "years", 1.0) == pd.Timestamp("2025-01-31 06:00")
+    # lead*step integral is fine even when step alone is fractional
+    assert _valid_time(ref, 2, "months", 0.5) == pd.Timestamp("2024-02-29 06:00")
+    with pytest.raises(ValueError, match="ambiguous"):
+        _valid_time(ref, 1, "months", 0.5)
+    # fractional smaller units stay exact durations
+    assert _valid_time(ref, 3, "hours", 0.5) == ref + pd.Timedelta(hours=1.5)
 
 
 def test_skip_existing_outputs_missing_dir_passes_through(spark, tmp_path):

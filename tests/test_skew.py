@@ -89,3 +89,62 @@ def test_skew_report_diagnoses_hot_key(spark, sf_dir):
         truth[0]["count"], truth[0]["l_returnflag"]
     )
     assert len(r["hottest"]) == 2
+
+
+def test_salted_agg_null_semantics_match_unsalted(spark):
+    """avg/count must follow SQL null-skipping exactly like the
+    unsalted plan: count(col) counts non-null values, avg divides by
+    the non-null count — a count(*) partial would deflate both."""
+    import pyspark.sql.functions as F
+
+    from environmental_stac_generator_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [("k", 1.0), ("k", None), ("k", 3.0), ("j", None)],
+        "g string, x double",
+    )
+    got = {
+        r["g"]: r
+        for r in salted_agg(
+            df,
+            ["g"],
+            {
+                "a": ("avg", "x"),
+                "c": ("count", "x"),
+                "rows": ("count", "*"),
+                "s": ("sum", "x"),
+            },
+            salt_from="x",
+        ).collect()
+    }
+    want = {
+        r["g"]: r
+        for r in df.groupBy("g")
+        .agg(
+            F.avg("x").alias("a"),
+            F.count("x").alias("c"),
+            F.count(F.lit(1)).alias("rows"),
+            F.sum("x").alias("s"),
+        )
+        .collect()
+    }
+    for g in want:
+        for c in ("a", "c", "rows", "s"):
+            assert got[g][c] == want[g][c], (g, c, got[g][c], want[g][c])
+
+
+def test_salted_join_rejects_outer_joins(spark):
+    """right/full outer would emit n_salt null-padded duplicates for
+    an unmatched small-side row; the function must refuse."""
+    import pytest
+
+    from environmental_stac_generator_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([("a", 1)], "k string, v int")
+    small = spark.createDataFrame([("b", 9)], "k string, w int")
+    for how in ("right", "full", "outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(big, small, "k", salt_from="v", how=how)
+    # left keeps exactly one row for an unmatched big-side key
+    left = salted_join(big, small, "k", salt_from="v", how="left").collect()
+    assert len(left) == 1 and left[0]["w"] is None

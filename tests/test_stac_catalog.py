@@ -156,3 +156,50 @@ def test_catalog_roundtrip_traversal(spark, long_df, info, tmp_path):
     )
     # every item's collection link resolves in the read-back tree
     assert joined.count() == n_items
+
+
+def test_save_collections_merges_extents_across_runs(spark, tmp_path):
+    """Multi-input preprocess saves the catalog once per input: a
+    collection re-written by a later input must keep the UNION of
+    extents, not shrink to the latest input's coverage."""
+    from environmental_stac_generator_spark.sinks import stac_json
+
+    def coll_df(bbox, interval):
+        doc = {
+            "type": "Collection",
+            "id": "icenet",
+            "extent": {
+                "spatial": {"bbox": [bbox]},
+                "temporal": {"interval": [interval]},
+            },
+        }
+        return spark.createDataFrame(
+            [("icenet", json.dumps(doc))], "collection_id string, json string"
+        )
+
+    stac_json.save_collections(
+        coll_df([-10.0, -5.0, 10.0, 5.0], ["2024-01-01T00:00:00Z", "2024-02-01T00:00:00Z"]),
+        tmp_path,
+    )
+    stac_json.save_collections(
+        coll_df([0.0, 0.0, 20.0, 15.0], ["2024-03-01T00:00:00Z", "2024-04-01T00:00:00Z"]),
+        tmp_path,
+    )
+    doc = json.loads((tmp_path / "icenet" / "collection.json").read_text())
+    assert doc["extent"]["spatial"]["bbox"][0] == [-10.0, -5.0, 20.0, 15.0]
+    assert doc["extent"]["temporal"]["interval"][0] == [
+        "2024-01-01T00:00:00Z",
+        "2024-04-01T00:00:00Z",
+    ]
+
+
+def test_save_catalog_root_keeps_earlier_children(tmp_path):
+    """The root document merges child links across saves so an
+    earlier input's collections stay linked from the catalog."""
+    from environmental_stac_generator_spark.sinks import stac_json
+
+    stac_json.save_catalog_root("cat", "d", ["coll_a"], tmp_path)
+    stac_json.save_catalog_root("cat", "d", ["coll_b"], tmp_path)
+    doc = json.loads((tmp_path / "catalog.json").read_text())
+    hrefs = sorted(l["href"] for l in doc["links"] if l["rel"] == "child")
+    assert hrefs == ["./coll_a/collection.json", "./coll_b/collection.json"]

@@ -150,3 +150,19 @@ def test_range_join_matches_plain_filter_join(spark, case):
         (v, t) for v in vals for lo, hi, t in tiers if lo <= v < hi
     )
     assert got == expected
+
+
+def test_range_join_value_just_under_hi_across_bucket_boundary(spark):
+    """A value within float-epsilon below a hi that sits just past a
+    bucket boundary must still match: the old hi-1e-9 bucket trim
+    under-covered and silently dropped it."""
+    from environmental_stac_generator_spark.operators.temporal_join import (
+        range_join,
+    )
+
+    rows = spark.createDataFrame([(100.0000000001,)], "v double")
+    tiers = spark.createDataFrame(
+        [("t", 0.0, 100.0000000005)], "tier string, lo double, hi double"
+    )
+    out = range_join(rows, tiers, "v", bucket_width=50.0).collect()
+    assert len(out) == 1 and out[0]["tier"] == "t"
