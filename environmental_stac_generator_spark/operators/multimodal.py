@@ -126,7 +126,9 @@ def default_decode(content: bytes, meta: dict) -> np.ndarray:
     available, deterministic fake features otherwise."""
     try:
         return real_image_decode(content, meta)
-    except NotImplementedError:
+    except Exception:  # missing Pillow OR undecodable payload — the
+        # fallback must cover both (an UnidentifiedImageError on a
+        # Pillow-equipped host is not NotImplementedError)
         return fake_decode(content, meta)
 
 
@@ -164,8 +166,7 @@ def fake_resize(content: bytes, meta: dict, width: int, height: int) -> bytes:
     output has the exact byte size a real resize would and still
     depends on every region of the input."""
     src = np.frombuffer(content or b"\x00", dtype=np.uint8)
-    if src.size == 0:
-        src = np.zeros(1, dtype=np.uint8)
+    meta["format"] = "raw-l8"  # the payload is now a raw gray plane
     idx = np.floor(np.linspace(0, src.size - 1, width * height)).astype(np.int64)
     return src[idx].tobytes()
 
@@ -185,6 +186,7 @@ def real_image_resize(content: bytes, meta: dict, width: int, height: int) -> by
     with Image.open(io.BytesIO(content)) as img:
         out = io.BytesIO()
         img.resize((width, height), Image.BILINEAR).save(out, format="PNG")
+        meta["format"] = "png"  # re-encoded: the codec changed
         return out.getvalue()
 
 
@@ -204,9 +206,12 @@ def resize_media(
     resize: ResizeFn = fake_resize,
 ) -> DataFrame:
     """mapInPandas resize kernel over image rows: new payload bytes +
-    updated meta, same MEDIA_SCHEMA out as in so resize stages
-    compose. Non-image rows pass through untouched. The payload never
-    crosses an exchange — the kernel runs where the data sits."""
+    updated meta (width/height here; the resize fn updates
+    meta["format"] when it re-encodes, so the metadata always
+    describes the actual payload codec), same MEDIA_SCHEMA out as in
+    so resize stages compose. Non-image rows pass through untouched.
+    The payload never crosses an exchange — the kernel runs where the
+    data sits."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -91,6 +91,16 @@ def netcdf_slice_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan->info->items->assets plan (ref stac/generator.py:650-803).",
 )
 def stac_item_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from environmental_stac_generator_spark.plans import stac_catalog as sc
+
+    items, assets, _ = _assemble_catalog_frames(spark)
+    return sc.items_to_json(items, assets)
+
+
+def _assemble_catalog_frames(spark: SparkSession):
+    """Shared scan→info→stats→items→assets assembly used by both
+    stac_item_documents and stac_catalog_roundtrip; returns
+    (items, assets, info)."""
     from environmental_stac_generator_spark.operators import forecast as fc
     from environmental_stac_generator_spark.plans import stac_catalog as sc
     from environmental_stac_generator_spark.sources import netcdf
@@ -104,7 +114,7 @@ def stac_item_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         cogs.unionByName(sc.build_netcdf_assets(items))
         .unionByName(sc.build_thumbnail_assets(cogs))
     )
-    return sc.items_to_json(items, assets)
+    return items, assets, info
 
 
 @register(
@@ -147,7 +157,9 @@ def streaming_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = incremental.start_incremental_merge(
         stream, table, ckpt, ["collection", "item_id"]
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()  # timed out: fail loudly, never read partial output
+        raise TimeoutError("streaming kernel did not drain within 300s")
     return spark.read.parquet(str(table)).select("collection", "item_id")
 
 
@@ -177,7 +189,9 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()  # timed out: fail loudly, never read partial output
+        raise TimeoutError("streaming kernel did not drain within 300s")
     return spark.sql(f"SELECT * FROM {name}")
 
 
@@ -216,7 +230,9 @@ def streaming_stateful_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()  # timed out: fail loudly, never read partial output
+        raise TimeoutError("streaming kernel did not drain within 300s")
     return spark.createDataFrame(rows, sw.EXTENT_OUTPUT_SCHEMA)
 
 
@@ -253,7 +269,9 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()  # timed out: fail loudly, never read partial output
+        raise TimeoutError("streaming kernel did not drain within 300s")
     return spark.sql(
         f"SELECT event_type, count(*) AS n_unique FROM {name} GROUP BY event_type"
     )
@@ -345,20 +363,10 @@ def partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(ref Catalog.from_file, stac/generator.py:130-131).",
 )
 def stac_catalog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from environmental_stac_generator_spark.operators import forecast as fc
     from environmental_stac_generator_spark.plans import stac_catalog as sc
     from environmental_stac_generator_spark.sinks import stac_json as sj
-    from environmental_stac_generator_spark.sources import netcdf
 
-    long_df = netcdf.scan_netcdf(spark, _fake_landing(), decoder=netcdf.fake_decoder())
-    info = fc.forecast_info(long_df)
-    stats = fc.band_statistics(long_df)
-    items = sc.build_items(fc.leadtime_counts(long_df), info)
-    cogs = sc.build_cog_assets(stats, items)
-    assets = (
-        cogs.unionByName(sc.build_netcdf_assets(items))
-        .unionByName(sc.build_thumbnail_assets(cogs))
-    )
+    items, assets, info = _assemble_catalog_frames(spark)
     out = Path(tempfile.mkdtemp(prefix="envstac_cat_")) / "catalog"
     sj.save_items(sc.items_to_json(items, assets), out)
     sj.save_collections(sc.collections_to_json(sc.build_collections(info)), out)
@@ -391,26 +399,34 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_bucketed,
     )
 
+    import uuid
+
+    # per-invocation table names: fixed globals would let concurrent
+    # executions sharing a warehouse overwrite each other's tables
+    # mid-scan, or have one run's cleanup DROP + rmtree the files the
+    # other is reading
+    sfx = uuid.uuid4().hex[:12]
+    t_orders, t_lineitem = f"q_b_orders_{sfx}", f"q_b_lineitem_{sfx}"
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     lineitem = load(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
     )
-    write_bucketed(orders, "q_b_orders", "o_orderkey", 8)
-    write_bucketed(lineitem, "q_b_lineitem", "o_orderkey", 8)
+    write_bucketed(orders, t_orders, "o_orderkey", 8)
+    write_bucketed(lineitem, t_lineitem, "o_orderkey", 8)
     try:
         out = (
-            colocated_join(spark, "q_b_orders", "q_b_lineitem", "o_orderkey")
+            colocated_join(spark, t_orders, t_lineitem, "o_orderkey")
             .groupBy("o_orderpriority")
             .agg(F.count(F.lit(1)).alias("n_lines"))
         )
         rows = out.collect()
         schema = out.schema
     finally:
-        spark.sql("DROP TABLE IF EXISTS q_b_orders")
-        spark.sql("DROP TABLE IF EXISTS q_b_lineitem")
+        spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_lineitem}")
         wh = Path(spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"))
-        shutil.rmtree(wh / "q_b_orders", ignore_errors=True)
-        shutil.rmtree(wh / "q_b_lineitem", ignore_errors=True)
+        shutil.rmtree(wh / t_orders, ignore_errors=True)
+        shutil.rmtree(wh / t_lineitem, ignore_errors=True)
         try:  # remove the warehouse dir itself when empty
             wh.rmdir()
         except OSError:

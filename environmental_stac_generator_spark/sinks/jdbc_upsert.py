@@ -106,33 +106,46 @@ def upsert_dataframe(
     batch_size: int = 1000,
     connection_factory=psycopg_connection_factory,
     paramstyle: str = "pyformat",
-) -> None:
+) -> int:
     """J7/U6: partition-parallel ON CONFLICT upsert through any
     DB-API engine whose dialect has Postgres upsert semantics —
     psycopg against live pgSTAC in production, sqlite3 in the
-    embedded test lane. N_partitions round trips total, not N_rows."""
+    embedded test lane. At most N_non_empty_partitions round trips —
+    empty partitions (common when shuffle partitions exceed row
+    count) never open a connection. Returns the number of rows
+    written (accumulator-counted on the same execution, so callers
+    don't pay a separate .count() recomputation of the plan)."""
+    from itertools import chain
+
     columns = df.columns
     sql = build_upsert_sql(
         table, columns, key_columns, _PARAMSTYLE_PLACEHOLDER[paramstyle]
     )
+    written = df.sparkSession.sparkContext.accumulator(0)
 
     def upsert_partition(rows: Iterator) -> None:
+        first = next(rows, None)
+        if first is None:
+            return  # empty partition: no connection round trip
         conn = connection_factory(dsn)
         try:
             cur = conn.cursor()
             batch = []
-            for row in rows:
+            for row in chain([first], rows):
                 batch.append(tuple(row[c] for c in columns))
                 if len(batch) >= batch_size:
                     cur.executemany(sql, batch)
+                    written.add(len(batch))
                     batch.clear()
             if batch:
                 cur.executemany(sql, batch)
+                written.add(len(batch))
             conn.commit()
         finally:
             conn.close()
 
     df.foreachPartition(upsert_partition)
+    return written.value
 
 
 def ingest_catalog(
@@ -171,16 +184,21 @@ def ingest_catalog(
         items.write.jdbc(jdbc_url, "items", mode="append", properties=properties)
         counts = {"collections": coll_obs.get["n"], "items": item_obs.get["n"]}
     else:
-        counts = {"collections": collections.count(), "items": items.count()}
+        # counts come from the upsert's own accumulator — a separate
+        # .count() would execute every source plan a second time (the
+        # double-execution the non-overwrite branch's observe() note
+        # calls out), and could disagree with the rows actually
+        # written when the lineage is non-deterministic.
         # FK order: collections before items (ref dataloader.py:173-189)
-        upsert_dataframe(
+        n_coll = upsert_dataframe(
             collections, dsn, "collections", ["id"],
             connection_factory=connection_factory, paramstyle=paramstyle,
         )
-        upsert_dataframe(
+        n_items = upsert_dataframe(
             items, dsn, "items", ["id", "collection"],
             connection_factory=connection_factory, paramstyle=paramstyle,
         )
+        counts = {"collections": n_coll, "items": n_items}
     return counts
 
 

@@ -35,10 +35,22 @@ def with_shard(
     df: DataFrame, key: str, n_shards: int, seed: int = 0
 ) -> DataFrame:
     """Assign each row a deterministic shard id and intra-shard sort
-    key derived from ``key`` — a pure map stage."""
-    return df.withColumn(
-        "shard", F.pmod(F.xxhash64(F.col(key), F.lit(seed)), F.lit(n_shards))
-    ).withColumn("_ord", F.xxhash64(F.col(key), F.lit(seed + 1)))
+    key derived from ``key`` — a pure map stage. ``_tie`` hashes the
+    WHOLE row: when ``key`` is not unique, rows sharing its value tie
+    on every key-derived sort column and their relative order would
+    be exchange-arrival order (timing-dependent, breaking the
+    byte-identical contract); the full-row hash gives them a
+    deterministic total order, and full-duplicate rows — the only
+    remaining ties — are interchangeable bytes anyway."""
+    return (
+        df.withColumn(
+            "shard", F.pmod(F.xxhash64(F.col(key), F.lit(seed)), F.lit(n_shards))
+        )
+        .withColumn("_ord", F.xxhash64(F.col(key), F.lit(seed + 1)))
+        .withColumn(
+            "_tie", F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed + 2))
+        )
+    )
 
 
 def write_training_shards(
@@ -55,8 +67,8 @@ def write_training_shards(
     sharded = with_shard(df, key, n_shards, seed)
     (
         sharded.repartition(n_shards, "shard")
-        .sortWithinPartitions("shard", "_ord", key)
-        .drop("_ord")
+        .sortWithinPartitions("shard", "_ord", key, "_tie")
+        .drop("_ord", "_tie")
         .write.mode("overwrite")
         .option("maxRecordsPerFile", max_records_per_file)
         .partitionBy("shard")

@@ -65,3 +65,34 @@ def test_with_shard_is_map_stage(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").select("doc_id")
     plan = with_shard(docs, "doc_id", 16)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_shards_byte_identical_with_non_unique_key(spark, tmp_path):
+    """The byte-identical contract must hold when the shard key is
+    NOT unique: rows sharing a key value tie on every key-derived
+    sort column, so without the full-row tiebreak their order would
+    be exchange-arrival (timing-dependent)."""
+    import pyspark.sql.functions as F
+
+    from environmental_stac_generator_spark.sinks.shards import (
+        read_shard,
+        write_training_shards,
+    )
+
+    df = spark.range(0, 400).select(
+        (F.col("id") % 20).cast("string").alias("url"),  # 20 rows per key
+        F.concat(F.lit("doc "), F.col("id")).alias("text"),
+    )
+    outs = []
+    for run in ("a", "b"):
+        out = tmp_path / f"run_{run}"
+        # different input partitioning per run: arrival order differs
+        src = df.repartition(3 if run == "a" else 11)
+        write_training_shards(src, out, key="url", n_shards=4, seed=7)
+        outs.append(
+            [
+                [tuple(r) for r in read_shard(spark, out, s).collect()]
+                for s in range(4)
+            ]
+        )
+    assert outs[0] == outs[1]
