@@ -99,7 +99,7 @@ def _union_sql(
     return "\nUNION ALL\n".join(sels)
 
 
-def _merged(full, name, schema, parts, doc) -> QuerySpec:
+def _merged(full, schema, parts, doc) -> QuerySpec:
     return QuerySpec(
         fn=_union_fn(full, schema, parts), sql=_union_sql(full, schema, parts), doc=doc
     )
@@ -127,11 +127,12 @@ def _json_rows_fn(
     return fn
 
 
-def _kernel(full, name, parts, doc) -> QuerySpec:
+def _kernel(full, parts, doc) -> QuerySpec:
     return QuerySpec(fn=_json_rows_fn(full, parts), sql=None, doc=doc)
 
 
 _CACHE: dict[str, QuerySpec] | None = None
+_CACHE_FOR: int | None = None  # id() of the registry the cache was built from
 
 
 def _quality_with_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,9 +147,14 @@ def _quality_with_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def build(full: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
-    global _CACHE
-    if _CACHE is not None:
+    global _CACHE, _CACHE_FOR
+    # cache keyed on the registry object: returning a dict built from
+    # a DIFFERENT `full` (a filtered/extended registry in tests or a
+    # second REGISTRY instance) would silently serve stale fns closed
+    # over the old mapping
+    if _CACHE is not None and _CACHE_FOR == id(full):
         return _CACHE
+    _CACHE_FOR = id(full)
 
     from environmental_stac_generator_spark.queries import scalars as _sc
     from environmental_stac_generator_spark.queries import text as _tx
@@ -164,7 +170,6 @@ def build(full: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
                 "collection_extent",
                 _merged(
                     full,
-                    "collection_extent",
                     EXTENT,
                     [
                         ("bbox", "bbox_agg",
@@ -189,7 +194,6 @@ def build(full: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
                 "agg_counts",
                 _merged(
                     full,
-                    "agg_counts",
                     COUNTS,
                     [
                         ("dir_size", "dir_size_sum",
@@ -210,7 +214,6 @@ def build(full: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
                 "band_pivot",
                 _merged(
                     full,
-                    "band_pivot",
                     PIVOT,
                     [
                         ("events", "band_pivot",
@@ -232,7 +235,6 @@ def build(full: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
                 "minhash_lsh",
                 _merged(
                     full,
-                    "minhash_lsh",
                     PAIRS,
                     [
                         ("sig", "minhash_signatures",
@@ -256,7 +258,6 @@ def build(full: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
                 "text_near_dup",
                 _merged(
                     full,
-                    "text_near_dup",
                     NEARDUP,
                     [
                         ("simhash", "simhash", {"doc_id": "doc_id", "sig": "simhash"}),
@@ -276,7 +277,6 @@ def build(full: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
                 "skip_existing",
                 _merged(
                     full,
-                    "skip_existing",
                     SKIP,
                     [
                         ("collections", "skip_existing_collections",
@@ -295,7 +295,6 @@ def build(full: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
                 "fact_dim_join",
                 _merged(
                     full,
-                    "fact_dim_join",
                     FACTDIM,
                     [
                         ("star", "star_join_enrich",
@@ -326,7 +325,6 @@ def build(full: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
                 "classifier_scalars",
                 _merged(
                     full,
-                    "classifier_scalars",
                     CLASSIFIER,
                     [
                         ("freq", "freq_parse",
@@ -351,7 +349,6 @@ def build(full: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
                 "row_scalars",
                 _merged(
                     full,
-                    "row_scalars",
                     ROWSCALAR,
                     [
                         ("floor2dp", "floor_2dp",
@@ -376,7 +373,6 @@ def build(full: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
                 "ann_lsh",
                 _merged(
                     full,
-                    "ann_lsh",
                     ANN,
                     [
                         ("probe", "ann_lsh_probe",
@@ -407,7 +403,6 @@ def build(full: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
                 "curation_suite",
                 _merged(
                     full,
-                    "curation_suite",
                     CURATION,
                     [
                         ("stratified", "stratified_sample",
@@ -484,7 +479,6 @@ def build(full: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
                 "ordered_select",
                 _merged(
                     full,
-                    "ordered_select",
                     ORDERED,
                     [
                         ("leadtime_idx", "leadtime_index",
@@ -510,7 +504,6 @@ def build(full: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
                 "windowed_aggs",
                 _merged(
                     full,
-                    "windowed_aggs",
                     WINAGG,
                     [
                         ("tumbling", "tumbling_window_agg",
@@ -537,7 +530,6 @@ def build(full: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
                 "netcdf_scan",
                 _kernel(
                     full,
-                    "netcdf_scan",
                     [("long", "netcdf_scan_long"), ("meta", "netcdf_metadata_scan")],
                     doc="S1/U1 NetCDF explode to long rows + attr-only "
                     "metadata scan (absorbs netcdf_scan_long, "
@@ -549,7 +541,6 @@ def build(full: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
                 "raster_encode",
                 _kernel(
                     full,
-                    "raster_encode",
                     [("cog", "cog_encode"), ("ncslice", "netcdf_slice_write")],
                     doc="K1/K2/U2/U3 applyInPandas grid rebuild → COG encode "
                     "and per-init-time NetCDF slice write (absorbs "
@@ -560,7 +551,6 @@ def build(full: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
                 "stac_pipeline",
                 _kernel(
                     full,
-                    "stac_pipeline",
                     [("items", "stac_item_documents"),
                      ("roundtrip", "stac_catalog_roundtrip")],
                     doc="K4/N6/S3 STAC item JSON assembly + catalog write/"
@@ -572,7 +562,6 @@ def build(full: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
                 "streaming_suite",
                 _kernel(
                     full,
-                    "streaming_suite",
                     [("incremental", "streaming_incremental_merge"),
                      ("windowed", "streaming_windowed_counts"),
                      ("stateful", "streaming_stateful_extent"),
@@ -588,7 +577,6 @@ def build(full: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
                 "multimodal_pipeline",
                 _kernel(
                     full,
-                    "multimodal_pipeline",
                     [("features", "multimodal_features"),
                      ("frames", "multimodal_frame_sample")],
                     doc="Multimodal: Arrow-batched decode/feature kernel + "
@@ -602,7 +590,6 @@ def build(full: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
                 "storage_layout",
                 _kernel(
                     full,
-                    "storage_layout",
                     [("partitioned", "partitioned_roundtrip"),
                      ("bucketed", "bucketed_colocated_join")],
                     doc="Hive-partitioned store write + partition-pruned read, "

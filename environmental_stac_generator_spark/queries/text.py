@@ -149,21 +149,26 @@ _REPETITION_SQL = """
     FROM documents d LEFT JOIN rep r ON d.doc_id = r.doc_id
     """
 
-# Sorted-run scan over the in-row 2-gram array: ONE aggregate pass
-# over array_sort(grams) carries (prev, run, max-run, dup-positions).
-# Equivalent to explode → groupBy(doc_id, gram) → count, but map-side:
-# nothing corpus-sized ever shuffles, which is what makes repetition
-# filtering feasible on a 100 TB corpus.
-_RUNS_EXPR = (
-    "aggregate(array_sort(grams), "
-    "named_struct('prev', cast(null as string), 'run', 0L, 'mx', 0L, 'dup', 0L), "
-    "(acc, g) -> IF(acc.prev IS NOT NULL AND g = acc.prev, "
-    "named_struct('prev', g, 'run', acc.run + 1L, 'mx', acc.mx, 'dup', acc.dup), "
-    "named_struct('prev', g, 'run', 1L, 'mx', greatest(acc.mx, acc.run), "
-    "'dup', acc.dup + IF(acc.run > 1L, acc.run, 0L))), "
-    "acc -> named_struct('mx', greatest(acc.mx, acc.run), "
-    "'dup', acc.dup + IF(acc.run > 1L, acc.run, 0L)))"
-)
+def _runs_expr(grams_col: str) -> str:
+    """Sorted-run scan over the in-row 2-gram array ``grams_col``:
+    ONE aggregate pass over array_sort carries (prev, run, max-run,
+    dup-positions). Equivalent to explode → groupBy(doc_id, gram) →
+    count, but map-side: nothing corpus-sized ever shuffles, which is
+    what makes repetition filtering feasible on a 100 TB corpus. A
+    function of the column name — the previous constant was rewired
+    per call site with a blanket ``.replace("grams", ...)`` that
+    would corrupt the SQL if any field or literal ever contained the
+    substring."""
+    return (
+        f"aggregate(array_sort({grams_col}), "
+        "named_struct('prev', cast(null as string), 'run', 0L, 'mx', 0L, 'dup', 0L), "
+        "(acc, g) -> IF(acc.prev IS NOT NULL AND g = acc.prev, "
+        "named_struct('prev', g, 'run', acc.run + 1L, 'mx', acc.mx, 'dup', acc.dup), "
+        "named_struct('prev', g, 'run', 1L, 'mx', greatest(acc.mx, acc.run), "
+        "'dup', acc.dup + IF(acc.run > 1L, acc.run, 0L))), "
+        "acc -> named_struct('mx', greatest(acc.mx, acc.run), "
+        "'dup', acc.dup + IF(acc.run > 1L, acc.run, 0L)))"
+    )
 
 
 def _with_repetition(df: DataFrame, ts: str = "ts") -> DataFrame:
@@ -176,7 +181,7 @@ def _with_repetition(df: DataFrame, ts: str = "ts") -> DataFrame:
         "cast(array() as array<string>))"
     )
     staged = df.withColumn("_grams", F.expr(grams)).withColumn(
-        "_runs", F.expr(_RUNS_EXPR.replace("grams", "_grams"))
+        "_runs", F.expr(_runs_expr("_grams"))
     )
     n = F.size("_grams").cast("long")
     return staged.select(
