@@ -535,7 +535,12 @@ def components_of(pairs: DataFrame, algorithm: str = "label") -> DataFrame:
     chain-shaped or high-diameter graphs where label propagation
     degrades to one round per hop. Both produce identical labels
     (property-tested, including on a chain fixture where star takes
-    measurably fewer rounds)."""
+    measurably fewer rounds).
+
+    The label path additionally short-circuits provably small pair
+    relations (≤ :data:`DRIVER_CC_PAIRS` rows after materialization)
+    to an exact driver-side union-find — identical labels,
+    property-tested, zero fixpoint rounds."""
     df, _ = (
         _components_star(pairs)
         if algorithm == "star"
@@ -544,19 +549,74 @@ def components_of(pairs: DataFrame, algorithm: str = "label") -> DataFrame:
     return df
 
 
-def _components_label(pairs: DataFrame) -> tuple[DataFrame, int]:
+# Pair relations at or under this row count take the driver-side
+# union-find path: two longs per pair (~1.6 MB at the cap) collect in
+# one read of the already-materialized checkpoint, and the whole
+# fixpoint — which the distributed path spreads over O(diameter)
+# driver-coordinated rounds of scheduling-bound micro-jobs — runs in
+# microseconds. The same stats-gated CBO pattern as the prefix sum's
+# SMALL_INPUT_ROWS; past the cap the distributed rounds are the only
+# plan that scales.
+DRIVER_CC_PAIRS = 100_000
+
+
+def _components_driver(pairs: DataFrame) -> DataFrame:
+    """Exact min-label components via driver union-find over a
+    SMALL, already-materialized pair relation. Union-by-min + path
+    compression keeps every root the component minimum, so labels are
+    identical to the distributed fixpoint by construction
+    (property-tested equal)."""
+    rows = pairs.collect()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    nodes = set()
+    for r in rows:
+        a, b = r["doc_a"], r["doc_b"]
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo  # min stays root → root == component min
+    id_type = pairs.schema["doc_a"].dataType
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", id_type), StructField("cluster_id", id_type)]
+    )
+    return pairs.sparkSession.createDataFrame(
+        [(x, find(x)) for x in sorted(nodes)], schema
+    )
+
+
+def _components_label(
+    pairs: DataFrame, driver_max_pairs: int = DRIVER_CC_PAIRS
+) -> tuple[DataFrame, int]:
     """Min-label propagation; returns (labels, rounds). cut_lineage
     keeps each round's plan constant-size (reliable checkpoint when a
     dir is configured). Convergence check: labels only ever decrease,
     so the label sum strictly decreases until the fixpoint — one
-    cheap aggregate per round instead of a join + count."""
+    cheap aggregate per round instead of a join + count. Pair
+    relations proven small by the materialization count take
+    :func:`_components_driver` instead (rounds = 0)."""
     # materialize the PAIR relation, not the union: both union
     # branches scan `pairs`, so cutting after the union executes the
     # upstream pair pipeline (LSH bands / cosine buckets) twice —
     # storing the pairs first runs it once and the symmetric closure
     # is a projection over stored partitions, cheap to re-read each
-    # round without a second materialization job
-    pairs = _cut_lineage(pairs.select("doc_a", "doc_b"))
+    # round without a second materialization job. Lazy: the count
+    # below (the small-path gate) is the materializing action.
+    pairs = _cut_lineage(pairs.select("doc_a", "doc_b"), eager=False)
+    if pairs.count() <= driver_max_pairs:
+        return _components_driver(pairs), 0
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(

@@ -544,9 +544,11 @@ def test_star_takes_fewer_rounds_on_chain(spark):
 
     # a 17-node chain: min-label propagation needs one round per hop,
     # star contraction collapses it at a doubling rate
+    # (driver_max_pairs=0 forces the DISTRIBUTED fixpoint — the round
+    # comparison is what this test is about)
     chain = [(i, i + 1) for i in range(16)]
     pairs = spark.createDataFrame(chain, "doc_a long, doc_b long")
-    ldf, label_rounds = _components_label(pairs)
+    ldf, label_rounds = _components_label(pairs, driver_max_pairs=0)
     sdf, star_rounds = _components_star(pairs)
     expect = {(i, 0) for i in range(17)}
     assert {(r["doc_id"], r["cluster_id"]) for r in ldf.collect()} == expect
@@ -573,6 +575,33 @@ def test_numpy_assignment_kernel_equals_hof_kernel(spark, sf_dir):
             (r["vec_id"], r["cluster"]) for r in assigned.collect()
         }
     assert out["auto"] == out["numpy"] and len(out["auto"]) > 0
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=24),
+            st.integers(min_value=0, max_value=24),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_driver_union_find_equals_distributed_fixpoint(spark, edges):
+    """The small-relation driver union-find path must label exactly
+    like the distributed min-label fixpoint on arbitrary graphs."""
+    from environmental_stac_generator_spark.queries.dedup import (
+        _components_label,
+    )
+
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    small_df, r_small = _components_label(pairs)  # takes the driver path
+    big_df, r_big = _components_label(pairs, driver_max_pairs=0)
+    assert r_small == 0 and r_big >= 1
+    small = {(r["doc_id"], r["cluster_id"]) for r in small_df.collect()}
+    big = {(r["doc_id"], r["cluster_id"]) for r in big_df.collect()}
+    assert small == big
 
 
 def test_components_execute_pair_pipeline_once(spark):
