@@ -452,8 +452,22 @@ SPAN_W = 16  # tokens per exact-match window (Lee et al. use 50 BPE
     "volume without changing the plan shape.",
 )
 def span_dedup(
-    spark: SparkSession, sf_dir: str, skew_safe: bool = True
+    spark: SparkSession, sf_dir: str, skew_safe: bool | None = None
 ) -> DataFrame:
+    if skew_safe is None:
+        from environmental_stac_generator_spark.operators.cumulative import (
+            SMALL_INPUT_ROWS,
+        )
+
+        # stats gate (the prefix sum's CBO pattern): footer row counts
+        # bound ANY hash group — viral span included — by the corpus
+        # row count, so a provably small corpus takes the cheaper
+        # one-scan window plan; absent or large stats keep the
+        # skew-safe no-window default (ADVICE r4: the plan that
+        # survives a viral boilerplate span). Both paths are
+        # property-tested equal.
+        rows = table_rows(sf_dir, "documents")
+        skew_safe = rows is None or rows > SMALL_INPUT_ROWS
     d = load(spark, sf_dir, "documents")
     toks = (
         d.select("doc_id", "source", F.split("text", " ").alias("w"))
