@@ -666,3 +666,46 @@ def test_semantic_pairs_auto_k(spark, sf_dir):
         for r in semantic_pairs_of(e, n_clusters=K_CLUSTERS).collect()
     }
     assert fixed == pinned
+
+
+def test_sql_rnd_is_the_oracle_rounding_template(spark):
+    """functions.rounding.sql_rnd is the canonical template for the
+    floor(x*10^n+0.5)/10^n formula the oracle SQL inlines: (a) its
+    DuckDB evaluation is bit-identical to Spark's rnd on adversarial
+    exact-half values (where engine round() disagrees), and (b) no
+    registered oracle ever uses engine round(), whose half-rule
+    differs between Spark and DuckDB."""
+    import re
+
+    import duckdb
+    import pyspark.sql.functions as F
+
+    from environmental_stac_generator_spark.functions.rounding import (
+        rnd,
+        sql_rnd,
+    )
+    from environmental_stac_generator_spark.registry import (
+        load_full_registry,
+    )
+
+    vals = [0.05625, 0.12345, 2.5e-5, 1.00005, 123.45675, 0.99995]
+    spark_out = [
+        r["y"]
+        for r in spark.createDataFrame([(v,) for v in vals], "x double")
+        .select(rnd(F.col("x"), 4).alias("y"))
+        .orderBy("y")
+        .collect()
+    ]
+    duck_out = sorted(
+        r[0]
+        for v in vals
+        for r in duckdb.sql(f"SELECT {sql_rnd(str(v), 4)}").fetchall()
+    )
+    assert spark_out == duck_out
+
+    for name, spec in load_full_registry().items():
+        if spec.sql:
+            assert not re.search(r"(?<![\w_])round\s*\(", spec.sql, re.I), (
+                f"{name}: oracle SQL uses engine round(), which differs "
+                "from Spark on exact halves — use the sql_rnd formula"
+            )
