@@ -126,9 +126,13 @@ def default_decode(content: bytes, meta: dict) -> np.ndarray:
     available, deterministic fake features otherwise."""
     try:
         return real_image_decode(content, meta)
-    except Exception:  # missing Pillow OR undecodable payload — the
-        # fallback must cover both (an UnidentifiedImageError on a
-        # Pillow-equipped host is not NotImplementedError)
+    except (NotImplementedError, OSError, ValueError):
+        # missing Pillow (NotImplementedError) OR an undecodable /
+        # truncated payload (PIL's UnidentifiedImageError is an
+        # OSError; some codecs raise ValueError). Deliberately NOT a
+        # bare Exception: a programming error in the real decoder
+        # (KeyError, MemoryError) must surface, not silently turn
+        # every row into fake features.
         return fake_decode(content, meta)
 
 
@@ -195,7 +199,9 @@ def default_resize(content: bytes, meta: dict, width: int, height: int) -> bytes
     deterministic fake bytes otherwise."""
     try:
         return real_image_resize(content, meta, width, height)
-    except Exception:  # missing Pillow or undecodable payload
+    except (NotImplementedError, OSError, ValueError):
+        # same narrow fallback as default_decode: decode failures fall
+        # back, programming errors surface
         return fake_resize(content, meta, width, height)
 
 

@@ -34,8 +34,15 @@ from pyspark.sql import Column, DataFrame
 # count(*) or results diverge from the unsalted plan on null inputs.
 _ALGEBRAIC = {
     "sum": (F.sum, F.sum),
+    # the star/None test must be identity-based: Column.__eq__ builds
+    # an expression, so an `in`/`==` against a Column argument raises
+    # "Cannot convert column into bool"
     "count": (
-        lambda c: F.count(F.lit(1)) if c in ("*", None) else F.count(c),
+        lambda c: (
+            F.count(F.lit(1))
+            if c is None or (isinstance(c, str) and c == "*")
+            else F.count(c)
+        ),
         F.sum,
     ),
     "min": (F.min, F.min),

@@ -132,7 +132,10 @@ def _kernel(full, parts, doc) -> QuerySpec:
 
 
 _CACHE: dict[str, QuerySpec] | None = None
-_CACHE_FOR: int | None = None  # id() of the registry the cache was built from
+_CACHE_FOR: dict | None = None  # the registry object the cache was built from
+# (a live reference, not id(): set only AFTER a successful build, so a
+# failed build can't pin the key, and the reference can't be recycled
+# the way a GC'd dict's id() can)
 
 
 def _quality_with_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -152,9 +155,8 @@ def build(full: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
     # a DIFFERENT `full` (a filtered/extended registry in tests or a
     # second REGISTRY instance) would silently serve stale fns closed
     # over the old mapping
-    if _CACHE is not None and _CACHE_FOR == id(full):
+    if _CACHE is not None and _CACHE_FOR is full:
         return _CACHE
-    _CACHE_FOR = id(full)
 
     from environmental_stac_generator_spark.queries import scalars as _sc
     from environmental_stac_generator_spark.queries import text as _tx
@@ -622,5 +624,5 @@ def build(full: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
         ]
     )
     assert len(reg) <= 50, f"driver window exceeded: {len(reg)}"
-    _CACHE = reg
+    _CACHE, _CACHE_FOR = reg, full  # only a SUCCESSFUL build caches
     return reg

@@ -355,7 +355,7 @@ def _argmin_numpy(e: DataFrame, cents) -> DataFrame:
 
     from pyspark.sql.types import (
         DoubleType,
-        IntegerType,
+        LongType,
         StructField,
         StructType,
     )
@@ -371,7 +371,7 @@ def _argmin_numpy(e: DataFrame, cents) -> DataFrame:
                 StructType(
                     [
                         StructField("d", DoubleType()),
-                        StructField("cid", IntegerType()),
+                        StructField("cid", LongType()),
                     ]
                 ),
             )
@@ -414,13 +414,13 @@ def _argmin_sqdist(e: DataFrame, cents, kernel: str = "auto") -> DataFrame:
         return _argmin_numpy(e, cents)
     if len(cents) <= K_LITERAL_MAX:
         scored = "array(" + ", ".join(
-            f"struct({_sqdist_sql(_vec_sql(vec))} AS d, {cid} AS cid)"
+            f"struct({_sqdist_sql(_vec_sql(vec))} AS d, {cid}L AS cid)"
             for cid, vec in cents
         ) + ")"
         return e.withColumn("_best", F.expr(f"array_min({scored})"))
     rows = [{"cid": int(cid), "vec": [float(v) for v in vec]} for cid, vec in cents]
     return _with_centroid_array(
-        e, rows, "array<struct<cid:int,vec:array<double>>>", "_cents"
+        e, rows, "array<struct<cid:bigint,vec:array<double>>>", "_cents"
     ).withColumn(
         "_best",
         F.expr(
@@ -914,11 +914,13 @@ def semantic_pairs_of(
     # with < 3 iterations the "penultimate" round is the BOOTSTRAP
     # assignment, and one centroid update can balloon a cluster far
     # past max_bucket, misrouting it into the collect_list path whose
-    # single-row buffering the cap exists to prevent. In that case
-    # size exactly: the aggregate doubles as the lazy checkpoint's
-    # materializing action, so the pair join reads stored partitions
-    # instead of re-running the argmin pass — the extra cost is one
-    # K-row shuffle, not a corpus scan.
+    # single-row buffering the cap exists to prevent. At the module's
+    # current KMEANS_ITERS = 2 that means the exact-sizes branch below
+    # is the operative path on EVERY call (the hist shortcut arms only
+    # if ITERS is raised): the aggregate doubles as the lazy
+    # checkpoint's materializing action, so the pair join reads stored
+    # partitions instead of re-running the argmin pass — the extra
+    # cost is one K-row shuffle, not a corpus scan.
     sizes = (
         hist
         if hist and KMEANS_ITERS >= 3

@@ -493,10 +493,14 @@ def _valid_time(ref: pd.Timestamp, lead: int, unit: str, step: float) -> pd.Time
     unit = unit if unit.endswith("s") else unit + "s"
     n = lead * step
     if unit in ("months", "years"):
-        months = n * (12 if unit == "years" else 1)
-        if months != int(months):
+        # gate on the UNIT's own value like dateutil and
+        # leadtime_offset do: relativedelta(years=0.5) raises even
+        # though 0.5 years is an integral month count — accepting it
+        # here would write files the STAC assembly (which uses
+        # leadtime_offset) can never reference
+        if n != int(n):
             raise ValueError(f"Non-integer {unit} are ambiguous: {n}")
-        return ref + pd.DateOffset(months=int(months))
+        return ref + pd.DateOffset(months=int(n) * (12 if unit == "years" else 1))
     if unit == "weeks":
         return ref + pd.Timedelta(days=7) * n
     return ref + pd.Timedelta(**{unit: 1}) * n  # hours / days
@@ -604,17 +608,25 @@ def _encode_one(
     else:
         data = encoder(arr, bands, meta)
         d.mkdir(parents=True, exist_ok=True)
-        # sidecars FIRST, the COG last and atomically: skip-existing
-        # keys on the COG's existence, so the COG appearing must imply
-        # the thumbnail/.ovr beside it are complete — a crash between
-        # writes then re-encodes on the next run instead of leaving a
-        # half-written group that is skipped forever
+        # The COG appears LAST: skip-existing keys on its existence,
+        # so the COG appearing must imply the thumbnail/.ovr beside it
+        # are complete — a crash between writes then re-encodes on the
+        # next run instead of leaving a half-written group skipped
+        # forever. But overview builders (gdaladdo) read the COG FILE,
+        # so the bytes go to a tmp name first, overviews build against
+        # the tmp (gdaladdo writes <tmp>.ovr beside it), and both
+        # rename into place — sidecar first, COG last, each atomic.
+        tmp = cog_path.with_name(cog_path.name + f".tmp.{os.getpid()}")
+        tmp.write_bytes(data)
         if external_overviews is not None:
-            external_overviews(cog_path, arr)
+            external_overviews(tmp, arr)
+            tmp_ovr = Path(str(tmp) + ".ovr")
+            if tmp_ovr.exists():
+                os.replace(tmp_ovr, str(cog_path) + ".ovr")
         if lead == 0:
             thumb = thumbnail_encoder(arr, bands, meta)
             atomic_write_bytes(d / f"forecast_init_{lead_stamp}.jpg", thumb)
-        atomic_write_bytes(cog_path, data)
+        os.replace(tmp, cog_path)
     return pd.DataFrame(
         [
             {

@@ -25,6 +25,21 @@ from pyspark.sql import DataFrame
 from environmental_stac_generator_spark.plans.stac_catalog import STAC_VERSION
 
 
+def _atomic_write_text(path: Path, text: str) -> None:
+    """The merge paths below READ existing documents before writing,
+    which makes their content load-bearing: a crash mid-write must
+    not leave truncated JSON that the next run's decode-error
+    fallback would silently replace (discarding previously merged
+    extents/links). tmp + os.replace keeps every write all-or-nothing.
+    Concurrent WRITERS remain last-wins, like the reference's
+    file-based catalog."""
+    import os
+
+    tmp = path.with_name(path.name + f".tmp.{os.getpid()}")
+    tmp.write_text(text)
+    os.replace(tmp, path)
+
+
 def save_items(items_json: DataFrame, out_dir: str | Path) -> None:
     """Write one JSON file per item, executor-side."""
     out = str(out_dir)
@@ -77,7 +92,7 @@ def save_collections(collections_json: DataFrame, out_dir: str | Path) -> None:
                     doc = _merge_collection_doc(json.loads(p.read_text()), doc)
                 except json.JSONDecodeError:
                     pass
-            p.write_text(json.dumps(doc, indent=2))
+            _atomic_write_text(p, json.dumps(doc, indent=2))
 
     collections_json.foreachPartition(write_partition)
 
@@ -115,7 +130,7 @@ def save_catalog_root(
             for cid in sorted(ids)
         ],
     }
-    p.write_text(json.dumps(doc, indent=2))
+    _atomic_write_text(p, json.dumps(doc, indent=2))
     return p
 
 
