@@ -150,9 +150,12 @@ def skew_report(df: DataFrame, keys: list[str], top: int = 10) -> DataFrame:
     # single aggregate row holding them all is the one-hot-reducer
     # pattern this module exists to avoid; only `top` structs ever
     # reach one task here (sort_array on <= top entries restores the
-    # descending order the limit selected by)
+    # descending order the limit selected by). Boundary ties at the
+    # limit break by key DESCENDING — the same order sort_array's
+    # struct compare emits, so the selected set and the displayed
+    # order always agree.
     hottest = (
-        counts.orderBy(F.desc("n"), key_repr)
+        counts.orderBy(F.desc("n"), F.desc(key_repr))
         .limit(top)
         .agg(
             F.sort_array(

@@ -614,7 +614,15 @@ def _components_label(
     # is a projection over stored partitions, cheap to re-read each
     # round without a second materialization job. Lazy: the count
     # below (the small-path gate) is the materializing action.
-    pairs = _cut_lineage(pairs.select("doc_a", "doc_b"), eager=False)
+    # Null-id pairs are dropped up front: the distributed join path
+    # would drop them silently anyway (null never equi-joins) while
+    # the driver union-find would TypeError sorting None against ids
+    # — filtering here keeps both sides of the gate identical.
+    pairs = _cut_lineage(
+        pairs.select("doc_a", "doc_b")
+        .filter(F.col("doc_a").isNotNull() & F.col("doc_b").isNotNull()),
+        eager=False,
+    )
     if pairs.count() <= driver_max_pairs:
         return _components_driver(pairs), 0
     edges = pairs.select(
@@ -658,8 +666,12 @@ def _components_star(pairs: DataFrame) -> tuple[DataFrame, int]:
     constant-size checksum aggregate for the fixpoint test."""
     # store the pair relation once: bidir scans it twice and feeds
     # two separately-materialized frames (nodes, edges) — without the
-    # cut the upstream pair pipeline would execute four times
-    pairs = _cut_lineage(pairs.select("doc_a", "doc_b"))
+    # cut the upstream pair pipeline would execute four times.
+    # Null-id pairs dropped for parity with the label path's gate.
+    pairs = _cut_lineage(
+        pairs.select("doc_a", "doc_b")
+        .filter(F.col("doc_a").isNotNull() & F.col("doc_b").isNotNull())
+    )
     bidir = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).unionByName(

@@ -378,25 +378,38 @@ def _argmin_numpy(e: DataFrame, cents) -> DataFrame:
         ]
     )
 
+    dim = C.shape[1]
+
     def assign(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            # Null / ragged embeddings get a null _best — mirroring
+            # the HOF kernel's tolerance (zip_with over a null array
+            # yields null) instead of crashing the whole stage in
+            # np.stack.
+            ok = np.fromiter(
+                (v is not None and len(v) == dim for v in pdf["embedding"]),
+                dtype=bool,
+                count=len(pdf),
             )
-            d2 = (
-                np.einsum("bd,bd->b", X, X)[:, None]
-                - 2.0 * (X @ C.T)
-                + cn[None, :]
-            )
-            j = d2.argmin(axis=1)
-            yield pdf.assign(
-                _best=[
-                    {"d": float(d2[i, jj]), "cid": cids[jj]}
-                    for i, jj in enumerate(j)
-                ]
-            )
+            best = [None] * len(pdf)
+            if ok.any():
+                X = np.stack(
+                    [
+                        np.asarray(v, dtype=np.float64)
+                        for v in pdf["embedding"][ok]
+                    ]
+                )
+                d2 = (
+                    np.einsum("bd,bd->b", X, X)[:, None]
+                    - 2.0 * (X @ C.T)
+                    + cn[None, :]
+                )
+                j = d2.argmin(axis=1)
+                for row, (i, jj) in zip(np.flatnonzero(ok), enumerate(j)):
+                    best[row] = {"d": float(d2[i, jj]), "cid": cids[jj]}
+            yield pdf.assign(_best=best)
 
     return e.mapInPandas(assign, schema)
 

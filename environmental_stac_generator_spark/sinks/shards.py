@@ -29,6 +29,16 @@ from pathlib import Path
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import MapType
+
+
+def _hashable_columns(df: DataFrame) -> list[str]:
+    """Columns xxhash64 accepts. Spark disallows hashing MapType
+    (map iteration order is undefined, so the hash would be
+    nondeterministic — exactly what the tie-break must not be);
+    skipping map columns keeps the tie deterministic over every
+    column that CAN contribute."""
+    return [f.name for f in df.schema.fields if not isinstance(f.dataType, MapType)]
 
 
 def with_shard(
@@ -48,7 +58,10 @@ def with_shard(
         )
         .withColumn("_ord", F.xxhash64(F.col(key), F.lit(seed + 1)))
         .withColumn(
-            "_tie", F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed + 2))
+            "_tie",
+            F.xxhash64(
+                *[F.col(c) for c in _hashable_columns(df)], F.lit(seed + 2)
+            ),
         )
     )
 

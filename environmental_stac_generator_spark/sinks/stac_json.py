@@ -60,9 +60,13 @@ def _merge_collection_doc(old: dict, new: dict) -> dict:
     the latest input's coverage. Malformed stored docs fall back to
     the new one."""
     try:
+        # Compute BOTH merged extents before assigning into `new`:
+        # assigning as we go would leave a half-merged doc (spatial
+        # unioned, temporal from `new` only) when the temporal
+        # section is malformed.
         ob = old["extent"]["spatial"]["bbox"][0]
         nb = new["extent"]["spatial"]["bbox"][0]
-        new["extent"]["spatial"]["bbox"][0] = [
+        merged_bbox = [
             min(ob[0], nb[0]),
             min(ob[1], nb[1]),
             max(ob[2], nb[2]),
@@ -72,9 +76,11 @@ def _merge_collection_doc(old: dict, new: dict) -> dict:
         ni = new["extent"]["temporal"]["interval"][0]
         lo = None if oi[0] is None or ni[0] is None else min(oi[0], ni[0])
         hi = None if oi[1] is None or ni[1] is None else max(oi[1], ni[1])
-        new["extent"]["temporal"]["interval"][0] = [lo, hi]
+        merged_interval = [lo, hi]
     except (KeyError, IndexError, TypeError):
-        pass
+        return new
+    new["extent"]["spatial"]["bbox"][0] = merged_bbox
+    new["extent"]["temporal"]["interval"][0] = merged_interval
     return new
 
 

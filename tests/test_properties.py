@@ -577,6 +577,62 @@ def test_numpy_assignment_kernel_equals_hof_kernel(spark, sf_dir):
     assert out["auto"] == out["numpy"] and len(out["auto"]) > 0
 
 
+def test_numpy_kernel_tolerates_null_and_ragged_embeddings(spark):
+    """Dirty data must not crash the Arrow stage: null / wrong-length
+    embeddings get a null _best from the numpy kernel, matching the
+    HOF kernel's degradation instead of np.stack raising."""
+    from environmental_stac_generator_spark.queries.similarity import (
+        _argmin_sqdist,
+    )
+
+    e = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, None),
+            (3, [0.5]),  # ragged: wrong dimensionality
+            (4, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    by_kernel = {}
+    for kernel in ("auto", "numpy"):
+        rows = {
+            r["vec_id"]: r["_best"]
+            for r in _argmin_sqdist(e, cents, kernel=kernel).collect()
+        }
+        by_kernel[kernel] = rows
+        # dirty rows degrade (null _best or null distance), never crash
+        for dirty in (2, 3):
+            assert rows[dirty] is None or rows[dirty]["d"] is None
+        assert rows[1]["cid"] == 0 and rows[4]["cid"] == 1
+    # clean rows agree across kernels
+    assert by_kernel["auto"][1] == by_kernel["numpy"][1]
+    assert by_kernel["auto"][4] == by_kernel["numpy"][4]
+
+
+def test_components_null_ids_agree_across_gate(spark):
+    """Null-id pairs are dropped up front, so the driver union-find
+    and the distributed fixpoint label identically instead of one
+    raising TypeError and the other silently dropping."""
+    from environmental_stac_generator_spark.queries.dedup import (
+        _components_label,
+        _components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (None, 5), (6, None), (7, 7)],
+        "doc_a long, doc_b long",
+    )
+    small_df, r_small = _components_label(pairs)  # driver path
+    big_df, _ = _components_label(pairs, driver_max_pairs=0)
+    star_df, _ = _components_star(pairs)
+    expect = {(1, 1), (2, 1), (3, 1), (7, 7)}
+    assert r_small == 0
+    for df in (small_df, big_df, star_df):
+        assert {(r["doc_id"], r["cluster_id"]) for r in df.collect()} == expect
+
+
 @settings(max_examples=8, deadline=None)
 @given(
     edges=st.lists(

@@ -96,3 +96,19 @@ def test_shards_byte_identical_with_non_unique_key(spark, tmp_path):
             ]
         )
     assert outs[0] == outs[1]
+
+
+def test_shards_tolerate_map_columns(spark, tmp_path):
+    """Spark disallows xxhash64 over MapType; the full-row tiebreak
+    must skip map columns instead of raising AnalysisException on a
+    corpus with a metadata map."""
+    df = spark.range(0, 60).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("d"), F.col("id")).alias("text"),
+        F.create_map(F.lit("lang"), F.lit("en")).alias("meta"),
+    )
+    out = tmp_path / "mapcol"
+    write_training_shards(df, out, key="doc_id", n_shards=3, seed=1)
+    back = spark.read.parquet(str(out))
+    assert back.count() == 60
+    assert "meta" in back.columns

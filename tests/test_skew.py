@@ -91,6 +91,19 @@ def test_skew_report_diagnoses_hot_key(spark, sf_dir):
     assert len(r["hottest"]) == 2
 
 
+def test_skew_report_boundary_ties_break_key_descending(spark):
+    """When several keys tie on count at the top-N boundary, the
+    selected set and displayed order are both (n desc, key desc) —
+    the limit's tiebreak must match sort_array's struct compare so
+    the set shown is the set selected."""
+    from environmental_stac_generator_spark.operators.skew import skew_report
+
+    rows = [(k,) for k in ("a", "b", "c", "d") for _ in range(5)]
+    df = spark.createDataFrame(rows, "key string")
+    r = skew_report(df, ["key"], top=2).collect()[0]
+    assert [(h["n"], h["key"]) for h in r["hottest"]] == [(5, "d"), (5, "c")]
+
+
 def test_salted_agg_null_semantics_match_unsalted(spark):
     """avg/count must follow SQL null-skipping exactly like the
     unsalted plan: count(col) counts non-null values, avg divides by

@@ -203,3 +203,32 @@ def test_save_catalog_root_keeps_earlier_children(tmp_path):
     doc = json.loads((tmp_path / "catalog.json").read_text())
     hrefs = sorted(l["href"] for l in doc["links"] if l["rel"] == "child")
     assert hrefs == ["./coll_a/collection.json", "./coll_b/collection.json"]
+
+
+def test_merge_collection_doc_malformed_temporal_is_all_or_nothing():
+    """A malformed temporal section must not leave a half-merged doc
+    (spatial already unioned, temporal from new only) — the merge is
+    all-or-nothing: on any malformed section, return `new` untouched."""
+    from environmental_stac_generator_spark.sinks.stac_json import (
+        _merge_collection_doc,
+    )
+
+    old = {
+        "extent": {
+            "spatial": {"bbox": [[-10.0, -10.0, 0.0, 0.0]]},
+            "temporal": {"interval": "not-a-list"},  # malformed
+        }
+    }
+    new = {
+        "extent": {
+            "spatial": {"bbox": [[0.0, 0.0, 10.0, 10.0]]},
+            "temporal": {"interval": [["2024-01-01", "2024-02-01"]]},
+        }
+    }
+    merged = _merge_collection_doc(old, new)
+    # spatial must NOT have been unioned when temporal merge failed
+    assert merged["extent"]["spatial"]["bbox"][0] == [0.0, 0.0, 10.0, 10.0]
+    assert merged["extent"]["temporal"]["interval"][0] == [
+        "2024-01-01",
+        "2024-02-01",
+    ]
