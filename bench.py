@@ -87,8 +87,29 @@ def main() -> None:
     _calibration_probe(spark)  # warm: first run pays codegen compile
     calib_start = _calibration_probe(spark)
 
+    # bench-only row (deliberately NOT a driver registry entry — the
+    # registry is pinned at 50): the curate chain's actual SemDeDup
+    # default is auto-K (K ~ sqrt(N)) with the Arrow assignment
+    # kernel; soak showed it 4.4x faster than fixed-K at 10x data, so
+    # it needs round-over-round tracking at sf0.1 too, not just in
+    # SOAK files. The fixed-K `semdedup_pairs` row stays as the
+    # oracle-pinned twin.
+    from environmental_stac_generator_spark.queries.similarity import (
+        semantic_pairs_of,
+    )
+    from environmental_stac_generator_spark.tables import load as _load
+
+    def _auto_k(spark, sf_dir):
+        return semantic_pairs_of(
+            _load(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+            n_clusters="auto",
+        )
+
+    runs = [(name, reg[name].fn) for name in HEADLINE]
+    runs.append(("semdedup_pairs_auto_k", _auto_k))
+
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name, fn in runs:
         # best of 2 runs: the first pays one-time plan compilation /
         # code-gen, the second is the steady-state number — which is
         # what throughput at scale tracks. Queries with driver-side
@@ -97,7 +118,7 @@ def main() -> None:
         attempts: list[float] = []
         for _ in range(2):
             t0 = time.perf_counter()
-            df = reg[name].fn(spark, sf_dir)
+            df = fn(spark, sf_dir)
             # noop sink executes the full plan without driver-side
             # collection, so timings measure the query, not row
             # transfer.
@@ -109,9 +130,7 @@ def main() -> None:
         # more sample before taking the min
         if max(attempts) > 1.4 * min(attempts):
             t0 = time.perf_counter()
-            reg[name].fn(spark, sf_dir).write.mode("overwrite").format(
-                "noop"
-            ).save()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             attempts.append(time.perf_counter() - t0)
         timings[name] = round(min(attempts), 3)
 
@@ -175,16 +194,25 @@ def _cog_pipeline_throughput(spark) -> dict:
     """The reference's actual workload: NetCDF cells -> per-leadtime
     multi-band COGs (BASELINE.md: 432x432x93x2 ~ 34.7M cells/file on
     a 4-worker pool). Measures our scan->grid->encode pipeline in
-    cells/sec with the deterministic codec, so the number tracks the
-    Spark plumbing (shuffle, grouping, Arrow) rather than zlib."""
+    cells/sec with the deterministic codec. The codec now does real
+    per-tile DEFLATE + overview pages, so the number tracks the whole
+    encode path (shuffle, grouping, Arrow, zlib), not just plumbing.
+
+    Best-of-2 with resample-on-disagreement, same as the headline
+    queries: the first execution of each path pays one-time Python
+    UDF worker spinup + per-worker module imports + plan compilation
+    (~7 s measured vs a ~2 s steady state for long_rows), which a
+    single-shot timing records as throughput — that inflated r5's
+    long_rows number by 1.8x while the code was timing-neutral."""
     import shutil
     import tempfile
     from pathlib import Path
 
-    from environmental_stac_generator_spark.sinks.raster import encode_cogs
+    from environmental_stac_generator_spark.sinks.raster import (
+        encode_cogs,
+        encode_cogs_grids,
+    )
     from environmental_stac_generator_spark.sources import netcdf
-
-    from environmental_stac_generator_spark.sinks.raster import encode_cogs_grids
 
     base = Path(tempfile.mkdtemp(prefix="envstac_bench_cog_"))
     landing = base / "bench_in"
@@ -196,17 +224,28 @@ def _cog_pipeline_throughput(spark) -> dict:
     dec = netcdf.fake_decoder(grid=grid, n_lead=n_lead)
     cells = n_files * grid * grid * n_lead * n_vars
 
-    t0 = time.perf_counter()
-    encode_cogs(
-        netcdf.scan_netcdf(spark, src, decoder=dec), base / "cogs_long"
-    ).write.mode("overwrite").format("noop").save()
-    sec_long = time.perf_counter() - t0
+    def _best_of(run) -> float:
+        attempts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run()
+            attempts.append(time.perf_counter() - t0)
+        if max(attempts) > 1.4 * min(attempts):
+            t0 = time.perf_counter()
+            run()
+            attempts.append(time.perf_counter() - t0)
+        return min(attempts)
 
-    t0 = time.perf_counter()
-    encode_cogs_grids(
-        netcdf.scan_netcdf_grids(spark, src, decoder=dec), base / "cogs_grid"
-    ).write.mode("overwrite").format("noop").save()
-    sec_grid = time.perf_counter() - t0
+    sec_long = _best_of(
+        lambda: encode_cogs(
+            netcdf.scan_netcdf(spark, src, decoder=dec), base / "cogs_long"
+        ).write.mode("overwrite").format("noop").save()
+    )
+    sec_grid = _best_of(
+        lambda: encode_cogs_grids(
+            netcdf.scan_netcdf_grids(spark, src, decoder=dec), base / "cogs_grid"
+        ).write.mode("overwrite").format("noop").save()
+    )
 
     shutil.rmtree(base, ignore_errors=True)
     return {
@@ -384,6 +423,52 @@ def soak() -> None:
         n_clusters="auto",
     ).write.mode("overwrite").format("noop").save()
     timings["semdedup_pairs_auto_k"] = round(time.perf_counter() - t0, 3)
+
+    # Both sides of every stats gate get a measured scale datapoint
+    # (the 10x corpus still sits under SMALL_INPUT_ROWS and near
+    # DRIVER_CC_PAIRS, so the pass above exercised the SMALL plans):
+    # force the scale side and assert its plan shape — the bucketed
+    # prefix sum has no single-reducer exchange, the skew-safe span
+    # plan has no window, the components fixpoint runs distributed
+    # rounds, and no forced plan picks up a degraded join.
+    from environmental_stac_generator_spark.queries.dedup import (
+        _components_label,
+        lsh_candidate_pairs,
+    )
+    from environmental_stac_generator_spark.tables import force_scale_plans
+
+    forced: dict[str, float] = {}
+    force_scale_plans(True)
+    try:
+        for name, must_not in [
+            ("token_budget_select", "Exchange SinglePartition"),
+            ("sequence_pack", "Exchange SinglePartition"),
+            ("span_dedup", "Window ["),
+            ("duplicate_clusters", None),
+        ]:
+            t0 = time.perf_counter()
+            df = reg[name].fn(spark, soak_dir)
+            qe = df._jdf.queryExecution()
+            qe.toRdd().count()
+            forced[f"{name}_scale_plan"] = round(time.perf_counter() - t0, 3)
+            plan = qe.executedPlan().toString()
+            if must_not and must_not in plan:
+                shape_failures.append(
+                    f"{name}: forced scale plan still contains {must_not!r}"
+                )
+            for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+                if bad in plan and bad not in base_joins.get(name, set()):
+                    degraded.append(f"{name} (forced scale): {bad}")
+        # direct witness that the distributed fixpoint (not the driver
+        # union-find) labeled the components under the forced gate
+        _, cc_rounds = _components_label(lsh_candidate_pairs(spark, soak_dir))
+        if cc_rounds < 1:
+            shape_failures.append(
+                "duplicate_clusters: forced gate still took the driver path"
+            )
+    finally:
+        force_scale_plans(False)
+    timings.update(forced)
     calib_end = _calibration_probe(spark)
     steal1 = _steal_jiffies()
     total = round(sum(timings.values()), 3)

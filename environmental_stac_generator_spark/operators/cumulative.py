@@ -143,8 +143,10 @@ def global_running_sum(
     the bucketed multi-consuming path then stores it once (lazy
     checkpoint) — the small-path plan consumes it once and never
     materializes."""
+    from environmental_stac_generator_spark.tables import provably_small
+
     keys = _norm_order(order)
-    if input_rows is not None and input_rows <= SMALL_INPUT_ROWS:
+    if provably_small(input_rows, SMALL_INPUT_ROWS):
         sort_cols = [k.asc() if asc else k.desc() for k, asc in keys]
         w = Window.orderBy(*sort_cols).rowsBetween(
             Window.unboundedPreceding, 0

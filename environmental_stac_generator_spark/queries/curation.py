@@ -466,8 +466,10 @@ def span_dedup(
         # skew-safe no-window default (ADVICE r4: the plan that
         # survives a viral boilerplate span). Both paths are
         # property-tested equal.
+        from environmental_stac_generator_spark.tables import provably_small
+
         rows = table_rows(sf_dir, "documents")
-        skew_safe = rows is None or rows > SMALL_INPUT_ROWS
+        skew_safe = not provably_small(rows, SMALL_INPUT_ROWS)
     d = load(spark, sf_dir, "documents")
     toks = (
         d.select("doc_id", "source", F.split("text", " ").alias("w"))

@@ -623,7 +623,9 @@ def _components_label(
         .filter(F.col("doc_a").isNotNull() & F.col("doc_b").isNotNull()),
         eager=False,
     )
-    if pairs.count() <= driver_max_pairs:
+    from environmental_stac_generator_spark.tables import provably_small
+
+    if provably_small(pairs.count(), driver_max_pairs):
         return _components_driver(pairs), 0
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")

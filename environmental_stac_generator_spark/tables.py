@@ -80,3 +80,39 @@ def table_rows(sf_dir: str, name: str) -> int | None:
         return pq.read_metadata(f"{sf_dir}/{name}.parquet").num_rows
     except Exception:
         return None
+
+
+# ---------------------------------------------------------------------------
+# Centralized CBO plan gate (VERDICT r5 #5). Three operators grew the
+# same footer-stats pattern independently (prefix-sum small plan,
+# span-dedup window plan, connected-components driver union-find);
+# one shared predicate keeps the degradation posture identical
+# everywhere: unknown stats are NEVER small — absent evidence, take
+# the scale-safe plan.
+
+# Test/soak override: when True, every gate reports "not small",
+# forcing the scale-side plan regardless of stats. bench.py --soak
+# flips it to measure the bucketed prefix sum / distributed
+# components / skew-safe span plan at sizes where stats would pick
+# the small plans, so BOTH sides of every gate carry a measured
+# datapoint.
+_FORCE_SCALE_PLANS = False
+
+
+def force_scale_plans(on: bool) -> None:
+    """Globally force the scale-safe side of every stats gate (see
+    :func:`provably_small`). Scale/soak testing only — never needed
+    for correctness, since both sides of each gate are
+    property-tested equal."""
+    global _FORCE_SCALE_PLANS
+    _FORCE_SCALE_PLANS = bool(on)
+
+
+def provably_small(rows: int | None, threshold: int) -> bool:
+    """True only when stats PROVE the relation holds at most
+    ``threshold`` rows. ``None`` (missing/unreadable stats) is NOT
+    small: the caller must keep the scale-safe plan — the standard
+    CBO degradation posture, shared by every gated operator."""
+    if _FORCE_SCALE_PLANS:
+        return False
+    return rows is not None and rows <= threshold

@@ -765,3 +765,24 @@ def test_sql_rnd_is_the_oracle_rounding_template(spark):
                 f"{name}: oracle SQL uses engine round(), which differs "
                 "from Spark on exact halves — use the sql_rnd formula"
             )
+
+
+def test_plan_gate_degradation_posture():
+    """The shared CBO gate: only proven-small stats pick the small
+    plan; unknown stats and the force-scale override both take the
+    scale-safe side."""
+    from environmental_stac_generator_spark.tables import (
+        force_scale_plans,
+        provably_small,
+    )
+
+    assert provably_small(10, 100)
+    assert provably_small(100, 100)
+    assert not provably_small(101, 100)
+    assert not provably_small(None, 100)  # unknown stats are NOT small
+    force_scale_plans(True)
+    try:
+        assert not provably_small(1, 100)  # override forces scale side
+    finally:
+        force_scale_plans(False)
+    assert provably_small(1, 100)
