@@ -1,0 +1,52 @@
+#!/usr/bin/env bash
+# One-command closer for the only remaining §2 evidence gap: the real
+# codec branches (rio-cogeo COG translate, matplotlib thumbnail,
+# Pillow resize, gdaladdo overviews, psycopg wire) are import-guarded
+# and all-skip in the shipped container, which lacks the raster
+# stack. On ANY host that has (some of) those libraries, run:
+#
+#     tools/run_realcodec_lane.sh
+#
+# It runs the `-m realcodec` pytest lane and records the outcome to
+# REALCODEC.json at the repo root (committed records close the gap
+# reproducibly). Tests importorskip per-dependency, so a host with
+# only Pillow still produces partial live coverage; the JSON records
+# exactly which tests ran vs skipped.
+#
+# Optional dependency install on a capable host (NOT in the shipped
+# sandbox — it forbids installs):
+#     pip install pillow matplotlib rasterio rio-cogeo psycopg[binary]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+report=REALCODEC.json
+tmp=$(mktemp)
+status=0
+python -m pytest -m realcodec -q --no-header -rs tests/test_real_codecs.py \
+  | tee "$tmp" || status=$?
+
+python - "$tmp" "$status" <<'EOF'
+import json, re, sys, datetime, platform
+out, status = open(sys.argv[1]).read(), int(sys.argv[2])
+tail = out.strip().splitlines()[-1] if out.strip() else ""
+counts = {k: int(v) for v, k in re.findall(r"(\d+) (passed|failed|skipped|error)", tail)}
+deps = {}
+for mod in ("PIL", "matplotlib", "rasterio", "rio_cogeo", "psycopg"):
+    try:
+        __import__(mod); deps[mod] = True
+    except Exception:
+        deps[mod] = False
+rec = {
+    "date": datetime.date.today().isoformat(),
+    "host": platform.platform(),
+    "exit_status": status,
+    "summary": counts,
+    "deps_present": deps,
+    "green": status == 0 and counts.get("failed", 0) == 0 and counts.get("error", 0) == 0,
+    "fully_exercised": counts.get("skipped", 0) == 0 and counts.get("passed", 0) > 0,
+}
+json.dump(rec, open("REALCODEC.json", "w"), indent=2)
+print("\nwrote REALCODEC.json:", json.dumps(rec))
+EOF
+rm -f "$tmp"
+exit "$status"
