@@ -130,3 +130,36 @@ def test_soak_join_detector_sees_final_adaptive_plan(spark):
     assert bench._run_and_bad_joins(good) == set()
     plan = good._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
+
+
+def test_forced_scale_gate_flips_every_gated_plan(spark, sf_dir):
+    """force_scale_plans() must flip ALL three stats-gated operators
+    to their scale-side plan (the soak relies on this to measure both
+    gate sides): the prefix-sum queries lose their single-reducer
+    exchange, span_dedup loses its window, and components runs the
+    distributed fixpoint instead of the driver union-find."""
+    from environmental_stac_generator_spark.queries.dedup import (
+        _components_label,
+        lsh_candidate_pairs,
+    )
+    from environmental_stac_generator_spark.tables import force_scale_plans
+
+    small = {n: _plan(spark, sf_dir, n) for n in
+             ("token_budget_select", "sequence_pack", "span_dedup")}
+    assert all("Exchange SinglePartition" in small[n]
+               for n in ("token_budget_select", "sequence_pack"))
+    assert "Window [" in small["span_dedup"]
+    _, rounds_small = _components_label(lsh_candidate_pairs(spark, sf_dir))
+    assert rounds_small == 0  # proven-small pairs take the driver path
+
+    force_scale_plans(True)
+    try:
+        forced = {n: _plan(spark, sf_dir, n) for n in
+                  ("token_budget_select", "sequence_pack", "span_dedup")}
+        assert all("Exchange SinglePartition" not in forced[n]
+                   for n in ("token_budget_select", "sequence_pack"))
+        assert "Window [" not in forced["span_dedup"]
+        _, rounds_forced = _components_label(lsh_candidate_pairs(spark, sf_dir))
+        assert rounds_forced >= 1  # distributed fixpoint ran
+    finally:
+        force_scale_plans(False)
