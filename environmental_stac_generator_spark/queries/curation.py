@@ -565,22 +565,24 @@ def importance_logw_of(
     """(doc_id, source, logw_micro) DSIR importance log-weights of a
     (doc_id, text, source) frame vs the ``target`` domain — the
     per-document form the curate chain filters on. Plan shape: one
-    token explode, two 64-row bucket aggregates, a broadcast join of
-    the ratio table back onto the token stream, one integer
-    partial-agg shuffle keyed by doc."""
+    token explode feeding ONE 64-row bucket aggregate (raw and
+    target counts as conditional partials in the same pass — two
+    separate aggregates would tokenize the whole corpus twice and
+    need an rc-tc join), a broadcast join of the ratio table back
+    onto the token stream, one integer partial-agg shuffle keyed by
+    doc."""
     toks = docs.select(
         "doc_id", "source", F.explode(F.split("text", " ")).alias("tok")
     )
     b = toks.select(
         "doc_id", "source", F.expr(_IMP_SPARK_BUCKET).alias("bucket")
     )
-    rc = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
-    tc = (
-        b.filter(F.col("source") == target)
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("tc"))
+    joined = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("rc"),
+        F.sum(
+            F.when(F.col("source") == target, F.lit(1)).otherwise(F.lit(0))
+        ).alias("tc"),
     )
-    joined = rc.join(tc, "bucket", "left").na.fill({"tc": 0})
     tot = joined.agg(
         F.sum("rc").alias("r_tot"), F.sum("tc").alias("t_tot")
     )
@@ -644,8 +646,9 @@ def importance_logw_of(
     "documents. Bucket log-ratios are rounded once to 6-dp "
     "micro-integers, so every per-doc weight is an ORDER-INDEPENDENT "
     "integer sum (bit-stable at any parallelism, no float-sum "
-    "nondeterminism). Plan: one token explode, two tiny bucket "
-    "aggregates, a broadcast join of the 64-row ratio table back "
+    "nondeterminism). Plan: one token explode into ONE tiny bucket "
+    "aggregate (raw + target counts as conditional partials in the "
+    "same pass), a broadcast join of the 64-row ratio table back "
     "onto the token stream, one integer partial-agg shuffle per "
     "doc. At 100 TB the token relation is corpus-sized but the "
     "shuffle carries only (doc_id, partial-sum) rows.",
