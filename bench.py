@@ -93,50 +93,26 @@ def main() -> None:
     # kernel; soak showed it 4.4x faster than fixed-K at 10x data, so
     # it needs round-over-round tracking at sf0.1 too, not just in
     # SOAK files. The fixed-K `semdedup_pairs` row stays as the
-    # oracle-pinned twin.
-    from environmental_stac_generator_spark.queries.similarity import (
-        semantic_pairs_of,
-    )
-    from environmental_stac_generator_spark.tables import load as _load
-
-    def _auto_k(spark, sf_dir):
-        return semantic_pairs_of(
-            _load(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
-            n_clusters="auto",
-        )
-
+    # oracle-pinned twin. Reported in `queries` but EXCLUDED from
+    # `value`, which stays the sum of the HEADLINE rows so totals
+    # remain comparable round-over-round.
     runs = [(name, reg[name].fn) for name in HEADLINE]
-    runs.append(("semdedup_pairs_auto_k", _auto_k))
+    runs.append(("semdedup_pairs_auto_k", _auto_k_df))
 
     timings: dict[str, float] = {}
     for name, fn in runs:
-        # best of 2 runs: the first pays one-time plan compilation /
-        # code-gen, the second is the steady-state number — which is
-        # what throughput at scale tracks. Queries with driver-side
-        # state (iterative centroid/label collects) rerun fully both
-        # times, so nothing is cached between attempts.
-        attempts: list[float] = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            # noop sink executes the full plan without driver-side
-            # collection, so timings measure the query, not row
-            # transfer.
-            df.write.mode("overwrite").format("noop").save()
-            attempts.append(time.perf_counter() - t0)
-        # a transient host-contention spike (this box shows CPU-steal
-        # bursts) can inflate both attempts; when they disagree by
-        # >40% the fast one may still be the spiked one, so buy one
-        # more sample before taking the min
-        if max(attempts) > 1.4 * min(attempts):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            attempts.append(time.perf_counter() - t0)
-        timings[name] = round(min(attempts), 3)
+        timings[name] = _best_of(
+            lambda: fn(spark, sf_dir)
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
 
     calib_end = _calibration_probe(spark)
     steal1 = _steal_jiffies()
-    total = round(sum(timings.values()), 3)
+    # value = the HEADLINE surface only: bench-only extras (auto-K)
+    # are tracked per-row without shifting the round-over-round total
+    total = round(sum(timings[n] for n in HEADLINE), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -152,6 +128,42 @@ def main() -> None:
         )
     )
     spark.stop()
+
+
+def _best_of(run) -> float:
+    """Best-of-2 with resample-on-disagreement — ONE timing policy
+    for every bench number. The first attempt pays one-time plan
+    compilation / codegen / Python-worker spinup; the second is the
+    steady-state number, which is what throughput at scale tracks.
+    A transient host-contention spike (this box shows CPU-steal
+    bursts) can inflate both attempts; when they disagree by >40%
+    the fast one may still be the spiked one, so buy one more sample
+    before taking the min."""
+    attempts: list[float] = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run()
+        attempts.append(time.perf_counter() - t0)
+    if max(attempts) > 1.4 * min(attempts):
+        t0 = time.perf_counter()
+        run()
+        attempts.append(time.perf_counter() - t0)
+    return round(min(attempts), 3)
+
+
+def _auto_k_df(spark, sf_dir):
+    """The curate chain's actual SemDeDup default: auto-K (K~sqrt N)
+    with the Arrow assignment kernel — shared by the headline bench
+    row and the soak."""
+    from environmental_stac_generator_spark.queries.similarity import (
+        semantic_pairs_of,
+    )
+    from environmental_stac_generator_spark.tables import load
+
+    return semantic_pairs_of(
+        load(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        n_clusters="auto",
+    )
 
 
 def _calibration_probe(spark) -> float:
@@ -198,12 +210,12 @@ def _cog_pipeline_throughput(spark) -> dict:
     per-tile DEFLATE + overview pages, so the number tracks the whole
     encode path (shuffle, grouping, Arrow, zlib), not just plumbing.
 
-    Best-of-2 with resample-on-disagreement, same as the headline
-    queries: the first execution of each path pays one-time Python
-    UDF worker spinup + per-worker module imports + plan compilation
-    (~7 s measured vs a ~2 s steady state for long_rows), which a
-    single-shot timing records as throughput — that inflated r5's
-    long_rows number by 1.8x while the code was timing-neutral."""
+    _best_of applies here too: the first execution of each path pays
+    one-time Python UDF worker spinup + per-worker module imports +
+    plan compilation (~7 s measured vs a ~2 s steady state for
+    long_rows), which a single-shot timing records as throughput —
+    that inflated r5's long_rows number by 1.8x while the code was
+    timing-neutral."""
     import shutil
     import tempfile
     from pathlib import Path
@@ -223,18 +235,6 @@ def _cog_pipeline_throughput(spark) -> dict:
     src = str(landing / "*")
     dec = netcdf.fake_decoder(grid=grid, n_lead=n_lead)
     cells = n_files * grid * grid * n_lead * n_vars
-
-    def _best_of(run) -> float:
-        attempts = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            run()
-            attempts.append(time.perf_counter() - t0)
-        if max(attempts) > 1.4 * min(attempts):
-            t0 = time.perf_counter()
-            run()
-            attempts.append(time.perf_counter() - t0)
-        return min(attempts)
 
     sec_long = _best_of(
         lambda: encode_cogs(
@@ -412,16 +412,8 @@ def soak() -> None:
     # bounds per-cluster populations, so the O(n²/K) within-cluster
     # pair work grows ~n^1.5 instead of n² — timed in the SAME run as
     # the oracle-pinned fixed-K row so the ratio is noise-free
-    from environmental_stac_generator_spark.queries.similarity import (
-        semantic_pairs_of,
-    )
-    from environmental_stac_generator_spark.tables import load as _load
-
     t0 = time.perf_counter()
-    semantic_pairs_of(
-        _load(spark, soak_dir, "embeddings").select("vec_id", "embedding"),
-        n_clusters="auto",
-    ).write.mode("overwrite").format("noop").save()
+    _auto_k_df(spark, soak_dir).write.mode("overwrite").format("noop").save()
     timings["semdedup_pairs_auto_k"] = round(time.perf_counter() - t0, 3)
 
     # Both sides of every stats gate get a measured scale datapoint
@@ -430,7 +422,9 @@ def soak() -> None:
     # force the scale side and assert its plan shape — the bucketed
     # prefix sum has no single-reducer exchange, the skew-safe span
     # plan has no window, the components fixpoint runs distributed
-    # rounds, and no forced plan picks up a degraded join.
+    # rounds, and no forced plan picks up a degraded join. Reported
+    # under `forced_scale`, NOT summed into `value`, so soak totals
+    # stay comparable round-over-round.
     from environmental_stac_generator_spark.queries.dedup import (
         _components_label,
         lsh_candidate_pairs,
@@ -444,7 +438,6 @@ def soak() -> None:
             ("token_budget_select", "Exchange SinglePartition"),
             ("sequence_pack", "Exchange SinglePartition"),
             ("span_dedup", "Window ["),
-            ("duplicate_clusters", None),
         ]:
             t0 = time.perf_counter()
             df = reg[name].fn(spark, soak_dir)
@@ -452,23 +445,29 @@ def soak() -> None:
             qe.toRdd().count()
             forced[f"{name}_scale_plan"] = round(time.perf_counter() - t0, 3)
             plan = qe.executedPlan().toString()
-            if must_not and must_not in plan:
+            if must_not in plan:
                 shape_failures.append(
                     f"{name}: forced scale plan still contains {must_not!r}"
                 )
             for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
                 if bad in plan and bad not in base_joins.get(name, set()):
                     degraded.append(f"{name} (forced scale): {bad}")
-        # direct witness that the distributed fixpoint (not the driver
-        # union-find) labeled the components under the forced gate
-        _, cc_rounds = _components_label(lsh_candidate_pairs(spark, soak_dir))
+        # the components witness IS the forced duplicate_clusters run
+        # (same pair pipeline + distributed fixpoint): time it once
+        # and read the rounds directly rather than re-executing the
+        # registry query for a plan string that can't show the path
+        t0 = time.perf_counter()
+        labels, cc_rounds = _components_label(lsh_candidate_pairs(spark, soak_dir))
+        labels.write.mode("overwrite").format("noop").save()
+        forced["duplicate_clusters_scale_plan"] = round(
+            time.perf_counter() - t0, 3
+        )
         if cc_rounds < 1:
             shape_failures.append(
                 "duplicate_clusters: forced gate still took the driver path"
             )
     finally:
         force_scale_plans(False)
-    timings.update(forced)
     calib_end = _calibration_probe(spark)
     steal1 = _steal_jiffies()
     total = round(sum(timings.values()), 3)
@@ -479,6 +478,7 @@ def soak() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "forced_scale": forced,
                 "base_sf_dir": sf_dir,
                 "scale_factor": SOAK_FACTOR,
                 "doc_rows": doc_rows,

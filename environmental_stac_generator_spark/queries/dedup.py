@@ -560,6 +560,22 @@ def components_of(pairs: DataFrame, algorithm: str = "label") -> DataFrame:
 DRIVER_CC_PAIRS = 100_000
 
 
+def _normalize_null_pairs(pairs: DataFrame) -> DataFrame:
+    """Half-null pairs become self-pairs of the non-null id, so a
+    document that appeared in the pair relation keeps its singleton
+    label; all-null pairs drop. Without this, null ids make the
+    component paths diverge: the driver union-find TypeErrors sorting
+    None against ids, while the distributed joins emit a spurious
+    null node AND would lose the non-null partner's label if nulls
+    were simply filtered. Self-pairs are already handled by every
+    path (driver: node added; label: self-edge; star: self-loops
+    dropped but the node survives via the distinct node set)."""
+    return pairs.select(
+        F.coalesce("doc_a", "doc_b").alias("doc_a"),
+        F.coalesce("doc_b", "doc_a").alias("doc_b"),
+    ).filter(F.col("doc_a").isNotNull())
+
+
 def _components_driver(pairs: DataFrame) -> DataFrame:
     """Exact min-label components via driver union-find over a
     SMALL, already-materialized pair relation. Union-by-min + path
@@ -614,15 +630,7 @@ def _components_label(
     # is a projection over stored partitions, cheap to re-read each
     # round without a second materialization job. Lazy: the count
     # below (the small-path gate) is the materializing action.
-    # Null-id pairs are dropped up front: the distributed join path
-    # would drop them silently anyway (null never equi-joins) while
-    # the driver union-find would TypeError sorting None against ids
-    # — filtering here keeps both sides of the gate identical.
-    pairs = _cut_lineage(
-        pairs.select("doc_a", "doc_b")
-        .filter(F.col("doc_a").isNotNull() & F.col("doc_b").isNotNull()),
-        eager=False,
-    )
+    pairs = _cut_lineage(_normalize_null_pairs(pairs), eager=False)
     from environmental_stac_generator_spark.tables import provably_small
 
     if provably_small(pairs.count(), driver_max_pairs):
@@ -669,11 +677,7 @@ def _components_star(pairs: DataFrame) -> tuple[DataFrame, int]:
     # store the pair relation once: bidir scans it twice and feeds
     # two separately-materialized frames (nodes, edges) — without the
     # cut the upstream pair pipeline would execute four times.
-    # Null-id pairs dropped for parity with the label path's gate.
-    pairs = _cut_lineage(
-        pairs.select("doc_a", "doc_b")
-        .filter(F.col("doc_a").isNotNull() & F.col("doc_b").isNotNull())
-    )
+    pairs = _cut_lineage(_normalize_null_pairs(pairs))
     bidir = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).unionByName(

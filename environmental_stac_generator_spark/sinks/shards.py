@@ -28,17 +28,34 @@ from __future__ import annotations
 from pathlib import Path
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import MapType
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql.types import ArrayType, DataType, MapType, StructType
 
 
-def _hashable_columns(df: DataFrame) -> list[str]:
-    """Columns xxhash64 accepts. Spark disallows hashing MapType
-    (map iteration order is undefined, so the hash would be
-    nondeterministic — exactly what the tie-break must not be);
-    skipping map columns keeps the tie deterministic over every
-    column that CAN contribute."""
-    return [f.name for f in df.schema.fields if not isinstance(f.dataType, MapType)]
+def _contains_map(dt: DataType) -> bool:
+    """True when ``dt`` holds a MapType anywhere (top-level or nested
+    in a struct/array) — every shape xxhash64 rejects."""
+    if isinstance(dt, MapType):
+        return True
+    if isinstance(dt, ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
+def _tie_inputs(df: DataFrame) -> list[Column]:
+    """One hashable expression per column. Spark disallows hashing
+    MapType (map equality ignores entry order, so a hash would be
+    ill-defined), including maps nested in structs/arrays; those
+    columns go through to_json — a deterministic function of the
+    stored row bytes — so EVERY column still contributes to the tie
+    and rows differing only in a map column keep a deterministic
+    order (the byte-identical contract)."""
+    return [
+        F.to_json(F.struct(F.col(f.name))) if _contains_map(f.dataType) else F.col(f.name)
+        for f in df.schema.fields
+    ]
 
 
 def with_shard(
@@ -58,10 +75,7 @@ def with_shard(
         )
         .withColumn("_ord", F.xxhash64(F.col(key), F.lit(seed + 1)))
         .withColumn(
-            "_tie",
-            F.xxhash64(
-                *[F.col(c) for c in _hashable_columns(df)], F.lit(seed + 2)
-            ),
+            "_tie", F.xxhash64(*_tie_inputs(df), F.lit(seed + 2))
         )
     )
 

@@ -612,22 +612,25 @@ def test_numpy_kernel_tolerates_null_and_ragged_embeddings(spark):
 
 
 def test_components_null_ids_agree_across_gate(spark):
-    """Null-id pairs are dropped up front, so the driver union-find
-    and the distributed fixpoint label identically instead of one
-    raising TypeError and the other silently dropping."""
+    """Half-null pairs normalize to self-pairs of the non-null id,
+    so all three component paths (driver union-find, distributed
+    label fixpoint, star contraction) agree: the non-null partner
+    keeps a singleton label instead of vanishing, no spurious null
+    node appears, and the driver path no longer TypeErrors sorting
+    None against ids."""
     from environmental_stac_generator_spark.queries.dedup import (
         _components_label,
         _components_star,
     )
 
     pairs = spark.createDataFrame(
-        [(1, 2), (2, 3), (None, 5), (6, None), (7, 7)],
+        [(1, 2), (2, 3), (None, 5), (6, None), (7, 7), (None, None)],
         "doc_a long, doc_b long",
     )
     small_df, r_small = _components_label(pairs)  # driver path
     big_df, _ = _components_label(pairs, driver_max_pairs=0)
     star_df, _ = _components_star(pairs)
-    expect = {(1, 1), (2, 1), (3, 1), (7, 7)}
+    expect = {(1, 1), (2, 1), (3, 1), (5, 5), (6, 6), (7, 7)}
     assert r_small == 0
     for df in (small_df, big_df, star_df):
         assert {(r["doc_id"], r["cluster_id"]) for r in df.collect()} == expect

@@ -99,16 +99,44 @@ def test_shards_byte_identical_with_non_unique_key(spark, tmp_path):
 
 
 def test_shards_tolerate_map_columns(spark, tmp_path):
-    """Spark disallows xxhash64 over MapType; the full-row tiebreak
-    must skip map columns instead of raising AnalysisException on a
-    corpus with a metadata map."""
+    """Spark disallows xxhash64 over MapType — top-level AND nested
+    in a struct — so the full-row tiebreak must route map-bearing
+    columns through to_json instead of raising AnalysisException."""
     df = spark.range(0, 60).select(
         F.col("id").alias("doc_id"),
         F.concat(F.lit("d"), F.col("id")).alias("text"),
         F.create_map(F.lit("lang"), F.lit("en")).alias("meta"),
+        F.struct(
+            F.create_map(F.lit("k"), F.col("id").cast("string")).alias("tags")
+        ).alias("nested"),
     )
     out = tmp_path / "mapcol"
     write_training_shards(df, out, key="doc_id", n_shards=3, seed=1)
     back = spark.read.parquet(str(out))
     assert back.count() == 60
-    assert "meta" in back.columns
+    assert {"meta", "nested"} <= set(back.columns)
+
+
+def test_shards_byte_identical_when_rows_differ_only_in_map(spark, tmp_path):
+    """Map columns still contribute to the tie hash (via to_json):
+    rows identical in every non-map column but different in a map
+    keep a deterministic relative order across input partitionings —
+    the byte-identical contract can't except map columns."""
+    df = spark.range(0, 120).select(
+        (F.col("id") % 6).cast("string").alias("url"),  # non-unique key
+        F.lit("same text").alias("text"),  # all non-map cols tie
+        F.create_map(F.lit("n"), F.col("id").cast("string")).alias("meta"),
+    )
+    outs = []
+    for repart in (3, 11):
+        out = tmp_path / f"m{repart}"
+        write_training_shards(
+            df.repartition(repart), out, key="url", n_shards=4, seed=5
+        )
+        outs.append(
+            [
+                [r["meta"]["n"] for r in read_shard(spark, out, s).collect()]
+                for s in range(4)
+            ]
+        )
+    assert outs[0] == outs[1] and sum(len(s) for s in outs[0]) == 120

@@ -54,7 +54,10 @@ def _run(df, name, mode, ckpt):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    done = q.awaitTermination(120)
+    if not done:  # slow host: fail loudly, don't assert on partial output
+        q.stop()
+        raise AssertionError(f"stream {name} did not drain within 120s")
 
 
 EV_BATCHES = [
