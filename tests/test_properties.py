@@ -789,3 +789,17 @@ def test_plan_gate_degradation_posture():
     finally:
         force_scale_plans(False)
     assert provably_small(1, 100)
+
+
+def test_oracle_kmeans_stays_on_bit_exact_kernels():
+    """VERDICT r5 watch item: the oracle-compared fixed-K path must
+    never route through the vectorized numpy kernel, whose FP
+    summation order differs from the sequential-double HOF. Pinned
+    structurally: the fixed K sits at or under the literal-kernel
+    cap, and semantic_pairs_of only switches kernels past that cap."""
+    from environmental_stac_generator_spark.queries.similarity import (
+        K_CLUSTERS,
+        K_LITERAL_MAX,
+    )
+
+    assert K_CLUSTERS <= K_LITERAL_MAX
