@@ -11,6 +11,7 @@ hard-coded control flow becomes a composable logical plan.
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from dataclasses import dataclass, field
 from pathlib import Path
 
@@ -39,6 +40,10 @@ class EnvStacEngine:
     file_server_url: str | None = None
     license: str = "other"
     decoder: netcdf.Decoder | None = None
+    # metadata twin of `decoder`: None -> the real xarray header read
+    # (raises without the raster stack); tests inject
+    # netcdf.fake_meta_decoder
+    meta_decoder: Callable[[str, bytes | None], dict] | None = None
     cog_encoder: raster.Encoder = field(default=raster.fake_tiff_encoder)
     # encode COGs from packed grid slabs (second decode pass, ~50x
     # less shuffle; byte-identical output) instead of the long rows
@@ -54,7 +59,9 @@ class EnvStacEngine:
         return netcdf.scan_netcdf(self.spark, input_path, decoder=self.decoder)
 
     def scan_metadata(self, input_path: str) -> DataFrame:
-        return netcdf.scan_netcdf_metadata(self.spark, input_path)
+        return netcdf.scan_netcdf_metadata(
+            self.spark, input_path, meta_decoder=self.meta_decoder
+        )
 
     # ---- derivation stages ----
 

@@ -50,7 +50,9 @@ def netcdf_scan_long(spark: SparkSession, sf_dir: str) -> DataFrame:
 def netcdf_metadata_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from environmental_stac_generator_spark.sources import netcdf
 
-    return netcdf.scan_netcdf_metadata(spark, _fake_landing())
+    return netcdf.scan_netcdf_metadata(
+        spark, _fake_landing(), meta_decoder=netcdf.fake_meta_decoder
+    )
 
 
 @register(

@@ -257,19 +257,20 @@ def href_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "md5_multihash",
     """
     SELECT doc_id,
-           'd510' || md5(text) AS multihash,
+           'd50110' || md5(text) AS multihash,
            length(text) AS n_bytes
     FROM documents
     """,
-    doc="F9/F10 MD5 multihash: 0xd5 fn code + 0x10 length prefix + "
-    "hex digest; block-wise and whole-file digests are identical "
-    "(ref stac/utils.py:17-56).",
+    doc="F9/F10 MD5 multihash: varint fn code (0xd5 -> bytes d5 01, "
+    "high bit set) + 0x10 length + hex digest — the exact encoding "
+    "multihash.digest(data, 'md5') emits; block-wise and whole-file "
+    "digests are identical (ref stac/utils.py:17-56).",
 )
 def md5_multihash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.concat(F.lit("d510"), F.md5(F.col("text").cast("binary"))).alias("multihash"),
+        F.concat(F.lit("d50110"), F.md5(F.col("text").cast("binary"))).alias("multihash"),
         F.length("text").cast("long").alias("n_bytes"),
     )
 

@@ -76,20 +76,36 @@ NETCDF_RESULT_SCHEMA = StructType(
 )
 
 
+def _tmp_suffix() -> str:
+    """Globally unique tmp-name suffix. A pid alone collides when two
+    attempts of the same task (speculative execution, zombie after a
+    partition) run on DIFFERENT hosts sharing the output filesystem
+    and happen to share a pid — attempt B would truncate the tmp file
+    attempt A is about to os.replace, promoting torn bytes past the
+    atomic-write guarantee."""
+    import uuid
+
+    return f".tmp.{os.getpid()}.{uuid.uuid4().hex[:12]}"
+
+
 def atomic_write_bytes(path: Path, data: bytes) -> None:
     """Crash-safe output write: tmp file in the same directory +
     ``os.replace`` (atomic on POSIX), so a task dying mid-write can
     never leave a truncated file that a later skip-existing run
     (which keys on existence) would treat as complete."""
-    tmp = path.with_name(path.name + f".tmp.{os.getpid()}")
+    tmp = path.with_name(path.name + _tmp_suffix())
     tmp.write_bytes(data)
     os.replace(tmp, path)
 
 
 def multihash_md5(data: bytes) -> str:
-    """F9/F10: md5 multihash — fn code 0xd5 + length 0x10 + digest
-    (ref ``stac/utils.py:17-56``)."""
-    return "d510" + hashlib.md5(data).hexdigest()
+    """F9/F10: md5 multihash — VARINT fn code + length + digest
+    (ref ``stac/utils.py:17-56``). The md5 code 0xd5 has its high bit
+    set, so the multihash varint encoding is TWO bytes (d5 01); a
+    bare 'd5' prefix would parse as a continuation byte and every
+    spec-compliant consumer (multihash.decode, pgSTAC checksum
+    validation) would reject the digest."""
+    return "d50110" + hashlib.md5(data).hexdigest()
 
 
 def grid_from_long(pdf: pd.DataFrame) -> tuple[np.ndarray, list[str], np.ndarray, np.ndarray]:
@@ -434,8 +450,14 @@ def rasterio_grid_reproject(
         ) from exc
     src_crs = meta.get("crs") or "EPSG:4326"
     n_bands, h, w = arr.shape
-    left, right = float(xs.min()), float(xs.max())
-    bottom, top = float(ys.min()), float(ys.max())
+    # ys/xs are CELL-CENTER coordinate vectors (NetCDF convention);
+    # from_bounds wants the raster's OUTER EDGES. Feeding centers
+    # shrinks the pixel size by (n-1)/n and shifts the origin half a
+    # pixel (~12.5 km on a 25 km EASE grid) — expand by half a cell.
+    dx = (float(xs.max()) - float(xs.min())) / (w - 1) if w > 1 else 1.0
+    dy = (float(ys.max()) - float(ys.min())) / (h - 1) if h > 1 else 1.0
+    left, right = float(xs.min()) - dx / 2, float(xs.max()) + dx / 2
+    bottom, top = float(ys.min()) - dy / 2, float(ys.max()) + dy / 2
     src_transform = from_bounds(left, bottom, right, top, w, h)
     dst_transform, dw, dh = calculate_default_transform(
         src_crs, "EPSG:4326", w, h, left=left, bottom=bottom, right=right, top=top
@@ -501,9 +523,32 @@ def _valid_time(ref: pd.Timestamp, lead: int, unit: str, step: float) -> pd.Time
         if n != int(n):
             raise ValueError(f"Non-integer {unit} are ambiguous: {n}")
         return ref + pd.DateOffset(months=int(n) * (12 if unit == "years" else 1))
-    if unit == "weeks":
-        return ref + pd.Timedelta(days=7) * n
-    return ref + pd.Timedelta(**{unit: 1}) * n  # hours / days
+    # hours/days/weeks: the IDENTICAL truncating integer-microsecond
+    # arithmetic as functions.frequency.leadtime_offset (double
+    # product -> cast long). Timedelta multiplication would round to
+    # nanoseconds instead — for a fractional step landing within 1 us
+    # below a minute boundary, the file's '%H%M' stamp and the STAC
+    # asset href's stamp would then differ by a whole minute and the
+    # href would point at a file that does not exist.
+    per_unit = {"hours": 3600.0, "days": 86400.0, "weeks": 604800.0}[unit]
+    return ref + pd.Timedelta(microseconds=int(n * per_unit * 1_000_000.0))
+
+
+def _check_leadtime_resolution(unit: str, step: float) -> None:
+    """The reference's file naming stamps valid time at MINUTE
+    resolution (valid_time_str_1 '%Y-%m-%d_%H%M',
+    stac/generator.py:866): a sub-minute leadtime step would give two
+    distinct leadtimes the same output path — two concurrent tasks
+    silently last-wins the file while the result frame reports two
+    rows whose checksums can't both match. Fail loudly up front."""
+    u = unit if unit.endswith("s") else unit + "s"
+    per_unit = {"hours": 3600.0, "days": 86400.0, "weeks": 604800.0}.get(u)
+    if per_unit is not None and step * per_unit < 60.0:
+        raise ValueError(
+            f"leadtime step {step}{u} is below the 1-minute resolution "
+            "of the output file naming scheme — distinct leadtimes "
+            "would collide on the same path"
+        )
 
 
 def encode_cogs(
@@ -527,6 +572,7 @@ def encode_cogs(
     output file already exists return ``skipped=True`` without
     encoding.
     """
+    _check_leadtime_resolution(leadtime_unit, leadtime_step)
     out = str(out_dir)
     opts = dict(
         encoder=encoder,
@@ -616,7 +662,7 @@ def _encode_one(
         # so the bytes go to a tmp name first, overviews build against
         # the tmp (gdaladdo writes <tmp>.ovr beside it), and both
         # rename into place — sidecar first, COG last, each atomic.
-        tmp = cog_path.with_name(cog_path.name + f".tmp.{os.getpid()}")
+        tmp = cog_path.with_name(cog_path.name + _tmp_suffix())
         tmp.write_bytes(data)
         if external_overviews is not None:
             external_overviews(tmp, arr)
@@ -664,6 +710,7 @@ def encode_cogs_grids(
     long rows — ~50x less shuffle volume and no per-cell Python —
     while producing byte-identical files to :func:`encode_cogs`
     (asserted in tests/test_raster_sink.py)."""
+    _check_leadtime_resolution(leadtime_unit, leadtime_step)
     out = str(out_dir)
     opts = dict(
         encoder=encoder,
@@ -752,7 +799,16 @@ def write_netcdf_slices(
 ) -> DataFrame:
     """K1/U3: one sliced NetCDF per (collection, init time), path
     ``netcdf/{collection}/{date}/{ts}.nc``
-    (ref ``stac/generator.py:689-707,961-979``)."""
+    (ref ``stac/generator.py:689-707,961-979``).
+
+    Memory profile: "one output file = one applyInPandas group" is
+    inherent to writing a single .nc per init, so the task holds the
+    file's LONG rows as a pandas frame — 10-20x the file's data bytes
+    (object-dtype strings per cell) plus the encoder's sorted copy.
+    Fine for modest files; for the canonical 278 MB / 34.7M-cell file
+    (BASELINE.md) use :func:`write_netcdf_slices_grids` (the engine's
+    ``packed_encode=True`` default), whose group is one row per SLAB
+    and peaks at ~2x the file's data bytes — byte-identical output."""
     out = str(out_dir)
 
     def encode_group(key, pdf: pd.DataFrame):

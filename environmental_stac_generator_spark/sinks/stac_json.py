@@ -35,7 +35,9 @@ def _atomic_write_text(path: Path, text: str) -> None:
     file-based catalog."""
     import os
 
-    tmp = path.with_name(path.name + f".tmp.{os.getpid()}")
+    from environmental_stac_generator_spark.sinks.raster import _tmp_suffix
+
+    tmp = path.with_name(path.name + _tmp_suffix())
     tmp.write_text(text)
     os.replace(tmp, path)
 

@@ -94,6 +94,22 @@ def find_coord(names: list[str], candidates: tuple[str, ...]) -> str | None:
     return None
 
 
+def _require_coord(
+    names: list[str], candidates: tuple[str, ...], role: str, path: str
+) -> str:
+    """find_coord or a clear error: an unrecognized coordinate name
+    would otherwise surface as an obscure ``ds[None]`` KeyError from
+    inside xarray on an executor — needlessly hard to diagnose in a
+    100 TB scan."""
+    c = find_coord(names, candidates)
+    if c is None:
+        raise ValueError(
+            f"no {role} coordinate found among {candidates} in {path} "
+            f"(coords/dims present: {sorted(set(names))})"
+        )
+    return c
+
+
 def xarray_decoder(path: str, content: bytes | None) -> Iterator[pd.DataFrame]:
     """Real NetCDF decode via xarray/h5netcdf (ref S1). Emits one long
     chunk per (variable, time, leadtime) slab so peak memory is one
@@ -119,10 +135,14 @@ def xarray_decoder(path: str, content: bytes | None) -> Iterator[pd.DataFrame]:
     # files, and an unclosed HDF5 handle per file runs into ulimit
     with xr.open_dataset(src, decode_coords="all") as ds:
         names = list(ds.coords) + list(ds.dims)
-        x = find_coord(names, X_CANDIDATES)
-        y = find_coord(names, Y_CANDIDATES)
-        t = find_coord(names, TIME_CANDIDATES)
-        lead = find_coord(names, LEAD_CANDIDATES)
+        x = _require_coord(names, X_CANDIDATES, "x", path)
+        y = _require_coord(names, Y_CANDIDATES, "y", path)
+        t = _require_coord(names, TIME_CANDIDATES, "time", path)
+        lead = _require_coord(names, LEAD_CANDIDATES, "leadtime", path)
+        # the DIMENSION a 1-D coordinate variable indexes (usually the
+        # same name, but a coord like 'lon' can sit on dim 'x')
+        y_dim = ds[y].dims[0] if y in ds.coords and ds[y].ndim == 1 else y
+        x_dim = ds[x].dims[0] if x in ds.coords and ds[x].ndim == 1 else x
         collection = _collection_from_path(path)
         # 4-D filter (ref stac/generator.py:506)
         valid = [v for v in ds.data_vars if len(ds[v].dims) == 4]
@@ -132,7 +152,16 @@ def xarray_decoder(path: str, content: bytes | None) -> Iterator[pd.DataFrame]:
         for var in valid:
             for ti, tv in enumerate(pd.to_datetime(ds[t].values)):
                 for li in range(ds.sizes[lead]):
-                    slab = ds[var].isel({t: ti, lead: li}).values.astype("float64")
+                    # transpose to (y, x) explicitly: a writer storing
+                    # (x, y) otherwise ravels into the wrong pairing
+                    # with the meshgrid coords — same length, silently
+                    # scrambled values
+                    slab = (
+                        ds[var]
+                        .isel({t: ti, lead: li})
+                        .transpose(y_dim, x_dim)
+                        .values.astype("float64")
+                    )
                     yield pd.DataFrame(
                         {
                             "collection": collection,
@@ -224,6 +253,65 @@ def scan_netcdf(
     return files.select(*cols).mapInPandas(explode, schema=LONG_SCHEMA)
 
 
+def xarray_meta_decoder(path: str, content: bytes | None = None) -> dict:
+    """Real attribute-only metadata read (hemisphere detection inputs,
+    ref ``utils.py:47-82``): opens the header lazily, reads global
+    attrs + coordinate units + dimension sizes, touches no data slab.
+    Raises if the raster stack is missing — like
+    :func:`xarray_decoder`, so a production scan can never silently
+    fabricate CRS/hemisphere values."""
+    try:
+        import io
+
+        import xarray as xr
+    except ImportError as exc:  # pragma: no cover - env without xarray
+        raise NotImplementedError(
+            "NetCDF metadata decoding needs xarray+h5netcdf; inject a "
+            "custom meta_decoder (see fake_meta_decoder) in "
+            "environments without them"
+        ) from exc
+    src = io.BytesIO(content) if content is not None else path.removeprefix("file:")
+    with xr.open_dataset(src, decode_coords="all") as ds:
+        names = list(ds.coords) + list(ds.dims)
+        x = find_coord(names, X_CANDIDATES)
+        y = find_coord(names, Y_CANDIDATES)
+        t = find_coord(names, TIME_CANDIDATES)
+        lead = find_coord(names, LEAD_CANDIDATES)
+        attrs = {str(k): str(v) for k, v in ds.attrs.items()}
+        lat_min = attrs.get("geospatial_lat_min")
+        return {
+            "path": path,
+            "collection": _collection_from_path(path),
+            "crs": attrs.get("geospatial_bounds_crs", attrs.get("crs", "")),
+            "x_units": str(ds[x].attrs.get("units", "")) if x else "",
+            "y_units": str(ds[y].attrs.get("units", "")) if y else "",
+            "geospatial_lat_min": float(lat_min) if lat_min is not None else None,
+            "n_time": int(ds.sizes[t]) if t in ds.sizes else 1,
+            "n_leadtime": int(ds.sizes[lead]) if lead in ds.sizes else 1,
+            "attrs": attrs,
+        }
+
+
+def fake_meta_decoder(path: str, content: bytes | None = None) -> dict:
+    """Deterministic metadata stand-in (md5-seeded, like
+    :func:`fake_decoder`) for environments without the NetCDF stack —
+    INJECT EXPLICITLY in tests; it is deliberately not the default,
+    so a production caller can never mistake fabricated CRS values
+    for file contents."""
+    seed = int.from_bytes(hashlib.md5(path.encode()).digest()[:4], "big")
+    return {
+        "path": path,
+        "collection": _collection_from_path(path),
+        "crs": "EPSG:6931" if seed % 2 == 0 else "EPSG:6932",
+        "x_units": ["km", "1000 meter", "m"][seed % 3],
+        "y_units": ["km", "1000 meter", "m"][seed % 3],
+        "geospatial_lat_min": 30.98 if seed % 2 == 0 else -90.0,
+        "n_time": 1,
+        "n_leadtime": 3,
+        "attrs": {"geospatial_bounds_crs": "EPSG:6931"},
+    }
+
+
 def scan_netcdf_metadata(
     spark: SparkSession,
     path: str,
@@ -235,23 +323,11 @@ def scan_netcdf_metadata(
     attr-only open for hemisphere detection (``utils.py:68-70``):
     reads headers, never data slabs. Default is path-only (column
     pruning skips the content read; a lazy open fetches just the
-    header); ``with_content=True`` for stream-only decoders."""
-
-    def default_meta(path: str, content: bytes | None) -> dict:
-        seed = int.from_bytes(hashlib.md5(path.encode()).digest()[:4], "big")
-        return {
-            "path": path,
-            "collection": _collection_from_path(path),
-            "crs": "EPSG:6931" if seed % 2 == 0 else "EPSG:6932",
-            "x_units": ["km", "1000 meter", "m"][seed % 3],
-            "y_units": ["km", "1000 meter", "m"][seed % 3],
-            "geospatial_lat_min": 30.98 if seed % 2 == 0 else -90.0,
-            "n_time": 1,
-            "n_leadtime": 3,
-            "attrs": {"geospatial_bounds_crs": "EPSG:6931"},
-        }
-
-    dec = meta_decoder or default_meta
+    header); ``with_content=True`` for stream-only decoders. The
+    default decoder is the REAL :func:`xarray_meta_decoder` (raising
+    without the raster stack); environments without it inject
+    :func:`fake_meta_decoder` — mirroring :func:`scan_netcdf`."""
+    dec = meta_decoder or xarray_meta_decoder
     files = (
         spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
     )
@@ -314,10 +390,10 @@ def scan_netcdf_grids(
                     y = chunk["yc"].to_numpy()
                     x = chunk["xc"].to_numpy()
                     v = chunk["value"].to_numpy(dtype="float64")
-                    order = np.lexsort((x, -y))  # y desc, x asc
                     ys = np.sort(np.unique(y))[::-1]
                     xs = np.sort(np.unique(x))
                     ny, nx = len(ys), len(xs)
+                    v = _north_up(y, x, v, ys, xs, ny, nx)
                     yield pd.DataFrame(
                         [
                             {
@@ -332,13 +408,32 @@ def scan_netcdf_grids(
                                 "nx": nx,
                                 "ys": ys.astype("float64"),
                                 "xs": xs.astype("float64"),
-                                "values": v[order],
+                                "values": v,
                             }
                         ]
                     )
 
     cols = ["path", "content"] if with_content else ["path"]
     return files.select(*cols).mapInPandas(pack, schema=GRID_SCHEMA)
+
+
+def _north_up(y, x, v, ys, xs, ny: int, nx: int) -> np.ndarray:
+    """Values in (y desc, x asc) row-major order. Decoders emit
+    meshgrid-raveled slabs, so the common cases are already row-major
+    up to a vertical flip — recognized with O(n) equality checks (the
+    per-cell lexsort this replaces was the dominant non-decode cost
+    of the packed fast lane); anything irregular falls back to the
+    exact lexsort."""
+    if ny * nx == len(v):
+        Y = y.reshape(ny, nx)
+        X = x.reshape(ny, nx)
+        if (X == xs[None, :]).all() and (Y == Y[:, :1]).all():
+            col = Y[:, 0]
+            if np.array_equal(col, ys):  # already north-up
+                return v
+            if np.array_equal(col, ys[::-1]):  # south-up: flip rows
+                return v.reshape(ny, nx)[::-1].ravel()
+    return v[np.lexsort((x, -y))]
 
 
 def long_from_grids(grids_df: DataFrame) -> DataFrame:

@@ -42,7 +42,9 @@ def test_glob_filter_excludes_non_nc(spark, landing):
 
 
 def test_metadata_scan(spark, landing):
-    meta = netcdf.scan_netcdf_metadata(spark, str(landing))
+    meta = netcdf.scan_netcdf_metadata(
+        spark, str(landing), meta_decoder=netcdf.fake_meta_decoder
+    )
     rows = meta.collect()
     assert len(rows) == 3
     assert all(r["crs"].startswith("EPSG:") for r in rows)
@@ -66,7 +68,9 @@ def test_content_pruned_from_scan_by_default(spark, tmp_path):
     assert "ReadSchema: struct<path:string>" in plan
     assert df.count() > 0
 
-    meta = netcdf.scan_netcdf_metadata(spark, str(landing))
+    meta = netcdf.scan_netcdf_metadata(
+        spark, str(landing), meta_decoder=netcdf.fake_meta_decoder
+    )
     mplan = meta._jdf.queryExecution().executedPlan().toString()
     assert "ReadSchema: struct<path:string>" in mplan
 
@@ -101,3 +105,49 @@ def test_long_from_grids_matches_long_scan(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("MapInPandas") == 1  # only the slab scan
+
+
+def test_metadata_scan_default_is_real_decoder(spark, tmp_path):
+    """Without an injected meta_decoder the scan must use the REAL
+    xarray header read — which in this container (no raster stack)
+    raises NotImplementedError at execute time instead of silently
+    fabricating CRS/hemisphere values."""
+    import pytest
+
+    landing = tmp_path / "nc_real"
+    landing.mkdir()
+    (landing / "a.nc").write_bytes(b"CDF\x01fake")
+    meta = netcdf.scan_netcdf_metadata(spark, str(landing))
+    with pytest.raises(Exception, match="xarray|NotImplemented"):
+        meta.collect()
+
+
+def test_north_up_matches_lexsort():
+    """The O(n) fast path must return exactly what the lexsort
+    returns: already-north-up slabs pass through, south-up slabs flip,
+    irregular cell orders fall back to the exact sort."""
+    import numpy as np
+
+    from environmental_stac_generator_spark.sources.netcdf import _north_up
+
+    ys = np.array([3.0, 2.0, 1.0])  # descending (north-up)
+    xs = np.array([10.0, 20.0])
+    ny, nx = 3, 2
+
+    def ref(y, x, v):
+        return v[np.lexsort((x, -y))]
+
+    # south-up meshgrid (the decoders' natural order)
+    yy, xx = np.meshgrid(ys[::-1], xs, indexing="ij")
+    v = np.arange(6, dtype="float64")
+    got = _north_up(yy.ravel(), xx.ravel(), v, ys, xs, ny, nx)
+    np.testing.assert_array_equal(got, ref(yy.ravel(), xx.ravel(), v))
+    # already north-up
+    yy2, xx2 = np.meshgrid(ys, xs, indexing="ij")
+    got2 = _north_up(yy2.ravel(), xx2.ravel(), v, ys, xs, ny, nx)
+    np.testing.assert_array_equal(got2, ref(yy2.ravel(), xx2.ravel(), v))
+    # irregular (shuffled) order -> lexsort fallback
+    rng = np.random.default_rng(7)
+    p = rng.permutation(6)
+    got3 = _north_up(yy.ravel()[p], xx.ravel()[p], v[p], ys, xs, ny, nx)
+    np.testing.assert_array_equal(got3, ref(yy.ravel()[p], xx.ravel()[p], v[p]))

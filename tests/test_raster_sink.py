@@ -55,7 +55,7 @@ def test_encode_cogs_and_thumbnails(long_df, tmp_path):
         assert (info["width"], info["height"]) == (8, 8)
         assert info["tile_width"] == raster.TIFF_TILE
         assert r["multihash"] == raster.multihash_md5(data)
-        assert r["multihash"].startswith("d510")  # F9 multihash prefix
+        assert r["multihash"].startswith("d50110")  # F9 varint multihash prefix
         assert r["n_bands"] == 2 and r["height"] == 8 and r["width"] == 8
     # thumbnail only for leadtime 0 (ref generator.py:913-921);
     # lead-0 valid time == init time, so the stamps match
@@ -276,3 +276,62 @@ def test_skip_existing_outputs_missing_dir_passes_through(spark, tmp_path):
     )
     out = skip_existing_outputs(planned, tmp_path / "missing_out", spark)
     assert out.count() == 3
+
+
+def test_sub_minute_leadtime_step_rejected(spark, tmp_path):
+    """A leadtime step below the output naming scheme's 1-minute
+    resolution would silently collide distinct leadtimes onto one
+    path; both encode entry points must fail loudly instead."""
+    import pytest
+
+    from environmental_stac_generator_spark.sinks.raster import (
+        encode_cogs,
+        encode_cogs_grids,
+    )
+    from environmental_stac_generator_spark.sources import netcdf
+
+    landing = tmp_path / "nc"
+    (landing / "c").mkdir(parents=True)
+    (landing / "c" / "f.nc").write_bytes(b"x")
+    long_df = netcdf.scan_netcdf(
+        spark, str(landing / "*"), decoder=netcdf.fake_decoder(grid=4, n_lead=2)
+    )
+    with pytest.raises(ValueError, match="1-minute resolution"):
+        encode_cogs(long_df, tmp_path / "o", leadtime_unit="hours", leadtime_step=0.01)
+    grids = netcdf.scan_netcdf_grids(
+        spark, str(landing / "*"), decoder=netcdf.fake_decoder(grid=4, n_lead=2)
+    )
+    with pytest.raises(ValueError, match="1-minute resolution"):
+        encode_cogs_grids(
+            grids, tmp_path / "o2", leadtime_unit="hours", leadtime_step=0.01
+        )
+
+
+def test_valid_time_matches_leadtime_offset_microseconds(spark):
+    """The kernel-side valid time and the STAC assembly's column form
+    must agree to the microsecond for fractional steps — a divergence
+    makes asset hrefs point at files that don't exist."""
+    import pandas as pd
+
+    from environmental_stac_generator_spark.functions.frequency import (
+        leadtime_offset,
+    )
+    from environmental_stac_generator_spark.sinks.raster import _valid_time
+
+    ref = pd.Timestamp("2025-03-01 06:30:00")
+    cases = [
+        ("hours", 0.25, 7),
+        ("hours", 1.5, 3),
+        ("days", 0.1, 13),   # 0.1*13 is inexact in binary
+        ("weeks", 0.5, 5),
+        ("days", 1.0, 40),
+    ]
+    import pyspark.sql.functions as F
+
+    for unit, step, lead in cases:
+        kernel = _valid_time(ref, lead, unit, step)
+        df = spark.createDataFrame([(ref.to_pydatetime(),)], "ts timestamp")
+        col = df.select(
+            leadtime_offset("ts", unit, float(lead) * step).alias("t")
+        ).first()["t"]
+        assert pd.Timestamp(col) == kernel, (unit, step, lead, col, kernel)
