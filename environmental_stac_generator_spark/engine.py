@@ -15,6 +15,7 @@ from collections.abc import Callable
 from dataclasses import dataclass, field
 from pathlib import Path
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from environmental_stac_generator_spark.functions.frequency import (
@@ -44,6 +45,9 @@ class EnvStacEngine:
     # (raises without the raster stack); tests inject
     # netcdf.fake_meta_decoder
     meta_decoder: Callable[[str, bytes | None], dict] | None = None
+    # WGS84 bbox reprojection kernel override (functions.geo
+    # TransformFn) for environments without pyproj; None -> pyproj
+    bbox_transform: Callable | None = None
     cog_encoder: raster.Encoder = field(default=raster.fake_tiff_encoder)
     # encode COGs from packed grid slabs (second decode pass, ~50x
     # less shuffle; byte-identical output) instead of the long rows
@@ -61,6 +65,24 @@ class EnvStacEngine:
     def scan_metadata(self, input_path: str) -> DataFrame:
         return netcdf.scan_netcdf_metadata(
             self.spark, input_path, meta_decoder=self.meta_decoder
+        )
+
+    def _collection_crs(self, input_path: str) -> DataFrame | None:
+        """(collection, crs) from the attr-only metadata scan — the
+        input to WGS84 bbox reprojection and the item projection
+        extension (ref ``stac/generator.py:581-584,255-260``). None
+        when no metadata source exists in this environment (no
+        injected meta_decoder AND no xarray): the pipeline then keeps
+        its native-coordinate bbox behavior instead of failing."""
+        if self.meta_decoder is None:
+            import importlib.util
+
+            if importlib.util.find_spec("xarray") is None:
+                return None
+        return (
+            self.scan_metadata(input_path)
+            .groupBy("collection")
+            .agg(F.min("crs").alias("crs"))
         )
 
     # ---- derivation stages ----
@@ -106,7 +128,10 @@ class EnvStacEngine:
             # the reference re-opens each file per stage (a missed
             # optimization, SURVEY §4) — we scan once and reuse
             long_df = self._track(self.scan(input_path).persist())
-        info = self.forecast_info(long_df)
+        crs_df = self._collection_crs(input_path)
+        info = fc.forecast_info(
+            long_df, crs_by_collection=crs_df, bbox_transform=self.bbox_transform
+        )
         stats = self.band_statistics(long_df)
         collections = sc.build_collections(info, license=self.license)
         times = fc.leadtime_counts(long_df)
@@ -126,6 +151,10 @@ class EnvStacEngine:
             "items": items,
             "assets": assets,
         }
+        if crs_df is not None:
+            results["crs"] = crs_df.withColumnRenamed(
+                "collection", "collection_id"
+            )
         if not stac_only:
             # sinks are actions: materialize now (persist so callers
             # can inspect the result rows without re-encoding)
@@ -185,8 +214,12 @@ class EnvStacEngine:
         # (ref stac/generator.py:106) — keeps the catalog separable
         # from the raster outputs, which the ingest CLI reads back
         stac_dir = Path(self.output_dir) / "stac" / self.catalog_name
-        items_json = sc.items_to_json(results["items"], results["assets"])
-        colls_json = sc.collections_to_json(results["collections"])
+        items_json = sc.items_to_json(
+            results["items"], results["assets"], crs_by_collection=results.get("crs")
+        )
+        colls_json = sc.collections_to_json(
+            results["collections"], assets=results["assets"]
+        )
         stac_json.save_items(items_json, stac_dir)
         stac_json.save_collections(colls_json, stac_dir)
         ids = [r["collection_id"] for r in results["collections"].select("collection_id").collect()]

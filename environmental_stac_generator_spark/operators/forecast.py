@@ -16,8 +16,9 @@ from pyspark.sql import Column, DataFrame
 ISO_FMT = "yyyy-MM-dd'T'HH:mm:ss'Z'"
 FNAME_FMT = "yyyy-MM-dd'T'HH-mm-ss'Z'"
 
-# P8/F16: units that mean "kilometres" (ref stac/generator.py:549-552)
-KM_UNITS = ("km", "1000 meter")
+# P8/F16: units that mean "kilometres" — ONE definition, shared with
+# the scan-side conversion (ref stac/generator.py:549-552)
+from environmental_stac_generator_spark.sources.netcdf import KM_UNITS  # noqa: E402
 
 
 def convert_units(df: DataFrame, x_units: Column | str, y_units: Column | str) -> DataFrame:
@@ -173,11 +174,38 @@ def valid_time(
         raise ValueError(f"unknown leadtime unit {unit!r}") from exc
 
 
-def forecast_info(df: DataFrame) -> DataFrame:
+def forecast_info(
+    df: DataFrame,
+    crs_by_collection: DataFrame | None = None,
+    bbox_transform=None,
+) -> DataFrame:
     """The distributed twin of ``get_forecast_info``'s 10-tuple
     (ref ``stac/generator.py:461-531``): one row per collection with
-    bbox + geometry, temporal extent, band list, leadtime count."""
-    b = geometry_json(bbox(df))
+    bbox + geometry, temporal extent, band list, leadtime count.
+
+    ``crs_by_collection`` — optional (collection, crs) frame (from the
+    metadata scan): projected-CRS bboxes then reproject to WGS84
+    BEFORE the geometry is built, exactly like the reference's
+    ``proj_to_geo`` inside ``_get_bbox_and_geometry``
+    (``stac/generator.py:581-584``); without it the bbox stays in
+    native coordinates (the pre-round-6 behavior, correct only for
+    EPSG:4326 sources). ``bbox_transform`` overrides the pyproj
+    kernel for environments without pyproj."""
+    b = bbox(df)
+    if crs_by_collection is not None:
+        from environmental_stac_generator_spark.functions import geo
+
+        b = b.join(crs_by_collection, "collection", "left")
+        # '' (missing attr) and the reference's bare '4326' spelling
+        # are both "already WGS84" (ref :582 checks ["EPSG:4326",
+        # "4326"]); normalize to NULL, which the kernel passes through
+        b = b.withColumn(
+            "crs",
+            F.when(F.col("crs").isin("", "4326"), None).otherwise(F.col("crs")),
+        )
+        kwargs = {"transform": bbox_transform} if bbox_transform else {}
+        b = geo.reproject_bbox(b, crs_col="crs", **kwargs).drop("crs")
+    b = geometry_json(b)
     t = temporal_extent(df)
     bands = (
         infer_valid_bands(df)

@@ -34,10 +34,15 @@ STAC_VERSION = "1.0.0"
 
 def title_case(col: Column | str) -> Column:
     """F6: ``name.capitalize().replace('_',' ').replace('-',' ')``
-    (ref ``stac/generator.py:654``)."""
+    (ref ``stac/generator.py:654``). The separator translate runs
+    over the WHOLE capitalized string — capitalize() leaves a leading
+    '_' untouched and the replace() afterwards turns it into a space,
+    so '_icenet' must become ' icenet', not keep the underscore."""
     c = F.col(col) if isinstance(col, str) else col
-    rest = F.translate(F.substring(c, 2, 1 << 30), "_-", "  ")
-    return F.concat(F.upper(F.substring(c, 1, 1)), F.lower(rest))
+    capitalized = F.concat(
+        F.upper(F.substring(c, 1, 1)), F.lower(F.substring(c, 2, 1 << 30))
+    )
+    return F.translate(capitalized, "_-", "  ")
 
 
 def build_collections(
@@ -68,10 +73,8 @@ def merge_collections(existing: DataFrame, new: DataFrame) -> DataFrame:
     title/description), merge temporal extents as [min(starts),
     max(ends)] (ref ``stac/generator.py:175-207``)."""
     meta_cols = [c for c in existing.columns if c not in ("extent_start", "extent_end")]
-    all_rows = existing.select(*existing.columns).unionByName(
-        new.select(*existing.columns)
-    )
-    # precedence: existing row's metadata wins -> tag and rank
+    # ONE union feeds both derivations — a second union of the same
+    # inputs for the extents aggregate would scan both relations twice
     tagged = existing.withColumn("_rank", F.lit(0)).unionByName(
         new.select(*existing.columns).withColumn("_rank", F.lit(1))
     )
@@ -81,7 +84,7 @@ def merge_collections(existing: DataFrame, new: DataFrame) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .select(*meta_cols)
     )
-    extents = all_rows.groupBy("collection_id").agg(
+    extents = tagged.groupBy("collection_id").agg(
         F.min("extent_start").alias("extent_start"),
         F.max("extent_end").alias("extent_end"),
     )
@@ -283,10 +286,44 @@ def build_thumbnail_assets(cog_assets: DataFrame) -> DataFrame:
 
 def rewrite_hrefs(assets: DataFrame, file_server_url: str) -> DataFrame:
     """F8: './x' -> FILE_SERVER_URL + 'x', base URL gets a trailing
-    slash (ref ``stac/generator.py:1047-1056``)."""
+    slash (ref ``stac/generator.py:1047-1056``). startswith + concat,
+    NOT regexp_replace: Java's replaceAll treats '$' and '\\\\' in the
+    REPLACEMENT specially, so a base URL containing '$' would throw
+    an illegal-group-reference error at action time (and '\\\\' would
+    silently corrupt hrefs)."""
     base = file_server_url if file_server_url.endswith("/") else file_server_url + "/"
+    href = F.col("href")
     return assets.withColumn(
-        "href", F.regexp_replace("href", r"^\./", base)
+        "href",
+        F.when(
+            href.startswith("./"),
+            F.concat(F.lit(base), F.substring(href, 3, 1 << 30)),
+        ).otherwise(href),
+    )
+
+
+# pystac's ProjectionExtension schema (the extension the reference
+# adds to every item, ref stac/generator.py:257-260 — proj.code)
+PROJ_EXT_SCHEMA = "https://stac-extensions.github.io/projection/v2.0.0/schema.json"
+
+
+def _asset_map(assets: DataFrame, keys: list[str]):
+    """key->asset map per ``keys`` grain (J9) — shared by the item
+    and collection document assemblers."""
+    return assets.groupBy(*keys).agg(
+        F.map_from_entries(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("asset_key"),
+                        F.struct(
+                            "href", "media_type", "title", "description",
+                            "roles", "band_meta",
+                        ).alias("asset"),
+                    )
+                )
+            )
+        ).alias("assets")
     )
 
 
@@ -294,42 +331,47 @@ def items_to_json(items: DataFrame, assets: DataFrame, crs_by_collection: DataFr
     """N6/K4: assemble full STAC Item documents as JSON strings.
 
     Assets fold back into a key->asset map via
-    ``map_from_entries(collect_list(...))`` (J9); the item document
-    carries the projection extension code (ref
-    ``stac/generator.py:255-259``).
-    """
-    asset_map = (
-        assets.filter(F.col("item_id").isNotNull())
-        .groupBy("collection_id", "item_id")
-        .agg(
-            F.map_from_entries(
-                F.sort_array(
-                    F.collect_list(
-                        F.struct(
-                            F.col("asset_key"),
-                            F.struct(
-                                "href", "media_type", "title", "description",
-                                "roles", "band_meta",
-                            ).alias("asset"),
-                        )
-                    )
-                )
-            ).alias("assets")
-        )
+    ``map_from_entries(collect_list(...))`` (J9). With
+    ``crs_by_collection`` (collection_id, crs), the item document
+    carries the projection extension exactly as the reference adds it
+    (ref ``stac/generator.py:255-260``): the extension schema in
+    ``stac_extensions`` and the source CRS as ``proj:code``."""
+    asset_map = _asset_map(
+        assets.filter(F.col("item_id").isNotNull()),
+        ["collection_id", "item_id"],
     )
-    doc = items.join(asset_map, ["collection_id", "item_id"], "left").select(
+    doc = items.join(asset_map, ["collection_id", "item_id"], "left")
+    crs = F.lit(None).cast("string")
+    if crs_by_collection is not None:
+        doc = doc.join(
+            crs_by_collection.select(
+                "collection_id",
+                F.when(F.col("crs") == "", None).otherwise(F.col("crs")).alias("_crs"),
+            ),
+            "collection_id",
+            "left",
+        )
+        crs = F.col("_crs")
+    doc = doc.select(
         "collection_id",
         "item_id",
         F.to_json(
             F.struct(
                 F.lit("Feature").alias("type"),
                 F.lit(STAC_VERSION).alias("stac_version"),
+                # to_json drops null fields: items without a known CRS
+                # simply omit stac_extensions, like a pystac item with
+                # no extension added
+                F.when(
+                    crs.isNotNull(), F.array(F.lit(PROJ_EXT_SCHEMA))
+                ).alias("stac_extensions"),
                 F.col("item_id").alias("id"),
                 F.col("collection_id").alias("collection"),
                 F.col("geometry"),
                 F.col("bbox"),
                 F.struct(
                     F.date_format("datetime", ISO_FMT).alias("datetime"),
+                    crs.alias("proj:code"),
                     F.col("forecast_reference_time_str").alias(
                         "forecast:reference_time"
                     ),
@@ -343,9 +385,28 @@ def items_to_json(items: DataFrame, assets: DataFrame, crs_by_collection: DataFr
     return doc
 
 
-def collections_to_json(collections: DataFrame) -> DataFrame:
-    """Collection documents as JSON (ref ``stac/generator.py:178-190``)."""
-    return collections.select(
+def collections_to_json(
+    collections: DataFrame, assets: DataFrame | None = None
+) -> DataFrame:
+    """Collection documents as JSON (ref ``stac/generator.py:178-190``).
+
+    ``assets`` — the full assets frame: its ``item_id IS NULL`` rows
+    are the collection-LEVEL assets (the J9 thumbnail promotion,
+    ``build_thumbnail_assets``; ref ``:795-803``) and fold into the
+    collection document here — without this the promoted thumbnail
+    was computed and then reached no serialized document."""
+    doc = collections
+    if assets is not None:
+        coll_assets = _asset_map(
+            assets.filter(F.col("item_id").isNull()), ["collection_id"]
+        )
+        doc = doc.join(coll_assets, "collection_id", "left")
+    else:
+        doc = doc.withColumn(
+            "assets",
+            F.lit(None).cast("map<string,struct<href:string>>"),
+        )
+    return doc.select(
         "collection_id",
         F.to_json(
             F.struct(
@@ -366,6 +427,7 @@ def collections_to_json(collections: DataFrame) -> DataFrame:
                         ).alias("interval")
                     ).alias("temporal"),
                 ).alias("extent"),
+                F.col("assets"),
             )
         ).alias("json"),
     )

@@ -81,6 +81,9 @@ Decoder = Callable[[str, bytes], Iterator[pd.DataFrame]]
 # Candidate coordinate names, ref utils.py:17-31 / stac/generator.py:487-496.
 X_CANDIDATES = ("xc", "x", "lon", "longitude")
 Y_CANDIDATES = ("yc", "y", "lat", "latitude")
+# P8/F16: units meaning "kilometres" ('1000 meter' is legacy icenet
+# < v0.4.0 support; ref stac/generator.py:549-552)
+KM_UNITS = ("km", "1000 meter")
 TIME_CANDIDATES = ("time", "forecast_time")
 LEAD_CANDIDATES = ("leadtime", "lead_time")
 
@@ -148,6 +151,16 @@ def xarray_decoder(path: str, content: bytes | None) -> Iterator[pd.DataFrame]:
         valid = [v for v in ds.data_vars if len(ds[v].dims) == 4]
         xs = ds[x].values.astype("float64")
         ys = ds[y].values.astype("float64")
+        # P8 at the faithful place — the reference's _convert_units
+        # runs on the opened dataset BEFORE any bbox/geometry math
+        # (stac/generator.py:533-553): km / legacy '1000 meter'
+        # coordinates scale to metres here, so every downstream
+        # consumer of the long relation sees metres without a units
+        # column or a metadata join.
+        if str(ds[x].attrs.get("units", "")) in KM_UNITS:
+            xs = xs * 1000.0
+        if str(ds[y].attrs.get("units", "")) in KM_UNITS:
+            ys = ys * 1000.0
         yy, xx = np.meshgrid(ys, xs, indexing="ij")
         for var in valid:
             for ti, tv in enumerate(pd.to_datetime(ds[t].values)):

@@ -91,3 +91,77 @@ def test_release_unpersists_process_caches(spark, inputs, tmp_path):
     assert after - before == set()
     # released frames recompute rather than fail
     assert results["cog_results"].count() > 0
+
+
+def test_process_crs_aware_catalog(spark, inputs, tmp_path):
+    """With a metadata source the pipeline must behave like the
+    reference's projected-CRS branch: bbox reprojects to WGS84 before
+    geometry (generator.py:581-584), items carry the projection
+    extension with the SOURCE crs (proj:code, :255-260), and the
+    promoted collection thumbnail lands in collection.json
+    (:795-803)."""
+
+    def fake_transform(crs, xmin, ymin, xmax, ymax):
+        # stand-in for pyproj in this container: a recognizable squash
+        return (xmin / 1e6, ymin / 1e6, xmax / 1e6, ymax / 1e6)
+
+    eng = EnvStacEngine(
+        spark,
+        catalog_name="icecrs",
+        output_dir=tmp_path,
+        decoder=netcdf.fake_decoder(),
+        meta_decoder=netcdf.fake_meta_decoder,
+        bbox_transform=fake_transform,
+    )
+    results = eng.process(str(inputs), forecast_frequency="1days", stac_only=True)
+    info = results["info"].first()
+    # fake grid coords are ~1e7 metres; the squash puts WGS84-ish
+    # magnitudes in the bbox — proof the transform ran
+    assert abs(info["xmax"]) < 100 and abs(info["ymax"]) < 100
+    assert "crs" in results
+
+    eng.save_catalog(results)
+    stac_dir = tmp_path / "stac" / "icecrs"
+    item_files = list(stac_dir.rglob("forecast_init_*.json"))
+    assert item_files
+    doc = json.loads(item_files[0].read_text())
+    assert doc["properties"]["proj:code"].startswith("EPSG:")
+    assert any("projection" in e for e in doc["stac_extensions"])
+    # collection-level thumbnail promotion reaches the document
+    coll = json.loads(
+        (stac_dir / "icenet_south" / "collection.json").read_text()
+    )
+    assert "thumbnail" in coll["assets"]
+    assert coll["assets"]["thumbnail"]["href"].endswith(".jpg")
+
+
+def test_title_case_leading_separator(spark):
+    """capitalize() leaves a leading '_' untouched and the reference's
+    replace() afterwards turns it into a space — '_icenet' must become
+    ' icenet', not keep the underscore."""
+    from environmental_stac_generator_spark.plans.stac_catalog import title_case
+
+    df = spark.createDataFrame(
+        [("_icenet",), ("ice_net-x",), ("plain",)], "name string"
+    )
+    got = [r["t"] for r in df.select(title_case("name").alias("t")).collect()]
+    assert got == [" icenet", "Ice net x", "Plain"]
+
+
+def test_rewrite_hrefs_tolerates_regex_metachars(spark):
+    """A base URL containing '$' must not throw an illegal-group-
+    reference error (regexp_replace replacement semantics) — the
+    rewrite is a plain startswith + concat."""
+    from environmental_stac_generator_spark.plans.stac_catalog import rewrite_hrefs
+
+    assets = spark.createDataFrame(
+        [("./cogs/a.tif",), ("http://kept/as-is.tif",)], "href string"
+    )
+    got = {
+        r["href"]
+        for r in rewrite_hrefs(assets, "https://host/files$v1\\x").collect()
+    }
+    assert got == {
+        "https://host/files$v1\\x/cogs/a.tif",
+        "http://kept/as-is.tif",
+    }
