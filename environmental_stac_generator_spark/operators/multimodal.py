@@ -136,9 +136,17 @@ def default_decode(content: bytes, meta: dict) -> np.ndarray:
         return fake_decode(content, meta)
 
 
-def extract_features(media: DataFrame, decode: DecodeFn = fake_decode) -> DataFrame:
+def extract_features(media: DataFrame, decode: DecodeFn = default_decode) -> DataFrame:
     """mapInPandas decode→feature kernel; Arrow batches, no Python
-    per-row overhead beyond the codec itself."""
+    per-row overhead beyond the codec itself. The default kernel is
+    :func:`default_decode` — the REAL PIL path when Pillow can handle
+    the payload, the deterministic fake otherwise — so a
+    Pillow-equipped environment gets real features without injection
+    (previously the fake was the default everywhere, silently
+    encoding nothing about the image). A NULL payload yields NULL
+    n_bytes/content_hash/features — hashing missing content as
+    md5(b'') would make it indistinguishable from a genuinely
+    zero-byte payload in downstream dedup."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -150,9 +158,12 @@ def extract_features(media: DataFrame, decode: DecodeFn = fake_decode) -> DataFr
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": [len(c or b"") for c in pdf["content"]],
+                    "n_bytes": [
+                        len(c) if c is not None else None for c in pdf["content"]
+                    ],
                     "content_hash": [
-                        hashlib.md5(c or b"").hexdigest() for c in pdf["content"]
+                        hashlib.md5(c).hexdigest() if c is not None else None
+                        for c in pdf["content"]
                     ],
                     "features": feats,
                 }
@@ -209,7 +220,7 @@ def resize_media(
     media: DataFrame,
     width: int,
     height: int,
-    resize: ResizeFn = fake_resize,
+    resize: ResizeFn = default_resize,
 ) -> DataFrame:
     """mapInPandas resize kernel over image rows: new payload bytes +
     updated meta (width/height here; the resize fn updates
@@ -244,9 +255,18 @@ def resize_media(
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame sampling plumbing: one row per sampled frame index
     (decode itself stays in the pluggable kernel). Pure built-in
-    sequence/explode — no data movement of the payload."""
-    frames = F.sequence(
-        F.lit(0), F.greatest(F.col("meta.n_frames") - 1, F.lit(0)), F.lit(every_n)
+    sequence/explode — no data movement of the payload. A video with
+    UNKNOWN frame count (null meta.n_frames) emits no rows: explode
+    of the null sequence — greatest() skips null operands, so without
+    the isNotNull gate it would fabricate frame 0 for a frame that
+    may not exist."""
+    frames = F.when(
+        F.col("meta.n_frames").isNotNull(),
+        F.sequence(
+            F.lit(0),
+            F.greatest(F.col("meta.n_frames") - 1, F.lit(0)),
+            F.lit(every_n),
+        ),
     )
     return (
         media.filter(F.col("kind") == "video")

@@ -64,7 +64,14 @@ def read_existing_keys(
 def skip_existing(df: DataFrame, existing_keys: DataFrame, key_columns: list[str]) -> DataFrame:
     """J4/J5: left-anti join on the (composite) key — unhinted, since
     the stored-key relation grows with the catalog; AQE broadcasts it
-    while it actually fits and shuffles once it does not."""
+    while it actually fits and shuffles once it does not.
+
+    Null keys follow SQL anti-join semantics (NULL never matches, the
+    row passes through as "new") — this matches the oracle's NOT
+    EXISTS formulation. The streaming merge needs replay-idempotency
+    for null keys instead and uses an eqNullSafe variant
+    (``streaming.incremental.merge_batch_into_table``) — keep the two
+    deliberately distinct."""
     return df.join(existing_keys, key_columns, "left_anti")
 
 
@@ -127,12 +134,15 @@ def upsert_dataframe(
         first = next(rows, None)
         if first is None:
             return  # empty partition: no connection round trip
+        # resolve column POSITIONS once: Row["name"] does a linear
+        # __fields__ scan per cell, O(n_cols²) per row in the hot loop
+        idx = [first.__fields__.index(c) for c in columns]
         conn = connection_factory(dsn)
         try:
             cur = conn.cursor()
             batch = []
             for row in chain([first], rows):
-                batch.append(tuple(row[c] for c in columns))
+                batch.append(tuple(row[i] for i in idx))
                 if len(batch) >= batch_size:
                     cur.executemany(sql, batch)
                     written.add(len(batch))
@@ -162,7 +172,17 @@ def ingest_catalog(
     """The full ingest plan (ref ``ingest_stac_catalog``,
     ``stac/dataloader.py:102-194``): bulk key scans → anti-join
     skip-existing (unless overwriting) → collections first, then
-    items (FK order). Returns written row counts per table."""
+    items (FK order). Returns written row counts per table.
+
+    The incoming frames dedup on their keys FIRST: a catalog tree can
+    legitimately list the same collection under two parents, and two
+    such rows both survive the DB anti-join (neither is in the DB
+    yet) — the append would then die on the primary key AFTER
+    collections committed, leaving a half-ingested catalog; the
+    upsert branch would hit Postgres's "ON CONFLICT cannot affect row
+    a second time" the same way."""
+    collections = collections.dropDuplicates(["id"])
+    items = items.dropDuplicates(["id", "collection"])
     if not overwrite:
         from pyspark.sql import Observation
 

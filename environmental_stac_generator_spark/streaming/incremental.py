@@ -55,43 +55,59 @@ def running_extent(stream_df: DataFrame) -> DataFrame:
 def merge_batch_into_table(
     batch_df: DataFrame, table_dir: str | Path, key_columns: list[str]
 ) -> None:
-    """T3 core: keyed anti-join merge — new keys appended, existing
+    """T3 core: keyed anti-join merge — new keys APPENDED, existing
     keys kept (idempotent under replays). Parquet stands in for the
     pgSTAC table; the JDBC twin is
-    ``sinks.jdbc_upsert.upsert_dataframe``."""
-    from environmental_stac_generator_spark.operators.lineage import cut_lineage
+    ``sinks.jdbc_upsert.upsert_dataframe``.
+
+    Crash-safety: the write is ``mode("append")`` of ONLY the fresh
+    rows — previously merged files are never rewritten, so there is
+    no instant at which the table is deleted-but-not-yet-recommitted
+    (the earlier whole-table overwrite had exactly that window: a
+    driver crash mid-overwrite lost every prior batch, and the retry
+    rebuilt the "table" from the current batch alone). It is also
+    O(new rows) per batch instead of O(table).
+
+    Idempotency covers NULL keys: the anti-join compares with
+    eqNullSafe, so a replayed null-keyed row matches its stored copy
+    and is skipped — a plain equi-join would re-append it every
+    replay forever (NULL = NULL is never true)."""
+    from functools import reduce
 
     spark = batch_df.sparkSession
     table_dir = str(table_dir)
     # a micro-batch can re-deliver the same key twice (e.g. one file
-    # listed in two trigger windows): dedup WITHIN the batch on both
-    # paths, or the anti-join lets both rows through and the keyed
-    # table holds duplicates forever
+    # listed in two trigger windows): dedup WITHIN the batch, or the
+    # anti-join lets both rows through and the keyed table holds
+    # duplicates forever (dropDuplicates treats nulls as equal, so
+    # null-keyed rows dedup here too)
     batch = batch_df.dropDuplicates(key_columns)
     # explicit existence probe via the Hadoop FS API (works for any
     # scheme, not just local paths). This must NOT be a broad
     # try/except around the read: treating an arbitrary failure
-    # (schema drift in unionByName, a transient storage error) as
-    # "first batch" would fall through to mode("overwrite") and wipe
-    # every previously merged row with just the current batch.
+    # (schema drift, a transient storage error) as "first batch"
+    # would mis-append mismatched files into the table.
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(table_dir)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(hpath):
         existing = spark.read.parquet(table_dir)
+        # schema-drift guard: building the union RAISES at plan time
+        # when either side is missing a column of the other — nothing
+        # executes, we just want the analyzer's check before touching
+        # the stored files
+        existing.unionByName(batch)
+        keys = existing.select(*key_columns)
+        cond = reduce(
+            lambda a, b: a & b,
+            [batch[k].eqNullSafe(keys[k]) for k in key_columns],
+        )
         # unhinted: the stored table grows without bound across
         # batches; AQE broadcasts its key projection while small
-        fresh = batch.join(
-            existing.select(*key_columns), key_columns, "left_anti"
-        )
-        # the merged frame must materialize BEFORE the overwrite (it
-        # reads the same parquet dir it rewrites); cut_lineage picks a
-        # reliable checkpoint when a checkpoint dir is configured
-        # (VERDICT r3 missing #2), localCheckpoint otherwise.
-        merged = cut_lineage(existing.unionByName(fresh))
+        fresh = batch.join(keys, cond, "left_anti")
+        fresh.select(*existing.columns).write.mode("append").parquet(table_dir)
     else:  # first batch: table does not exist yet
-        merged = cut_lineage(batch)
-    merged.write.mode("overwrite").parquet(table_dir)
+        batch.write.mode("append").parquet(table_dir)
 
 
 def start_incremental_merge(

@@ -70,28 +70,15 @@ class ExtentProcessor(StatefulProcessor):
     def handleInputRows(
         self, key, rows: Iterator[pd.DataFrame], timerValues
     ) -> Iterator[pd.DataFrame]:
-        if self._extent.exists():
-            start, end, n = self._extent.get()
-            # a count-only state (rows seen before any valid
-            # timestamp) stores null bounds; normalize NaT back to
-            # None so a later batch can still establish the extent
-            # (NaT comparisons are always False)
-            start = None if start is None or pd.isna(start) else start
-            end = None if end is None or pd.isna(end) else end
-        else:
-            start, end, n = None, None, 0
-        for pdf in rows:
-            ts = pd.to_datetime(pdf["forecast_reference_time"])
-            lo, hi = ts.min(), ts.max()
-            # an all-null (or empty) chunk yields NaT bounds; NaT
-            # comparisons are always False, so a NaT written into
-            # state would freeze the extent forever — skip the chunk's
-            # bounds, still count its rows (ADVICE r4)
-            if not pd.isna(lo):
-                start = lo if start is None or lo < pd.Timestamp(start) else start
-            if not pd.isna(hi):
-                end = hi if end is None or hi > pd.Timestamp(end) else end
-            n += len(pdf)
+        # ONE shared merge implementation with the 3.x API (NaT-freeze
+        # and count-only guards included) — see windows.merge_extent
+        from environmental_stac_generator_spark.streaming.windows import (
+            extent_output_row,
+            merge_extent,
+        )
+
+        prior = self._extent.get() if self._extent.exists() else None
+        start, end, n = merge_extent(prior, rows)
         if start is not None and end is not None:
             self._extent.update((pd.Timestamp(start), pd.Timestamp(end), int(n)))
         elif n:
@@ -100,14 +87,7 @@ class ExtentProcessor(StatefulProcessor):
             # would depend on whether the null-ts rows arrived before
             # or after the first valid batch
             self._extent.update((None, None, int(n)))
-        yield pd.DataFrame(
-            {
-                "collection": [key[0]],
-                "extent_start": [pd.Timestamp(start) if start is not None else pd.NaT],
-                "extent_end": [pd.Timestamp(end) if end is not None else pd.NaT],
-                "n_items": [int(n)],
-            }
-        )
+        yield extent_output_row(key, start, end, n)
 
     def close(self) -> None:
         pass
@@ -123,13 +103,21 @@ def stateful_running_extent_tws(stream_df: DataFrame) -> DataFrame:
     session-wide config would change how OTHER streaming queries on
     the session load their checkpointed state."""
     conf = stream_df.sparkSession.conf
-    if conf.get("spark.sql.streaming.stateStore.providerClass", None) in (
-        None,
-        "org.apache.spark.sql.execution.streaming.state."
-        "HDFSBackedStateStoreProvider",
-    ):
+    configured = conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    if configured is None:  # unset: default to the provider tWS needs
         conf.set(
             "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+        )
+    elif "HDFSBackedStateStoreProvider" in configured:
+        # EXPLICITLY configured to the one provider this operator
+        # cannot run on: fail loudly rather than silently flipping a
+        # session-wide config — the app's other streaming queries may
+        # hold HDFS-format checkpoints that RocksDB cannot load.
+        raise ValueError(
+            "transformWithState requires the RocksDB state store "
+            "provider, but the session explicitly configures "
+            f"{configured}; set {ROCKSDB_PROVIDER} (or unset the conf) "
+            "before calling stateful_running_extent_tws"
         )
     return stream_df.groupBy("collection").transformWithStateInPandas(
         statefulProcessor=ExtentProcessor(),

@@ -59,17 +59,24 @@ def windowed_event_counts(
     )
 
 
-def _extent_state_fn(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Per-collection running (min, max, count) over
-    forecast_reference_time, held in the state store across batches."""
-    if state.exists:
-        start, end, n = state.get
-        # count-only state (rows seen before any valid timestamp)
-        # carries null bounds; normalize NaT back to None — NaT
-        # comparisons are always False, so a NaT bound would freeze
-        # the extent forever (same guard as stateful.ExtentProcessor)
+def merge_extent(
+    prior: tuple | None, pdfs: Iterator[pd.DataFrame]
+) -> tuple:
+    """ONE implementation of the per-collection extent merge shared by
+    both stateful APIs (3.x applyInPandasWithState here, 4.x
+    transformWithState in ``stateful.py`` — the NaT-freeze guard
+    previously had to be fixed in two near-identical copies).
+
+    ``prior`` is the stored (start, end, n) or None; returns the
+    merged (start, end, n) with None bounds normalized. Guards: a
+    count-only prior (rows seen before any valid timestamp) carries
+    null/NaT bounds, normalized back to None so a later batch can
+    still establish the extent; an all-null chunk's NaT min/max are
+    skipped (NaT comparisons are always False — written into state
+    they would freeze the extent forever) while its rows still
+    count, so n_items is arrival-order-independent."""
+    if prior is not None:
+        start, end, n = prior
         start = None if start is None or pd.isna(start) else start
         end = None if end is None or pd.isna(end) else end
     else:
@@ -82,18 +89,34 @@ def _extent_state_fn(
         if not pd.isna(hi):
             end = hi if end is None or hi > pd.Timestamp(end) else end
         n += len(pdf)
-    if start is not None and end is not None:
-        state.update((pd.Timestamp(start), pd.Timestamp(end), n))
-    elif n:
-        state.update((None, None, n))
-    yield pd.DataFrame(
+    return start, end, int(n)
+
+
+def extent_output_row(key: tuple, start, end, n: int) -> pd.DataFrame:
+    """The update-mode output row both stateful APIs emit."""
+    return pd.DataFrame(
         {
             "collection": [key[0]],
             "extent_start": [pd.Timestamp(start) if start is not None else pd.NaT],
             "extent_end": [pd.Timestamp(end) if end is not None else pd.NaT],
-            "n_items": [n],
+            "n_items": [int(n)],
         }
     )
+
+
+def _extent_state_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-collection running (min, max, count) over
+    forecast_reference_time, held in the state store across batches."""
+    start, end, n = merge_extent(state.get if state.exists else None, pdfs)
+    if start is not None and end is not None:
+        state.update((pd.Timestamp(start), pd.Timestamp(end), n))
+    elif n:
+        # rows seen but no valid timestamp yet: persist the COUNT with
+        # null bounds so it isn't lost
+        state.update((None, None, n))
+    yield extent_output_row(key, start, end, n)
 
 
 def stateful_running_extent(stream_df: DataFrame) -> DataFrame:

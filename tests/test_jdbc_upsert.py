@@ -203,3 +203,38 @@ def test_ingest_catalog_upsert_branch_live_engine(spark, stac_db):
     assert counts2 == {"collections": 2, "items": 2}
     assert len(_rows(stac_db, "SELECT id FROM collections")) == 2
     assert len(_rows(stac_db, "SELECT id FROM items")) == 2
+
+
+def test_ingest_catalog_dedups_incoming_keys(spark, stac_db):
+    """A catalog tree can list the same collection under two parents;
+    the ingest must dedup the incoming frames on their keys — without
+    it, two same-key rows both survive the DB anti-join and the
+    upsert dies on Postgres's 'ON CONFLICT cannot affect row a second
+    time' mid-ingest."""
+    colls = spark.createDataFrame(
+        [("c1", "arctic"), ("c1", "arctic-dup"), ("c2", "antarctic")],
+        "id string, title string",
+    )
+    items = spark.createDataFrame(
+        [("i1", "c1", "p"), ("i1", "c1", "p2"), ("i2", "c2", "q")],
+        "id string, collection string, payload string",
+    )
+    counts = ingest_catalog(
+        spark,
+        colls,
+        items,
+        jdbc_url="unused-in-overwrite-branch",
+        dsn=stac_db,
+        overwrite=True,
+        connection_factory=sqlite_connection_factory,
+        paramstyle="qmark",
+    )
+    assert counts == {"collections": 2, "items": 2}
+    assert [r[0] for r in _rows(stac_db, "SELECT id FROM collections")] == [
+        "c1",
+        "c2",
+    ]
+    assert [r[:2] for r in _rows(stac_db, "SELECT id, collection FROM items")] == [
+        ("i1", "c1"),
+        ("i2", "c2"),
+    ]

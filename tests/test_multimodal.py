@@ -112,3 +112,45 @@ def test_real_image_resize_guarded_or_real():
 
         with pytest.raises(NotImplementedError):
             mm.real_image_resize(b"not-an-image", {}, 8, 8)
+
+
+def test_null_content_yields_null_hash_and_counts(spark):
+    """A missing payload must be distinguishable from an empty one:
+    NULL content -> NULL n_bytes/content_hash/features, never
+    md5(b'')."""
+    import pyspark.sql.functions as F
+
+    from environmental_stac_generator_spark.operators import multimodal as mm
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", None, {"width": "8"}),
+            (2, "image", b"", {"width": "8"}),
+        ],
+        "media_id long, kind string, content binary, meta map<string,string>",
+    )
+    rows = {
+        r["media_id"]: r
+        for r in mm.extract_features(media, decode=mm.fake_decode).collect()
+    }
+    assert rows[1]["content_hash"] is None and rows[1]["n_bytes"] is None
+    assert rows[1]["features"] is None
+    assert rows[2]["content_hash"] is not None and rows[2]["n_bytes"] == 0
+
+
+def test_frame_sample_unknown_frame_count_emits_no_rows(spark):
+    """Unknown n_frames must not fabricate frame 0."""
+    from environmental_stac_generator_spark.operators import multimodal as mm
+
+    media = spark.createDataFrame(
+        [
+            (1, "video", None, {"n_frames": None}),
+            (2, "video", None, {"n_frames": "25"}),
+        ],
+        "media_id long, kind string, content binary, meta map<string,string>",
+    )
+    got = {
+        (r["media_id"], r["frame_idx"])
+        for r in mm.frame_sample(media, every_n=10).collect()
+    }
+    assert got == {(2, 0), (2, 10), (2, 20)}
