@@ -201,6 +201,22 @@ def _ingest(spark, args) -> dict:
     from environmental_stac_generator_spark.sinks import stac_json
     from environmental_stac_generator_spark.sinks.jdbc_upsert import ingest_catalog
 
+    # fail fast on half-configured connections, BEFORE any Spark work:
+    # the two live branches need DIFFERENT settings (overwrite upserts
+    # exclusively through the DB-API dsn, append anti-joins + writes
+    # exclusively through the JDBC url). Conflating "no database
+    # configured" with one of the two previously made `--overwrite
+    # --dsn ...` silently dry-run (writing nothing, exit 0) and
+    # `--overwrite --jdbc-url ...` die in psycopg.connect('') on
+    # executors.
+    have_db = args.dsn if args.overwrite else args.jdbc_url
+    if not args.dry_run and not have_db and (args.dsn or args.jdbc_url):
+        raise SystemExit(
+            "ingest --overwrite writes through --dsn; the append path "
+            "writes through --jdbc-url — the one this invocation needs "
+            "is missing"
+        )
+
     tree = stac_json.load_catalog_tree(spark, args.catalog)
     collections = tree.filter(F.col("type") == "Collection").select(
         "id", F.to_json(F.struct("*")).alias("json")
@@ -208,7 +224,7 @@ def _ingest(spark, args) -> dict:
     items = tree.filter(F.col("type") == "Feature").select(
         "id", "collection", F.to_json(F.struct("*")).alias("json")
     )
-    if args.dry_run or not args.jdbc_url:
+    if args.dry_run or not have_db:
         # plan only: the counts the ingest would write (overwrite mode
         # replaces everything; append mode would anti-join against the
         # DB key scans, which need a live database)
@@ -222,7 +238,7 @@ def _ingest(spark, args) -> dict:
         spark,
         collections,
         items,
-        jdbc_url=args.jdbc_url,
+        jdbc_url=args.jdbc_url or "",
         dsn=args.dsn or "",
         overwrite=args.overwrite,
     )
@@ -318,15 +334,27 @@ def _validate(spark, args) -> dict:
 
 
 def main(argv: list[str] | None = None) -> int:
-    args = _build_parser().parse_args(argv)
+    parser = _build_parser()
+    args = parser.parse_args(argv)
+    if getattr(args, "shards", None) and not args.output:
+        # --shards is a write mode of --output; silently running the
+        # whole chain and producing neither would look like success
+        parser.error("--shards requires --output")
     from pyspark.sql import SparkSession
 
     from environmental_stac_generator_spark.session import get_spark
 
     # only stop a session this invocation created — when embedded in a
     # host application (or a test harness) getOrCreate returns the
-    # host's session, which is not ours to kill
-    owns_session = SparkSession.getActiveSession() is None
+    # host's session, which is not ours to kill. getActiveSession is
+    # THREAD-local while getOrCreate falls back to the process-GLOBAL
+    # default session, so a host session created on another thread
+    # must also count as "not ours" — otherwise the finally below
+    # stops it out from under the host.
+    owns_session = (
+        SparkSession.getActiveSession() is None
+        and getattr(SparkSession, "_instantiatedSession", None) is None
+    )
     spark = get_spark(app_name=f"envstacgen-{args.command}", master=args.master)
     try:
         if args.command == "preprocess":

@@ -36,7 +36,16 @@ def morton_sql(xq: str, yq: str) -> str:
 
 
 def quantize_sql(col: str, lo: float, hi: float, bits: int = BITS) -> str:
-    """Map [lo, hi) to integer cells [0, 2^bits)."""
+    """Map [lo, hi) to integer cells [0, 2^bits). ``bits`` is capped
+    at 8: the Morton spread masks are hard-coded 16-bit, so a wider
+    cell id would have its high bits silently destroyed — distinct
+    cells collapsing onto one z value de-clusters exactly the
+    locality Z-ORDER exists to provide."""
+    if not 1 <= bits <= BITS:
+        raise ValueError(
+            f"bits must be in [1, {BITS}] (the Morton spread masks are "
+            f"{2 * BITS}-bit), got {bits}"
+        )
     n = 1 << bits
     return (
         f"least({n - 1}, greatest(0, "

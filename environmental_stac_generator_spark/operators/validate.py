@@ -71,7 +71,13 @@ def _violations(rule: Rule) -> Column:
         bad = c.isNull() | ~c.rlike(rule.pattern)
     else:
         raise ValueError(f"no violation expression for {rule.kind}")
-    return F.sum(bad.cast("long"))
+    # coalesce: sum over ZERO rows is NULL, which would make metric
+    # and ok NULL on an empty table — the documented `.filter("NOT
+    # ok")` gate then silently PASSES an empty upstream output while
+    # all(r["ok"]) fails it. 0 violations keeps every rule's result
+    # determinate (an empty table trips row_count_min, not a
+    # tri-state).
+    return F.coalesce(F.sum(bad.cast("long")), F.lit(0))
 
 
 def validate(
@@ -88,6 +94,11 @@ def validate(
     mask that many real duplicates — the estimator cannot answer a
     question tighter than its own error bar. Over-estimates are also
     clamped so the violation count never goes negative."""
+    if not rules:
+        # inline(array()) of zero structs is an AnalysisException
+        # (empty array defaults to array<string>); an empty rule set
+        # is a caller error, not an empty report
+        raise ValueError("validate() needs at least one rule")
     _HLL_RSD = 0.01
     aggs = [F.count(F.lit(1)).alias("_n")]
     for i, r in enumerate(rules):

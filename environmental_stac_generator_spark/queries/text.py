@@ -11,7 +11,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from environmental_stac_generator_spark.functions.rounding import rnd
+from environmental_stac_generator_spark.functions.rounding import rnd, sql_rnd
 from environmental_stac_generator_spark.registry import register
 from environmental_stac_generator_spark.tables import load
 
@@ -48,6 +48,12 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STOPWORD_FRAC = (
+    "CAST(sum(CASE WHEN tok IN ("
+    + ", ".join("'" + w + "'" for w in STOPWORDS)
+    + ") THEN 1 ELSE 0 END) AS DOUBLE) / count(*)"
+)
+
 QUALITY_SQL = f"""
     WITH toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
@@ -55,19 +61,15 @@ QUALITY_SQL = f"""
     stats AS (
       SELECT doc_id,
              count(*) AS n_tokens,
-             floor((avg(length(tok))) * 10000.0 + 0.5) / 10000.0 AS avg_token_len,
-             floor((CAST(sum(CASE WHEN tok IN
-                     ({", ".join("'" + w + "'" for w in STOPWORDS)})
-                   THEN 1 ELSE 0 END) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0
+             {sql_rnd("avg(length(tok))", 4)} AS avg_token_len,
+             {sql_rnd(_STOPWORD_FRAC, 4)}
                AS stopword_ratio,
-             floor((CAST(count(DISTINCT tok) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0
+             {sql_rnd("CAST(count(DISTINCT tok) AS DOUBLE) / count(*)", 4)}
                AS distinct_ratio
       FROM toks GROUP BY doc_id
     )
     SELECT doc_id, n_tokens, avg_token_len, stopword_ratio, distinct_ratio,
-           floor((0.4 * least(n_tokens / 100.0, 1.0)
-                 + 0.3 * distinct_ratio
-                 + 0.3 * (1.0 - stopword_ratio)) * 10000.0 + 0.5) / 10000.0 AS quality
+           {sql_rnd("0.4 * least(n_tokens / 100.0, 1.0) + 0.3 * distinct_ratio + 0.3 * (1.0 - stopword_ratio)", 4)} AS quality
     FROM stats
     """
 
@@ -125,7 +127,7 @@ def with_quality(d: DataFrame) -> DataFrame:
     return stats.withColumn("quality", quality)
 
 
-_REPETITION_SQL = """
+_REPETITION_SQL = f"""
     WITH grams AS (
       SELECT doc_id,
              unnest(list_transform(range(1, len(words)),
@@ -142,10 +144,10 @@ _REPETITION_SQL = """
     )
     SELECT d.doc_id,
            CAST(COALESCE(r.n, 0) AS BIGINT) AS n_2grams,
-           floor(COALESCE(CAST(r.mx AS DOUBLE) / r.n, 0.0) * 10000.0 + 0.5)
-             / 10000.0 AS top2gram_frac,
-           floor(COALESCE(CAST(r.dup AS DOUBLE) / r.n, 0.0) * 10000.0 + 0.5)
-             / 10000.0 AS dup2gram_frac
+           {sql_rnd("COALESCE(CAST(r.mx AS DOUBLE) / r.n, 0.0)", 4)}
+             AS top2gram_frac,
+           {sql_rnd("COALESCE(CAST(r.dup AS DOUBLE) / r.n, 0.0)", 4)}
+             AS dup2gram_frac
     FROM documents d LEFT JOIN rep r ON d.doc_id = r.doc_id
     """
 
@@ -528,16 +530,27 @@ def perplexity_of(d: DataFrame, lm: DataFrame | None = None) -> DataFrame:
             .groupBy("b2")
             .agg(F.count(F.lit(1)).alias("c2"))
         )
+    # LEFT joins + coalesce-to-0: under a held-out reference LM a
+    # scored bigram's bucket may not occur in the reference corpus at
+    # all — an inner join would DROP exactly those highest-NLL
+    # (unseen) terms, making out-of-domain text score as MORE fluent,
+    # the opposite of the CCNet filter's purpose. Add-one smoothing
+    # handles the zeros: nll = ln(0 + NB_LM) - ln(0 + 1) for a fully
+    # unseen bucket. On the self-LM path the joins are total, so the
+    # coalesce never fires and values are unchanged.
     nll = (
         F.floor(
-            (F.log(F.col("c1") + NB_LM) - F.log(F.col("c2") + F.lit(1.0)))
+            (
+                F.log(F.coalesce(F.col("c1"), F.lit(0)) + NB_LM)
+                - F.log(F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1.0))
+            )
             * 1e6
             + F.lit(0.5)
         )
     ).cast("bigint")
     per_doc = (
-        g.join(F.broadcast(big), "b2")
-        .join(F.broadcast(uni), "b1")
+        g.join(F.broadcast(big), "b2", "left")
+        .join(F.broadcast(uni), "b1", "left")
         .select("doc_id", nll.alias("nll"))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("nll").alias("nll_micro"))

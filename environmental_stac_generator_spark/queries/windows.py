@@ -12,7 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from environmental_stac_generator_spark.functions.rounding import rnd
+from environmental_stac_generator_spark.functions.rounding import rnd, sql_rnd
 from environmental_stac_generator_spark.registry import register
 from environmental_stac_generator_spark.tables import load
 
@@ -160,11 +160,11 @@ def band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tumbling_window_agg",
-    """
+    f"""
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%dT%H:%M:%SZ') AS window_start,
            event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           floor((sum(value)) * 100.0 + 0.5) / 100.0 AS sum_value
+           {sql_rnd("sum(value)", 2)} AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -191,11 +191,11 @@ def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sliding_window_agg",
-    """
+    f"""
     SELECT strftime(date_trunc('day', ts) - off.o * INTERVAL 1 DAY,
                     '%Y-%m-%dT%H:%M:%SZ') AS window_start,
            CAST(count(*) AS BIGINT) AS n_events,
-           floor((sum(value)) * 100.0 + 0.5) / 100.0 AS sum_value
+           {sql_rnd("sum(value)", 2)} AS sum_value
     FROM events CROSS JOIN (SELECT unnest([0, 1]) AS o) off
     GROUP BY 1
     """,
@@ -221,7 +221,7 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "session_window_agg",
-    """
+    f"""
     WITH marked AS (
       SELECT user_id, ts, value,
              CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
@@ -241,7 +241,7 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            strftime(min(ts), '%Y-%m-%dT%H:%M:%SZ') AS session_start,
            strftime(max(ts) + INTERVAL 6 HOUR, '%Y-%m-%dT%H:%M:%SZ') AS session_end,
            CAST(count(*) AS BIGINT) AS n_events,
-           floor((sum(value)) * 100.0 + 0.5) / 100.0 AS sum_value
+           {sql_rnd("sum(value)", 2)} AS sum_value
     FROM sessions GROUP BY user_id, session_id
     """,
     doc="Session windows (6h inactivity gap) per user via Spark's "
@@ -269,13 +269,13 @@ def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "time_rollup",
-    """
+    f"""
     SELECT coalesce(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
            coalesce(event_type, 'ALL') AS event_type,
            CAST(grouping(date_trunc('day', ts)) * 2 + grouping(event_type) AS BIGINT)
              AS grouping_level,
            CAST(count(*) AS BIGINT) AS n_events,
-           floor((sum(value)) * 100.0 + 0.5) / 100.0 AS sum_value
+           {sql_rnd("sum(value)", 2)} AS sum_value
     FROM events
     GROUP BY ROLLUP (date_trunc('day', ts), event_type)
     """,
@@ -309,13 +309,13 @@ def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "event_cube",
-    """
+    f"""
     SELECT coalesce(event_type, 'ALL') AS event_type,
            coalesce(CAST(user_id % 10 AS VARCHAR), 'ALL') AS user_bucket,
            CAST(grouping(event_type) * 2 + grouping(user_id % 10) AS BIGINT)
              AS grouping_level,
            CAST(count(*) AS BIGINT) AS n_events,
-           floor((sum(value)) * 100.0 + 0.5) / 100.0 AS sum_value
+           {sql_rnd("sum(value)", 2)} AS sum_value
     FROM events
     GROUP BY CUBE (event_type, user_id % 10)
     """,

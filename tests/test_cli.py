@@ -165,3 +165,36 @@ def test_cli_validate(tmp_path, capsys):
         "--rules", str(bad),
     ])
     assert rc == 1
+
+
+def test_cli_shards_requires_output(tmp_path):
+    """--shards with no --output would run the whole chain and write
+    neither output nor shards; reject at parse time."""
+    import pytest
+
+    from environmental_stac_generator_spark.cli import main
+
+    with pytest.raises(SystemExit) as exc:
+        main(["curate", str(tmp_path / "docs.parquet"), "--shards", "4"])
+    assert exc.value.code == 2  # argparse parser.error
+
+
+def test_cli_ingest_overwrite_needs_dsn(spark, landing, tmp_path):
+    """ingest --overwrite writes through --dsn only; --jdbc-url alone
+    must fail loudly instead of dying in psycopg.connect('') on
+    executors — and --dsn without --overwrite must not silently
+    dry-run."""
+    import pytest
+
+    from environmental_stac_generator_spark.cli import main
+
+    cat = tmp_path / "nocat"
+    cat.mkdir()
+    (cat / "catalog.json").write_text('{"type": "Catalog", "id": "c", "links": []}')
+    with pytest.raises(SystemExit, match="dsn"):
+        main(
+            ["--master", "local[2]", "ingest", str(cat), "--overwrite",
+             "--jdbc-url", "jdbc:sqlite:x"]
+        )
+    with pytest.raises(SystemExit, match="jdbc-url"):
+        main(["--master", "local[2]", "ingest", str(cat), "--dsn", "x.db"])

@@ -361,3 +361,28 @@ def test_int8_quantize_matches_numpy(spark, sf_dir):
     got = {(r.vec_id, r.idx): r.q for r in int8_quantize(spark, sf_dir).collect()}
     assert got == exp and len(got) > 0
     assert all(-127 <= q <= 127 for q in got.values())
+
+
+def test_perplexity_reference_lm_scores_unseen_bigrams(spark):
+    """Held-out reference LM: a scored bigram whose hash bucket never
+    occurs in the reference must still contribute its (maximal)
+    smoothed NLL — the old inner joins dropped exactly those terms,
+    making out-of-domain text look MORE fluent."""
+    from environmental_stac_generator_spark.queries.text import perplexity_of
+
+    ref = spark.createDataFrame(
+        [(1, "aa bb aa bb aa bb")], "doc_id long, text string"
+    )
+    # in-domain doc + a doc of tokens the reference never saw
+    scored = spark.createDataFrame(
+        [(10, "aa bb aa bb"), (11, "zz qq zz qq")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in perplexity_of(scored, lm=ref).collect()}
+    # every bigram of BOTH docs is counted (3 each), none dropped
+    assert rows[10]["n_bigrams"] == 3 and rows[11]["n_bigrams"] == 3
+    # and the out-of-domain doc is LESS fluent (higher mean NLL)
+    assert (
+        rows[11]["nll_micro"] / rows[11]["n_bigrams"]
+        > rows[10]["nll_micro"] / rows[10]["n_bigrams"]
+    )

@@ -70,3 +70,31 @@ def test_validate_is_one_job_one_aggregate(spark, sf_dir):
     # one aggregate over one scan, not one per rule
     assert plan.count("Aggregate") <= 2  # partial+final at most
     assert plan.count("relation") <= 1 or plan.count("Relation") <= 1
+
+
+def test_empty_input_is_determinate(spark):
+    """sum over zero rows is NULL — without coalesce, metric/ok were
+    NULL on an empty table and `.filter('NOT ok')` silently PASSED an
+    empty upstream output. Every rule must come back with a real
+    boolean; the row-count rule is what trips."""
+    import environmental_stac_generator_spark.operators.validate as V
+
+    empty = spark.createDataFrame([], "doc_id long, source string")
+    report = V.validate(
+        empty,
+        [V.not_null("doc_id"), V.unique("doc_id"), V.row_count_min(1)],
+    ).collect()
+    by_rule = {r["rule"]: r for r in report}
+    assert all(r["ok"] is not None for r in report)
+    assert by_rule["not_null"]["ok"] is True and by_rule["not_null"]["metric"] == 0.0
+    assert by_rule["unique"]["ok"] is True
+    assert by_rule["row_count_min"]["ok"] is False
+
+
+def test_empty_rule_list_rejected(spark):
+    import pytest
+
+    import environmental_stac_generator_spark.operators.validate as V
+
+    with pytest.raises(ValueError, match="at least one rule"):
+        V.validate(spark.range(3), [])

@@ -52,3 +52,16 @@ def test_zorder_improves_range_locality(spark):
     lo, hi = df.agg(F.min("z"), F.max("z")).first()
     # a 16x16 box aligned to a z-quadrant spans exactly 256 codes
     assert hi - lo + 1 == 256
+
+
+def test_quantize_rejects_bits_beyond_mask_width():
+    """The Morton spread masks are hard-coded 16-bit; bits > 8 would
+    silently destroy high bits and collapse distinct cells onto one z
+    value — reject instead."""
+    import pytest
+
+    from environmental_stac_generator_spark.functions.zorder import quantize_sql
+
+    with pytest.raises(ValueError, match=r"\[1, 8\]"):
+        quantize_sql("x", 0.0, 1.0, bits=10)
+    assert "255" in quantize_sql("x", 0.0, 1.0, bits=8)
