@@ -37,19 +37,32 @@ def store_or_validate_config(
     only the collections the CURRENT run touches are validated: a
     shared config file holding OTHER collections' entries is not our
     business, and brand-new collections are silently allowed."""
+    from environmental_stac_generator_spark.sinks.stac_json import (
+        _atomic_write_text,
+    )
+
     p = Path(config_path)
     if not p.exists():
         p.parent.mkdir(parents=True, exist_ok=True)
-        p.write_text(json.dumps(current, sort_keys=True))
+        # atomic: a crash mid-write must not leave truncated JSON that
+        # bricks every later run at json.loads
+        _atomic_write_text(p, json.dumps(current, sort_keys=True))
         return
-    stored = json.loads(p.read_text())
+    try:
+        stored = json.loads(p.read_text())
+    except json.JSONDecodeError as exc:
+        raise ConfigMismatchError(
+            f"stored config at {p} is not valid JSON ({exc}); it was "
+            "written non-atomically by an earlier version or edited by "
+            "hand — delete or repair it to proceed"
+        ) from exc
     # collections first seen THIS run: validated never (nothing to
     # compare against), but they must be persisted now — otherwise
     # they stay absent from the file and are exempt from drift
     # detection on every future run, which defeats the guard
     new_colls = {c: v for c, v in current.items() if c not in stored}
     if new_colls:
-        p.write_text(json.dumps({**stored, **new_colls}, sort_keys=True))
+        _atomic_write_text(p, json.dumps({**stored, **new_colls}, sort_keys=True))
     # per-collection scope: ref DeepDiffs config_data[collection] only
     # when collection already exists in the stored file — so only
     # collections present on BOTH sides are compared
@@ -57,8 +70,14 @@ def store_or_validate_config(
     current = {c: v for c, v in current.items() if c in stored}
 
     def to_df(d: dict) -> DataFrame:
+        # values normalize through the SAME canonicalization the file
+        # stores (sorted-keys JSON): str(v) would compare the stored
+        # side post-JSON-round-trip against the live Python value, so
+        # an IDENTICAL config with a tuple-valued param ([0, 6] vs
+        # "(0, 6)") or a dict whose insertion order differs from the
+        # sort would raise a spurious mismatch
         rows = [
-            (coll, k, str(v))
+            (coll, k, json.dumps(v, sort_keys=True, default=str))
             for coll, params in d.items()
             for k, v in sorted(params.items())
         ]

@@ -88,12 +88,19 @@ class CurationResult:
 
 def _exact_dedup(docs: DataFrame) -> DataFrame:
     # min-doc_id survivor per content hash: one shuffle on the hash.
+    # NULL-text rows pass through untouched — md5(NULL) is NULL for
+    # every such row, so deduping them would collapse N distinct
+    # null-text documents into one survivor (they are missing data,
+    # not duplicates of each other).
+    nulls = docs.filter(F.col("text").isNull())
     w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
-    return (
-        docs.withColumn("_rn", F.row_number().over(w))
+    deduped = (
+        docs.filter(F.col("text").isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+    return deduped.unionByName(nulls)
 
 
 def _near_dedup(
@@ -147,18 +154,11 @@ def _near_dedup(
 
 
 def _decontaminate(docs: DataFrame, probes: DataFrame) -> DataFrame:
-    from environmental_stac_generator_spark.queries.dedup import _SPARK_SHINGLES
+    from environmental_stac_generator_spark.queries.dedup import shingles_of
 
-    def shingles(d: DataFrame) -> DataFrame:
-        return (
-            d.withColumn("words", F.split("text", " "))
-            .filter(F.size("words") >= 3)
-            .select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle"))
-        )
-
-    probe_sh = shingles(probes).select("shingle").distinct()
+    probe_sh = shingles_of(probes).select("shingle").distinct()
     contaminated = (
-        shingles(docs)
+        shingles_of(docs)
         .join(F.broadcast(probe_sh), "shingle")
         .select("doc_id")
         .distinct()
@@ -202,19 +202,13 @@ def _semantic_dedup(
 
 
 def _redact(docs: DataFrame) -> DataFrame:
-    from environmental_stac_generator_spark.queries.text import (
-        ENTITY_PATTERN,
-        PII_PATTERN,
-    )
+    from environmental_stac_generator_spark.queries.text import redacted_text_col
 
     # row-local regex rewrite — a map stage; downstream stages (and
-    # the packed sequences) see only redacted text
-    red = F.regexp_replace(
-        F.regexp_replace("text", PII_PATTERN, "<PII>"),
-        F.lit(ENTITY_PATTERN),
-        F.lit("<ENT>"),
-    )
-    return docs.withColumn("text", red)
+    # the packed sequences) see only redacted text. The SAME shared
+    # expression with_pii fingerprints, so redacted_fp always matches
+    # the text this stage actually produces.
+    return docs.withColumn("text", redacted_text_col("text"))
 
 
 def _stratified(docs: DataFrame, rates: dict[str, int], default: int) -> DataFrame:
@@ -275,7 +269,7 @@ def _budget_select(
     bounds = [(1.0 - i / n, -1) for i in range(1, n)]
     ranked = global_running_sum(
         docs, order, "n_tokens", out_col="_cum", boundaries=bounds,
-        input_rows=input_rows,
+        input_rows=input_rows, materialize_input=True,
     )
     return ranked.filter(F.col("_cum") <= budget).drop("_cum")
 
@@ -287,9 +281,14 @@ def _pack(
         global_running_sum,
     )
 
+    # materialize_input, like the registered twins: on the bucketed
+    # path the input is consumed by the totals job, the window pass,
+    # and (here, with no static boundaries) the boundary-sampling
+    # scan — an unstaged with_quality upstream would otherwise
+    # re-tokenize the corpus per pass
     placed = global_running_sum(
         docs, [(F.col("doc_id"), True)], "n_tokens", out_col="_cum",
-        input_rows=input_rows,
+        input_rows=input_rows, materialize_input=True,
     ).withColumn("_start", F.col("_cum") - F.col("n_tokens"))
     return (
         placed.groupBy(
@@ -347,7 +346,16 @@ def curate(
             ),
             "near_dedup",
         )
-    if cfg.semantic_cosine is not None and embeddings is not None:
+    if cfg.semantic_cosine is not None:
+        if embeddings is None:
+            # a REQUESTED filter silently not applied is the worst
+            # failure mode of a curation config — same posture as the
+            # dedup_keep validation
+            raise ValueError(
+                "semantic_cosine is set but no embeddings frame was "
+                "given; pass embeddings=(doc_id, embedding) or unset "
+                "semantic_cosine"
+            )
         cur = staged(
             _semantic_dedup(
                 cur, embeddings, cfg.semantic_cosine,

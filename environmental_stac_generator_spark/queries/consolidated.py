@@ -163,7 +163,7 @@ def build(full: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
 
     keep = lambda n: (n, full[n])  # noqa: E731
 
-    reg: dict[str, QuerySpec] = dict(
+    entries: list[tuple[str, QuerySpec]] = (
         [
             # ---- aggregates / arrays (A1-A8, N1-N6) ----------------
             keep("q1_pricing_summary"),
@@ -623,6 +623,14 @@ def build(full: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
             ),
         ]
     )
-    assert len(reg) <= 50, f"driver window exceeded: {len(reg)}"
+    # dict() keeps only the LAST value for a repeated key: a reused
+    # entry name would silently shadow a query out of the driver
+    # window while a <=50 length check still passed — assert
+    # uniqueness and the exact documented count (42 SQL + 8 rows-only)
+    names = [n for n, _ in entries]
+    dupes = {n for n in names if names.count(n) > 1}
+    assert not dupes, f"duplicate driver entry names: {sorted(dupes)}"
+    reg: dict[str, QuerySpec] = dict(entries)
+    assert len(reg) == 50, f"driver window must hold exactly 50: {len(reg)}"
     _CACHE, _CACHE_FOR = reg, full  # only a SUCCESSFUL build caches
     return reg

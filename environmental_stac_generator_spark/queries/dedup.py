@@ -38,15 +38,21 @@ _DUCK_SHINGLES = (
 )
 
 
-def _spark_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id + exploded distinct 3-gram shingles."""
-    d = load(spark, sf_dir, "documents")
+def shingles_of(d: DataFrame) -> DataFrame:
+    """(doc_id, shingle) exploded word 3-grams of a (doc_id, text)
+    frame — the ONE shingle projection (decontamination and the
+    Jaccard probes both consume it; previously re-implemented
+    locally in three places)."""
     return (
         d.withColumn("words", F.split("text", " "))
         .filter(F.size("words") >= 3)
         .select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle"))
-        .distinct()
     )
+
+
+def _spark_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id + exploded distinct 3-gram shingles."""
+    return shingles_of(load(spark, sf_dir, "documents")).distinct()
 
 
 _DUCK_SHINGLED = f"""

@@ -9,7 +9,7 @@ Python, no shuffle except the final small aggregations.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 
 from environmental_stac_generator_spark.functions.rounding import rnd, sql_rnd
 from environmental_stac_generator_spark.registry import register
@@ -300,17 +300,27 @@ _PII_SQL = f"""
     """
 
 
+def redacted_text_col(col: str = "text") -> Column:
+    """THE redaction expression — matches replaced by <PII>/<ENT>
+    tags. One definition shared by the fingerprinting scan
+    (:func:`with_pii`) and the curate chain's rewrite stage
+    (``plans.curation_pipeline._redact``), so the invariant "the
+    redacted fingerprint matches the text the chain actually
+    produces" cannot drift between two copies."""
+    return F.regexp_replace(
+        F.regexp_replace(col, PII_PATTERN, "<PII>"),
+        F.lit(ENTITY_PATTERN),
+        F.lit("<ENT>"),
+    )
+
+
 def with_pii(d: DataFrame) -> DataFrame:
     """Append (n_pii, n_entities, redacted_fp) to a frame with a
     ``text`` column. Row-local regex counting + redaction — codegen'd
     string ops, no shuffle; the redacted fingerprint pins the exact
     post-redaction content so a downstream writer can verify the
     redaction actually happened."""
-    redacted = F.regexp_replace(
-        F.regexp_replace("text", PII_PATTERN, "<PII>"),
-        F.lit(ENTITY_PATTERN),
-        F.lit("<ENT>"),
-    )
+    redacted = redacted_text_col("text")
     return d.select(
         *d.columns,
         F.regexp_count("text", F.lit(PII_PATTERN)).cast("long").alias("n_pii"),

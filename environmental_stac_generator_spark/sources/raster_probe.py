@@ -208,7 +208,10 @@ def probe_bytes(path: str, data: bytes) -> dict:
                 code = meta["dtype"]
                 kind = {"f": "float", "i": "int", "u": "uint"}.get(code[1], code[1])
                 bits = int(code[2:]) * 8
-                dtype, order = f"{kind}{bits}", "little" if code[0] == "<" else "big"
+                # '<' little, '>' big, '|' = not applicable (1-byte):
+                # the old `little if '<' else big` mislabeled '|u1'
+                dtype = f"{kind}{bits}"
+                order = {"<": "little", ">": "big"}.get(code[0])
             else:  # Zarr v3 zarr.json: named dtype (NOT a hidden file,
                 # so distributed listings see it — v2's .zarray is
                 # filtered out by Hadoop's hidden-file rule and is only
@@ -223,7 +226,11 @@ def probe_bytes(path: str, data: bytes) -> dict:
                 "byte_order": order,
                 "band_count": 1,
             }
-        except (ValueError, KeyError, IndexError):
+        except (ValueError, KeyError, IndexError, TypeError):
+            # TypeError included: a structured dtype (list-valued
+            # "dtype") or a non-string value makes the subscripts /
+            # dict lookup raise TypeError — one odd sidecar must fall
+            # through to "unknown", not abort the whole probe scan
             pass
     if data[:3] == b"CDF" or data[:8] == b"\x89HDF\r\n\x1a\n":
         out = {
@@ -242,8 +249,18 @@ def probe_bytes(path: str, data: bytes) -> dict:
             first = next(iter(ds.data_vars), None)
             if first is not None:
                 dt = ds[first].dtype
+                import sys
+
+                # derive endianness from the dtype itself — classic
+                # CDF is big-endian on disk, so hardcoding "little"
+                # produced self-contradictory metadata ('>f4'+little)
+                order = {
+                    "<": "little",
+                    ">": "big",
+                    "=": sys.byteorder,
+                }.get(dt.byteorder)
                 out.update(
-                    dtype=str(dt), bit_depth=dt.itemsize * 8, byte_order="little"
+                    dtype=str(dt), bit_depth=dt.itemsize * 8, byte_order=order
                 )
         except Exception:
             pass
@@ -266,23 +283,44 @@ def probe_bytes(path: str, data: bytes) -> dict:
     }
 
 
-def probe_assets(spark: SparkSession, root: str, glob: str = "*") -> DataFrame:
-    """Distributed F12: binaryFile scan over the asset tree -> one
-    probe row per file. Column pruning keeps this cheap relative to
-    the data — executors parse headers of bytes already local."""
+# Leading-bytes budget per probed file: covers every header this
+# module parses (TIFF IFD chains of our COGs sit well inside it, Zarr
+# sidecars are KBs, NetCDF/HDF metadata is front-loaded) while keeping
+# the per-file read bounded no matter how large the asset is.
+PROBE_HEADER_BYTES = 16 * 1024 * 1024
+
+
+def probe_assets(
+    spark: SparkSession,
+    root: str,
+    glob: str = "*",
+    header_bytes: int = PROBE_HEADER_BYTES,
+) -> DataFrame:
+    """Distributed F12: one probe row per file in the asset tree.
+
+    The listing is CONTENT-PRUNED (path + length only — binaryFile
+    never materializes file bytes) and the kernel opens each path
+    itself, reading at most ``header_bytes`` leading bytes: a header
+    parse must not ship whole rasters through Arrow, and binaryFile's
+    whole-file read has a hard 2 GB cap that a single large NetCDF
+    would trip, aborting the scan. Reading a bounded slice makes the
+    probe O(files), not O(bytes), at any asset size."""
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
         .option("recursiveFileLookup", "true")
         .load(root)
-        .select("path", "length", "content")
+        .select("path", "length")
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                info = probe_bytes(r["path"], bytes(r["content"]))
+                local = r["path"].removeprefix("file:")
+                with open(local, "rb") as fh:
+                    head = fh.read(header_bytes)
+                info = probe_bytes(r["path"], head)
                 rows.append({"path": r["path"], "length": r["length"], **info})
             yield pd.DataFrame(
                 rows,

@@ -76,3 +76,34 @@ def test_shared_collection_drift_still_raises(spark, tmp_path):
 def test_config_diff_empty_when_equal(spark):
     df = spark.createDataFrame([("c", "f", "1days")], "collection string, param string, value string")
     assert config_diff(df, df).count() == 0
+
+
+def test_identical_config_with_tuple_and_nested_dict_values(spark, tmp_path):
+    """Values compare through the same sorted-keys JSON the file
+    stores: an IDENTICAL re-run with a tuple-valued param (stored as
+    a JSON list) or a dict whose insertion order differs must NOT
+    raise a spurious mismatch."""
+    from environmental_stac_generator_spark.plans.config_guard import (
+        store_or_validate_config,
+    )
+
+    p = tmp_path / "config.json"
+    cfg = {"c": {"leadtimes": (0, 6), "opts": {"b": 1, "a": 2}}}
+    store_or_validate_config(spark, p, cfg)
+    # same content, tuple still a tuple, dict keys in different order
+    again = {"c": {"leadtimes": (0, 6), "opts": {"a": 2, "b": 1}}}
+    store_or_validate_config(spark, p, again)  # must not raise
+
+
+def test_corrupt_config_file_raises_clear_error(spark, tmp_path):
+    import pytest
+
+    from environmental_stac_generator_spark.plans.config_guard import (
+        ConfigMismatchError,
+        store_or_validate_config,
+    )
+
+    p = tmp_path / "config.json"
+    p.write_text('{"truncat')  # crash mid-write remnant
+    with pytest.raises(ConfigMismatchError, match="not valid JSON"):
+        store_or_validate_config(spark, p, {"c": {"f": "1days"}})

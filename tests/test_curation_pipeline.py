@@ -200,3 +200,54 @@ def test_curate_dedup_keep_best_quality(spark, tmp_path):
     best = curate(df, config=CurationConfig(dedup_keep="best_quality"))
     assert {r.doc_id for r in best.selected.collect()} == {2, 3}
     assert best.stats["near_dedup"] == 2
+
+
+def test_exact_dedup_passes_null_text_through(spark):
+    """N distinct null-text docs share md5(NULL)=NULL — they are
+    missing data, not duplicates; all must survive exact dedup."""
+    from environmental_stac_generator_spark.plans.curation_pipeline import (
+        _exact_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "same", "s"), (2, "same", "s"), (3, None, "s"), (4, None, "s")],
+        "doc_id long, text string, source string",
+    )
+    got = sorted(r["doc_id"] for r in _exact_dedup(docs).collect())
+    assert got == [1, 3, 4]
+
+
+def test_semantic_cosine_without_embeddings_rejected(spark):
+    """A requested filter silently not applied is a config error."""
+    import pytest
+
+    from environmental_stac_generator_spark.plans.curation_pipeline import (
+        CurationConfig,
+        curate,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "s")], "doc_id long, text string, source string"
+    )
+    with pytest.raises(ValueError, match="embeddings"):
+        curate(docs, config=CurationConfig(semantic_cosine=0.9))
+
+
+def test_redact_matches_with_pii_fingerprint(spark):
+    """The chain's redaction and with_pii's fingerprint share ONE
+    expression: md5 of the redacted text equals redacted_fp."""
+    import pyspark.sql.functions as F
+
+    from environmental_stac_generator_spark.plans.curation_pipeline import _redact
+    from environmental_stac_generator_spark.queries.text import with_pii
+
+    docs = spark.createDataFrame(
+        [(1, "mail me at a@b.com from 10.0.0.1", "s")],
+        "doc_id long, text string, source string",
+    )
+    fp = with_pii(docs).select("doc_id", "redacted_fp")
+    red = _redact(docs).select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("h")
+    )
+    row = fp.join(red, "doc_id").first()
+    assert row["redacted_fp"] == row["h"]
