@@ -188,6 +188,15 @@ class EnvStacEngine:
                 self._track(nc_results).count()
             results["cog_results"] = cog_results
             results["netcdf_results"] = nc_results
+        # adopt any module-tracked pair-bucket pins this process() run
+        # created into the engine's own release lifecycle: the module
+        # registry is per-thread, so without the adoption a release()
+        # called from another thread could never free them
+        from environmental_stac_generator_spark.operators.lineage import (
+            drain_tracked,
+        )
+
+        self._persisted.extend(drain_tracked())
         return results
 
     def _track(self, df: DataFrame) -> DataFrame:

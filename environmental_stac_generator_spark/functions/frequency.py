@@ -35,13 +35,25 @@ def parse_forecast_frequency(freq: str) -> tuple[float, str]:
 
 
 def freq_value(col: Column | str) -> Column:
+    """try_cast, not cast: regexp_extract yields '' for a
+    non-matching string, and under Spark 4's default ANSI mode
+    cast('' AS DOUBLE) aborts the whole job — the column form of a
+    parser must yield NULL per bad row, the relational analog of
+    :class:`FrequencyParseError`."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_extract(c, FREQ_PATTERN, 1).cast("double")
+    return F.regexp_extract(c, FREQ_PATTERN, 1).try_cast("double")
 
 
 def freq_unit(col: Column | str) -> Column:
+    """Pluralized like :func:`parse_forecast_frequency` ('1hour' ->
+    'hours'), so the column form's output is always a unit
+    :func:`leadtime_offset` accepts — the two forms this module
+    presents as equivalent must agree on singular-unit strings."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_extract(c, FREQ_PATTERN, 2)
+    u = F.regexp_extract(c, FREQ_PATTERN, 2)
+    return F.when(u == "", u).when(u.endswith("s"), u).otherwise(
+        F.concat(u, F.lit("s"))
+    )
 
 
 def leadtime_offset(ts: Column | str, unit: str, value: Column | float) -> Column:
@@ -71,10 +83,20 @@ def leadtime_offset(ts: Column | str, unit: str, value: Column | float) -> Colum
             F.unix_micros(t) + (v * per_unit * 1_000_000.0).cast("long")
         )
     n_months = 12 if unit == "years" else 1
-    checked = F.when(v == F.floor(v), (v * n_months).cast("int")).otherwise(
-        F.raise_error(
-            F.concat(F.lit(f"Non-integer {unit} are ambiguous: "), v.cast("string"))
-        ).cast("int")
+    # NULL propagates (a null offset -> null timestamp), matching the
+    # hours/days/weeks branch — without the explicit branch, v ==
+    # floor(v) is NULL, when() falls through, and raise_error aborts
+    # the job on a sparse leadtime column for these units only
+    checked = (
+        F.when(v.isNull(), F.lit(None).cast("int"))
+        .when(v == F.floor(v), (v * n_months).cast("int"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"Non-integer {unit} are ambiguous: "), v.cast("string")
+                )
+            ).cast("int")
+        )
     )
     # timestamp + month interval clamps to month end AND preserves
     # time-of-day (add_months would truncate to a date)

@@ -56,6 +56,20 @@ def release_tracked() -> None:
         lst.pop().unpersist()
 
 
+def drain_tracked() -> list[DataFrame]:
+    """Hand the CURRENT thread's tracked pins to the caller WITHOUT
+    unpersisting, clearing the registry. For owners with their own
+    release lifecycle (EnvStacEngine adopts the pins its process()
+    created into ``_persisted``): unpersist() is thread-safe, so the
+    adopting owner may release them from ANY thread later — which the
+    thread-local registry alone cannot offer (engine.release() on the
+    main thread could never see pins created by a process() run on a
+    worker thread)."""
+    lst = _tracked_list()
+    out, lst[:] = list(lst), []
+    return out
+
+
 def cut_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
     """``eager=False`` defers materialization to the first action over
     the returned frame — use it when the very next step is itself an

@@ -13,8 +13,9 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from environmental_stac_generator_spark.functions import zorder
 from environmental_stac_generator_spark.functions.geo import ensure_utc, reproject_bbox
-from environmental_stac_generator_spark.functions.rounding import rnd
+from environmental_stac_generator_spark.functions.rounding import rnd, sql_rnd
 from environmental_stac_generator_spark.registry import register
 from environmental_stac_generator_spark.tables import load
 
@@ -72,25 +73,22 @@ def ensure_utc_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "zorder_spatial",
-    """
+    # the oracle is GENERATED from the same quantize/morton helpers
+    # the Spark side uses (functions/zorder.py exists precisely
+    # because its SQL is identical in both engines): a hand-copied
+    # bit ladder had already drifted textually and would silently
+    # keep validating the old ladder after any BITS/mask change
+    f"""
     WITH q AS (
-      SELECT least(255, greatest(0, CAST(floor((value - 0.0) / (500.0 / 256)) AS BIGINT))) AS xq,
-             least(255, greatest(0, CAST(floor((CAST(user_id AS DOUBLE) - 0.0) / (256.0 / 256)) AS BIGINT))) AS yq,
+      SELECT {zorder.quantize_sql("value", 0.0, 500.0)} AS xq,
+             {zorder.quantize_sql("CAST(user_id AS DOUBLE)", 0.0, 256.0)} AS yq,
              value
       FROM events
-    ),
-    sx AS (
-      SELECT value,
-             (((((xq | (xq << 4)) & 3855) | (((xq | (xq << 4)) & 3855) << 2)) & 13107)
-              | ((((((xq | (xq << 4)) & 3855) | (((xq | (xq << 4)) & 3855) << 2)) & 13107)) << 1)) & 21845 AS sxq,
-             (((((yq | (yq << 4)) & 3855) | (((yq | (yq << 4)) & 3855) << 2)) & 13107)
-              | ((((((yq | (yq << 4)) & 3855) | (((yq | (yq << 4)) & 3855) << 2)) & 13107)) << 1)) & 21845 AS syq
-      FROM q
     )
-    SELECT CAST((sxq | (syq << 1)) >> 10 AS BIGINT) AS z_bucket,
+    SELECT CAST({zorder.morton_sql("xq", "yq")} >> 10 AS BIGINT) AS z_bucket,
            CAST(count(*) AS BIGINT) AS n_rows,
-           floor((avg(value)) * 10000.0 + 0.5) / 10000.0 AS avg_value
-    FROM sx
+           {sql_rnd("avg(value)", 4)} AS avg_value
+    FROM q
     GROUP BY 1
     """,
     doc="Z-order spatial index: Morton interleave of quantized "

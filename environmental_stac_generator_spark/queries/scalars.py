@@ -10,12 +10,14 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from environmental_stac_generator_spark.functions.frequency import (
+    FREQ_PATTERN,
+    freq_unit,
+    freq_value,
+)
 from environmental_stac_generator_spark.functions.rounding import rnd
 from environmental_stac_generator_spark.registry import register
 from environmental_stac_generator_spark.tables import load
-
-# F1: regex from ref utils.py:122-158 (parse_forecast_frequency).
-FREQ_PATTERN = r"^\s*([0-9]*\.?[0-9]+)\s*(hours?|days?|weeks?|months?|years?)\s*$"
 
 
 @register(
@@ -29,10 +31,11 @@ FREQ_PATTERN = r"^\s*([0-9]*\.?[0-9]+)\s*(hours?|days?|weeks?|months?|years?)\s*
       FROM lineitem
     )
     SELECT freq,
-           CAST(regexp_extract(freq, '{FREQ_PATTERN}', 1) AS DOUBLE) AS freq_value,
-           regexp_extract(freq, '{FREQ_PATTERN}', 2) AS freq_unit,
+           TRY_CAST(regexp_extract(freq, '{FREQ_PATTERN}', 1) AS DOUBLE) AS freq_value,
+           CASE WHEN u = '' OR u LIKE '%s' THEN u ELSE u || 's' END AS freq_unit,
            count(*) AS n
-    FROM src GROUP BY 1, 2, 3
+    FROM (SELECT freq, regexp_extract(freq, '{FREQ_PATTERN}', 2) AS u FROM src)
+    GROUP BY 1, 2, 3
     """,
     doc="F1 parse_forecast_frequency: regex '<float><unit>' split "
     "(ref utils.py:122-158).",
@@ -57,8 +60,10 @@ def freq_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
             "freq",
-            F.regexp_extract("freq", FREQ_PATTERN, 1).cast("double").alias("freq_value"),
-            F.regexp_extract("freq", FREQ_PATTERN, 2).alias("freq_unit"),
+            # the SHARED column parsers (functions.frequency): ANSI-safe
+            # try_cast and parse_forecast_frequency's pluralization
+            freq_value("freq").alias("freq_value"),
+            freq_unit("freq").alias("freq_unit"),
             "n",
         )
     )
@@ -134,15 +139,31 @@ def unit_rescale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "interval_arith",
-    """
+DATETIME_SCALARS_SQL = """
     SELECT o_orderkey,
            strftime(o_orderdate + to_days(CAST(o_orderkey % 93 AS INT)),
                     '%Y-%m-%d %H:%M') AS valid_time,
            strftime(o_orderdate + to_months(CAST(o_custkey % 12 AS INT)),
-                    '%Y-%m-%d') AS end_month
+                    '%Y-%m-%d') AS end_month,
+           strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ')  AS iso_str,
+           strftime(o_orderdate, '%Y-%m-%d_%H:%M')      AS underscore_str,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M')      AS space_str,
+           strftime(o_orderdate, '%Y-%m-%dT%H-%M-%SZ')  AS fname_str,
+           strftime(o_orderdate, '%Y-%m-%d')            AS date_str,
+           'forecast_init_' || strftime(o_orderdate, '%Y-%m-%dT%H-%M-%SZ') AS item_id,
+           'forecast_init_' || strftime(o_orderdate, '%Y-%m-%dT%H-%M-%SZ')
+             || '_lead_' || CAST(o_orderkey % 93 AS VARCHAR) AS asset_id,
+           o_orderpriority || '/' || strftime(o_orderdate, '%Y-%m-%d') || '/'
+             || CAST(o_orderkey AS VARCHAR) || '.tif' AS cog_path
     FROM orders
+    """
+
+
+@register(
+    "interval_arith",
+    f"""
+    SELECT o_orderkey, valid_time, end_month
+    FROM ({DATETIME_SCALARS_SQL})
     """,
     doc="F2 leadtime datetime arithmetic: calendar-aware day and "
     "month steps (relativedelta semantics, ref stac/generator.py:680-682, "
@@ -157,14 +178,9 @@ def interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "date_formats",
-    """
-    SELECT o_orderkey,
-           strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ')  AS iso_str,
-           strftime(o_orderdate, '%Y-%m-%d_%H:%M')      AS underscore_str,
-           strftime(o_orderdate, '%Y-%m-%d %H:%M')      AS space_str,
-           strftime(o_orderdate, '%Y-%m-%dT%H-%M-%SZ')  AS fname_str,
-           strftime(o_orderdate, '%Y-%m-%d')            AS date_str
-    FROM orders
+    f"""
+    SELECT o_orderkey, iso_str, underscore_str, space_str, fname_str, date_str
+    FROM ({DATETIME_SCALARS_SQL})
     """,
     doc="F3 the reference's 4 datetime string formats + date part "
     "(ref utils.py:190-210, stac/generator.py:671-678,865-868).",
@@ -179,8 +195,8 @@ def date_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "title_string",
     """
     SELECT r_regionkey,
-           upper(substr(lower(r_name), 1, 1)) ||
-             replace(replace(substr(lower(r_name), 2), '_', ' '), '-', ' ') ||
+           replace(replace(upper(substr(lower(r_name), 1, 1)) ||
+             substr(lower(r_name), 2), '_', ' '), '-', ' ') ||
              ' collection' AS title
     FROM region
     """,
@@ -190,24 +206,22 @@ def date_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def title_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, sf_dir, "region")
     low = F.lower(F.col("r_name"))
-    title = F.concat(
-        F.upper(F.substring(low, 1, 1)),
-        F.translate(F.expr("substr(lower(r_name), 2)"), "_-", "  "),
-        F.lit(" collection"),
+    # translate runs over the WHOLE capitalized string: capitalize()
+    # leaves a leading '_' untouched and the reference's replace()
+    # afterwards turns it into a space (same fix as
+    # plans.stac_catalog.title_case)
+    capitalized = F.concat(
+        F.upper(F.substring(low, 1, 1)), F.substring(low, 2, 1 << 30)
     )
+    title = F.concat(F.translate(capitalized, "_-", "  "), F.lit(" collection"))
     return r.select("r_regionkey", title.alias("title"))
 
 
 @register(
     "id_templating",
-    """
-    SELECT o_orderkey,
-           'forecast_init_' || strftime(o_orderdate, '%Y-%m-%dT%H-%M-%SZ') AS item_id,
-           'forecast_init_' || strftime(o_orderdate, '%Y-%m-%dT%H-%M-%SZ')
-             || '_lead_' || CAST(o_orderkey % 93 AS VARCHAR) AS asset_id,
-           o_orderpriority || '/' || strftime(o_orderdate, '%Y-%m-%d') || '/'
-             || CAST(o_orderkey AS VARCHAR) || '.tif' AS cog_path
-    FROM orders
+    f"""
+    SELECT o_orderkey, item_id, asset_id, cog_path
+    FROM ({DATETIME_SCALARS_SQL})
     """,
     doc="F7 item/file id templating: forecast_init_<ts>, _lead_<ts>, "
     "{collection}/{date}/{id}.tif (ref stac/generator.py:695,871-875,689-701).",
@@ -343,24 +357,6 @@ def floor_2dp(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver correctness row without extra scans or joins on the Spark
 # side (the oracle joins the three sub-selects on o_orderkey, which
 # is fine — the oracle never needs to scale).
-DATETIME_SCALARS_SQL = """
-    SELECT o_orderkey,
-           strftime(o_orderdate + to_days(CAST(o_orderkey % 93 AS INT)),
-                    '%Y-%m-%d %H:%M') AS valid_time,
-           strftime(o_orderdate + to_months(CAST(o_custkey % 12 AS INT)),
-                    '%Y-%m-%d') AS end_month,
-           strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ')  AS iso_str,
-           strftime(o_orderdate, '%Y-%m-%d_%H:%M')      AS underscore_str,
-           strftime(o_orderdate, '%Y-%m-%d %H:%M')      AS space_str,
-           strftime(o_orderdate, '%Y-%m-%dT%H-%M-%SZ')  AS fname_str,
-           strftime(o_orderdate, '%Y-%m-%d')            AS date_str,
-           'forecast_init_' || strftime(o_orderdate, '%Y-%m-%dT%H-%M-%SZ') AS item_id,
-           'forecast_init_' || strftime(o_orderdate, '%Y-%m-%dT%H-%M-%SZ')
-             || '_lead_' || CAST(o_orderkey % 93 AS VARCHAR) AS asset_id,
-           o_orderpriority || '/' || strftime(o_orderdate, '%Y-%m-%d') || '/'
-             || CAST(o_orderkey AS VARCHAR) || '.tif' AS cog_path
-    FROM orders
-    """
 
 
 def datetime_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -403,8 +399,9 @@ def datetime_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_attr_filter",
     """
     SELECT event_type,
-           CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS k_total,
-           count(json_extract(props, '$.k')) AS n_valid
+           CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+             AS k_total,
+           count(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS n_valid
     FROM events GROUP BY event_type
     """,
     doc="P6 JSON-serializability filter + attr extraction: keep only "
@@ -412,7 +409,10 @@ def datetime_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def json_attr_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    # try_cast: an unparseable attr value must be FILTERED (NULL), as
+    # the doc promises — under default ANSI mode a plain cast aborts
+    # the whole job on one malformed row
+    k = F.get_json_object("props", "$.k").try_cast("int")
     return ev.groupBy("event_type").agg(
         F.sum(k).alias("k_total"), F.count(k).alias("n_valid")
     )
@@ -522,8 +522,9 @@ def config_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor((avg(CAST(json_extract_string(props, '$.k') AS INT))) * 10000.0 + 0.5)
              / 10000.0 AS avg_k,
            max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
-           CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS k_total,
-           count(json_extract(props, '$.k')) AS n_valid
+           CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+             AS k_total,
+           count(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS n_valid
     FROM events GROUP BY event_type
     """,
     doc="P6 semi-structured analog: parse the events.props JSON map "

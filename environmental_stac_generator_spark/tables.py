@@ -24,10 +24,6 @@ TABLE_NAMES = (
     "embeddings",
 )
 
-# Small dimensions worth a broadcast hint when joined against facts.
-SMALL_TABLES = {"region", "nation", "supplier", "customer", "part"}
-
-
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
@@ -55,9 +51,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, T.LongType):
-            # integer division: epoch nanos (~1.7e18) exceed double's
-            # 2^53 exact range, so `/ 1000` in double loses microseconds
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            # integer FLOOR division: epoch nanos (~1.7e18) exceed
+            # double's 2^53 exact range (so no `/ 1000.0`), and `div`
+            # alone truncates toward zero — a pre-epoch nanosecond
+            # like -999 would round FORWARD to 0 µs while the oracle's
+            # TIMESTAMP_NS floors, a whole-second render mismatch on
+            # every negative sub-microsecond boundary
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000")),
+            )
         elif not isinstance(ts_type, T.TimestampType):
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df

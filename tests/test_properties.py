@@ -803,3 +803,51 @@ def test_oracle_kmeans_stays_on_bit_exact_kernels():
     )
 
     assert K_CLUSTERS <= K_LITERAL_MAX
+
+
+def test_freq_column_forms_are_ansi_safe_and_pluralized(spark):
+    """The column parsers must behave like parse_forecast_frequency:
+    NULL (not a job-killing ANSI cast error) for garbage, pluralized
+    units for singular inputs — so per-row results always feed
+    leadtime_offset."""
+    from environmental_stac_generator_spark.functions.frequency import (
+        freq_unit,
+        freq_value,
+    )
+
+    df = spark.createDataFrame(
+        [("1hour",), ("2.5days",), ("5fortnights",), ("",)], "freq string"
+    )
+    rows = {
+        r["freq"]: (r["v"], r["u"])
+        for r in df.select(
+            "freq", freq_value("freq").alias("v"), freq_unit("freq").alias("u")
+        ).collect()
+    }
+    assert rows["1hour"] == (1.0, "hours")
+    assert rows["2.5days"] == (2.5, "days")
+    assert rows["5fortnights"] == (None, "")
+    assert rows[""] == (None, "")
+
+
+def test_leadtime_offset_null_value_propagates_for_every_unit(spark):
+    """A NULL offset must yield a NULL timestamp for months/years
+    exactly as it does for hours — not fire raise_error."""
+    import datetime as dt
+
+    from environmental_stac_generator_spark.functions.frequency import (
+        leadtime_offset,
+    )
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2025, 1, 31, 6, 0), None)], "ts timestamp, v double"
+    )
+    import pyspark.sql.functions as F
+
+    row = df.select(
+        *[
+            leadtime_offset("ts", u, F.col("v")).alias(u)
+            for u in ("hours", "days", "weeks", "months", "years")
+        ]
+    ).first()
+    assert all(row[u] is None for u in ("hours", "days", "weeks", "months", "years"))
