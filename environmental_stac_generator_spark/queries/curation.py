@@ -132,14 +132,10 @@ N_PROBE_DOCS = 5  # doc_id < 5 stands in for the eval set
     "The id-sum column pins the exact surviving set.",
 )
 def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from environmental_stac_generator_spark.queries.dedup import _SPARK_SHINGLES
+    from environmental_stac_generator_spark.queries.dedup import shingles_of
 
     d = load(spark, sf_dir, "documents")
-    shingled = (
-        d.withColumn("words", F.split("text", " "))
-        .filter(F.size("words") >= 3)
-        .select("doc_id", F.explode(F.expr(_SPARK_SHINGLES)).alias("shingle"))
-    )
+    shingled = shingles_of(d)
     probe = (
         shingled.filter(F.col("doc_id") < N_PROBE_DOCS).select("shingle").distinct()
     )

@@ -17,7 +17,7 @@ Scale notes (100 TB corpus):
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
 from environmental_stac_generator_spark.functions.rounding import rnd
 from environmental_stac_generator_spark.registry import register
@@ -383,7 +383,17 @@ def incremental_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the O(n²) pairwise scan.",
 )
 def ngram_jaccard_vs_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _spark_shingled(spark, sf_dir)
+    from environmental_stac_generator_spark.operators.lineage import (
+        persist_tracked,
+    )
+
+    # pin the multi-consumed shingle relation: doc_n (unfiltered) and
+    # inter (doc_id != 0) push DIFFERENT filters below the distinct
+    # aggregate, so no exchange reuse applies and the corpus
+    # tokenize+explode+distinct — the dominant cost — would execute
+    # twice; tracked-persist (releasable, same pattern as
+    # bucket_pairs) runs it once
+    sh = persist_tracked(_spark_shingled(spark, sf_dir))
     probe = sh.filter(F.col("doc_id") == 0).select("shingle")
     # the probe size joins in as a broadcast 1-row aggregate (the SQL
     # scalar subquery's plan shape) — no eager .count() job at build
@@ -649,7 +659,22 @@ def _components_label(
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+
+    def _label_fp(lb: DataFrame):
+        # overflow-proof convergence fingerprint: bit_xor over the
+        # (node, label) hashes plus the count — order-free, exact at
+        # any row count and id magnitude. A raw F.sum("label") would
+        # exceed int64 for large ids x large corpora: ANSI aborts the
+        # fixpoint mid-flight, non-ANSI wraps and could (in principle)
+        # alias two different label states. Labels only ever decrease,
+        # so fixpoint <=> no change <=> equal fingerprints.
+        return tuple(
+            lb.agg(
+                F.count(F.lit(1)), F.bit_xor(F.xxhash64("node", "label"))
+            ).first()
+        )
+
+    prev_fp = _label_fp(labels)
     rounds = 0
     while True:
         labels = _cut_lineage(
@@ -661,10 +686,10 @@ def _components_label(
             eager=False,  # the convergence aggregate materializes it
         )
         rounds += 1
-        cur_sum = labels.agg(F.sum("label")).first()[0]
-        if cur_sum == prev_sum:
+        cur_fp = _label_fp(labels)
+        if cur_fp == prev_fp:
             break
-        prev_sum = cur_sum
+        prev_fp = cur_fp
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     ), rounds
@@ -699,14 +724,16 @@ def _components_star(pairs: DataFrame) -> tuple[DataFrame, int]:
         .distinct()
     )
     def _checksum(e: DataFrame) -> tuple:
-        # order-free fingerprint of the distinct edge set; hash summed
-        # mod 1e9+7 so the aggregate can't overflow long under ANSI
+        # order-free fingerprint of the DISTINCT edge set: count +
+        # bit_xor of per-edge hashes. bit_xor cannot overflow at any
+        # row count or id magnitude — the previous raw id sums would
+        # exceed int64 at large-id x large-edge scale (ANSI aborts the
+        # fixpoint, non-ANSI wraps and weakens the equality test); xor
+        # is safe here because the edge relation is kept distinct.
         return tuple(
             e.agg(
                 F.count(F.lit(1)),
-                F.sum("u"),
-                F.sum("v"),
-                F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1_000_000_007))),
+                F.bit_xor(F.xxhash64("u", "v")),
             ).first()
         )
 

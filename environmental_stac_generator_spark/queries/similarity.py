@@ -65,8 +65,16 @@ def _lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("vec_id") < N_PLANES).select("vec_id", "embedding").collect(),
         key=lambda r: r.vec_id,
     )
-    if not planes:  # empty corpus: no hyperplanes, one empty bucket
-        return e.select("vec_id", "embedding", F.lit("").alias("bucket"))
+    if not planes:
+        # No hyperplanes — EMPTY result, matching the oracle's empty
+        # planes-CTE cross join. This branch also fires for a
+        # NON-empty corpus whose ids all sit at or above N_PLANES
+        # (offset-id corpora): returning every row under one ''
+        # bucket there would silently degenerate the bucketed
+        # near-dup join into an all-pairs O(n²) self-join.
+        return e.filter(F.lit(False)).select(
+            "vec_id", "embedding", F.lit("").alias("bucket")
+        )
     bits = ", ".join(
         f"CASE WHEN {_dot_sql('embedding', _vec_sql(r.embedding))} >= 0 "
         "THEN '1' ELSE '0' END"
@@ -895,7 +903,7 @@ def semantic_pairs_of(
     # the BLAS matmul kernel removes it. Oracle-pinned fixed-K runs
     # stay on the bit-exact literal/HOF kernels.
     kernel = "numpy" if k > K_LITERAL_MAX else "auto"
-    assigned, hist = _lloyd_assign(e, init_cents=init_cents, k=k, kernel=kernel)
+    assigned, _ = _lloyd_assign(e, init_cents=init_cents, k=k, kernel=kernel)
     if assigned is None:  # empty corpus: no clusters, no pairs
         return e.select(
             F.col("vec_id").alias("vec_a"),
@@ -920,30 +928,24 @@ def semantic_pairs_of(
     )
     cos = rnd(_dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b")), 5)
     # The broadcast/bucket gate is BALANCE-ONLY (both paths emit the
-    # identical pair set — property-tested at max_bucket=1), so the
-    # penultimate round's cluster histogram (piggybacked on the
-    # Lloyd's update aggregation, zero extra jobs) can drive it —
-    # but ONLY when that histogram reflects a post-update assignment:
-    # with < 3 iterations the "penultimate" round is the BOOTSTRAP
-    # assignment, and one centroid update can balloon a cluster far
-    # past max_bucket, misrouting it into the collect_list path whose
-    # single-row buffering the cap exists to prevent. At the module's
-    # current KMEANS_ITERS = 2 that means the exact-sizes branch below
-    # is the operative path on EVERY call (the hist shortcut arms only
-    # if ITERS is raised): the aggregate doubles as the lazy
-    # checkpoint's materializing action, so the pair join reads stored
-    # partitions instead of re-running the argmin pass — the extra
-    # cost is one K-row shuffle, not a corpus scan.
-    sizes = (
-        hist
-        if hist and KMEANS_ITERS >= 3
-        else [
-            (r["cluster"], r["n"])
-            for r in members.groupBy("cluster")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        ]
-    )
+    # identical pair set — property-tested at max_bucket=1), but it
+    # must be driven by the sizes of the FINAL assignment it routes:
+    # the Lloyd's-update-piggybacked histogram is always one centroid
+    # update stale (it counts the round it aggregated, the routing
+    # uses the round after), and a skewed cluster ballooning past
+    # max_bucket in the last round would be misrouted into the
+    # collect_list path whose single-row buffering the cap exists to
+    # prevent. So: one exact K-row aggregate over the final
+    # assignment, which doubles as the lazy checkpoint's
+    # materializing action (the pair join then reads stored
+    # partitions instead of re-running the argmin pass) — the cost is
+    # one K-row shuffle, not a corpus scan.
+    sizes = [
+        (r["cluster"], r["n"])
+        for r in members.groupBy("cluster")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
     total = sum(n for _, n in sizes)
     biggest = max((n for _, n in sizes), default=0)
     spark = e.sparkSession

@@ -851,3 +851,26 @@ def test_leadtime_offset_null_value_propagates_for_every_unit(spark):
         ]
     ).first()
     assert all(row[u] is None for u in ("hours", "days", "weeks", "months", "years"))
+
+
+def test_lsh_bucketed_offset_ids_returns_empty_not_one_bucket(spark, tmp_path):
+    """A non-empty corpus whose ids all sit at or above N_PLANES has
+    no hyperplanes — the bucketing must return EMPTY (matching the
+    oracle's empty planes-CTE cross join), not the whole corpus under
+    one '' bucket, which would degenerate the bucketed near-dup join
+    into an all-pairs self-join."""
+    import pandas as pd
+
+    from environmental_stac_generator_spark.queries import similarity
+
+    pd.DataFrame(
+        {
+            "vec_id": [100, 101, 102],
+            "embedding": [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]],
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet")
+    out = similarity._lsh_bucketed(spark, str(tmp_path))
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "embedding", "bucket"]
+    # and the near-dup consumer emits no pairs instead of O(n^2)
+    assert similarity.embedding_near_dup(spark, str(tmp_path)).count() == 0
