@@ -95,15 +95,30 @@ def sample_boundaries(df: DataFrame, order, n: int):
     if n <= 1:
         return []
     want = _SAMPLE_PER_BUCKET * n
+    import math
+
+    # NaN keys are EXCLUDED from the boundary sample: Python's sort is
+    # inconsistent under NaN (corrupting the boundary order) and a NaN
+    # boundary literal makes _after_boundary ill-defined. NaN ROWS
+    # still bucket deterministically — Spark compares NaN greater than
+    # every value, so the comparison ladder routes them to the same
+    # end the sort puts them.
+    def _clean(t: tuple) -> bool:
+        return not any(isinstance(v, float) and math.isnan(v) for v in t)
+
     sample = [
-        tuple(r)[:-1]
-        for r in df.select(
-            *[k.alias(f"_k{i}") for i, (k, _) in enumerate(keys)],
-            F.xxhash64(*[c for c, _ in keys], F.lit(_SEED)).alias("_h"),
+        t
+        for t in (
+            tuple(r)[:-1]
+            for r in df.select(
+                *[k.alias(f"_k{i}") for i, (k, _) in enumerate(keys)],
+                F.xxhash64(*[c for c, _ in keys], F.lit(_SEED)).alias("_h"),
+            )
+            .orderBy("_h")
+            .limit(want)
+            .collect()
         )
-        .orderBy("_h")
-        .limit(want)
-        .collect()
+        if _clean(t)
     ]
     if len(sample) < 2 * n:
         return []  # tiny relation: one bucket is both correct and fast

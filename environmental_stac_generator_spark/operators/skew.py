@@ -135,7 +135,16 @@ def skew_report(df: DataFrame, keys: list[str], top: int = 10) -> DataFrame:
     ``top`` hottest keys with counts. Feed the skew factor into
     ``n_salt`` for :func:`salted_agg` / :func:`salted_join` (a key
     ``s``× the mean wants ~``s`` salts to level its reducers)."""
-    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    from environmental_stac_generator_spark.operators.lineage import (
+        persist_tracked,
+    )
+
+    # pinned: the summary aggregate and the hottest top-k are two
+    # independent actions over this groupBy — unpinned, each re-runs
+    # the full input scan + per-key shuffle, doubling the cost of a
+    # diagnostic that should be cheap (releasable via the tracked
+    # registry, same pattern as bucket_pairs)
+    counts = persist_tracked(df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n")))
     key_repr = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
     summary = counts.agg(
         F.sum("n").alias("total_rows"),

@@ -11,6 +11,8 @@ invariants (grid round-trip, checksums, idempotency).
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 from pathlib import Path
 
@@ -21,8 +23,53 @@ from environmental_stac_generator_spark.registry import register
 from environmental_stac_generator_spark.tables import load
 
 
+# Every kernel invocation creates scratch dirs (fake landing files,
+# parquet/checkpoint state) and some register a memory-sink table. A
+# driver/bench loop re-running the registry would otherwise
+# accumulate unbounded /tmp and driver-memory state: scratch dirs are
+# swept at interpreter exit, and each kernel drops its PREVIOUS
+# invocation's memory-sink view before registering a new one (the
+# current view must outlive the returned DataFrame that reads it).
+_SCRATCH_DIRS: list[str] = []
+_MEMORY_SINKS: dict[str, str] = {}
+
+
+@atexit.register
+def _sweep_scratch() -> None:
+    for d in _SCRATCH_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _scratch_dir(prefix: str) -> str:
+    d = tempfile.mkdtemp(prefix=prefix)
+    _SCRATCH_DIRS.append(d)
+    return d
+
+
+def _memory_sink_name(spark: SparkSession, prefix: str) -> str:
+    import uuid
+
+    old = _MEMORY_SINKS.get(prefix)
+    if old is not None:
+        spark.catalog.dropTempView(old)
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    _MEMORY_SINKS[prefix] = name
+    return name
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8)
 def _fake_landing(n_files: int = 2) -> str:
-    d = Path(tempfile.mkdtemp(prefix="envstac_kernel_")) / "icenet_demo"
+    """Cached per (n_files, session lifetime): the fake decoder seeds
+    its synthetic init dates on md5(file path), so a FRESH random
+    tempdir per invocation made repeated runs of the same kernel emit
+    different item sets (row counts drifting 3<->4 between otherwise
+    identical calls). One stable landing path per process keeps every
+    re-invocation byte-deterministic — and stops re-creating scratch
+    dirs the sweep would otherwise accumulate."""
+    d = Path(_scratch_dir("envstac_kernel_")) / "icenet_demo"
     d.mkdir(parents=True)
     for i in range(n_files):
         (d / f"fc{i}.nc").write_bytes(bytes([i]))
@@ -67,7 +114,7 @@ def cog_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from environmental_stac_generator_spark.sources import netcdf
 
     long_df = netcdf.scan_netcdf(spark, _fake_landing(1), decoder=netcdf.fake_decoder())
-    out = tempfile.mkdtemp(prefix="envstac_cogs_")
+    out = _scratch_dir("envstac_cogs_")
     return raster.encode_cogs(long_df, out).drop("path")  # path is tmp-random
 
 
@@ -82,7 +129,7 @@ def netcdf_slice_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     from environmental_stac_generator_spark.sources import netcdf
 
     long_df = netcdf.scan_netcdf(spark, _fake_landing(1), decoder=netcdf.fake_decoder())
-    out = tempfile.mkdtemp(prefix="envstac_nc_")
+    out = _scratch_dir("envstac_nc_")
     return raster.write_netcdf_slices(long_df, out).drop("path")
 
 
@@ -141,7 +188,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from environmental_stac_generator_spark.streaming import incremental
 
-    base = Path(tempfile.mkdtemp(prefix="envstac_stream_"))
+    base = Path(_scratch_dir("envstac_stream_"))
     landing, table, ckpt = base / "landing", base / "table", base / "ckpt"
     sample = (
         load(spark, sf_dir, "orders")
@@ -175,14 +222,14 @@ def streaming_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from environmental_stac_generator_spark.streaming import windows as sw
 
-    base = Path(tempfile.mkdtemp(prefix="envstac_winstream_"))
+    base = Path(_scratch_dir("envstac_winstream_"))
     landing = base / "landing"
     sample = load(spark, sf_dir, "events").select("ts", "event_type", "value")
     sample.write.mode("overwrite").parquet(str(landing))
     stream = spark.readStream.schema("ts timestamp, event_type string, value double").parquet(
         str(landing)
     )
-    name = f"win_counts_{abs(hash(str(base))) % 10**8}"
+    name = _memory_sink_name(spark, "win_counts")
     q = (
         sw.windowed_event_counts(stream, watermark="2 days")
         .writeStream.format("memory")
@@ -208,7 +255,7 @@ def streaming_stateful_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
     from environmental_stac_generator_spark.streaming import incremental
     from environmental_stac_generator_spark.streaming import windows as sw
 
-    base = Path(tempfile.mkdtemp(prefix="envstac_statestream_"))
+    base = Path(_scratch_dir("envstac_statestream_"))
     landing = base / "landing"
     sample = (
         load(spark, sf_dir, "orders")
@@ -249,7 +296,7 @@ def streaming_stateful_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from environmental_stac_generator_spark.streaming import windows as sw
 
-    base = Path(tempfile.mkdtemp(prefix="envstac_dedupstream_"))
+    base = Path(_scratch_dir("envstac_dedupstream_"))
     landing = base / "landing"
     sample = (
         load(spark, sf_dir, "events")
@@ -261,7 +308,7 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(
         "event_id bigint, ts timestamp, event_type string, value double"
     ).parquet(str(landing))
-    name = f"dedup_stream_{abs(hash(str(base))) % 10**8}"
+    name = _memory_sink_name(spark, "dedup_stream")
     q = (
         sw.dedup_stream(stream, ["event_id"])
         .writeStream.format("memory")
@@ -292,7 +339,7 @@ def asset_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from environmental_stac_generator_spark.sources import raster_probe as rp
 
-    base = Path(tempfile.mkdtemp(prefix="envstac_assets_"))
+    base = Path(_scratch_dir("envstac_assets_"))
     end, bom = "<", b"II"
     entries = [(256, 3, 1, 2), (257, 3, 1, 2), (258, 3, 1, 32),
                (277, 3, 1, 2), (339, 3, 1, 3)]
@@ -330,7 +377,7 @@ def partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_partitioned,
     )
 
-    base = Path(tempfile.mkdtemp(prefix="envstac_store_"))
+    base = Path(_scratch_dir("envstac_store_"))
     # Truncate run dates to the year so the demo layout matches the
     # real store's shape — few partitions, many rows each. Raw
     # o_orderdate would make one ~1-row directory per (collection,
@@ -369,7 +416,7 @@ def stac_catalog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from environmental_stac_generator_spark.sinks import stac_json as sj
 
     items, assets, info = _assemble_catalog_frames(spark)
-    out = Path(tempfile.mkdtemp(prefix="envstac_cat_")) / "catalog"
+    out = Path(_scratch_dir("envstac_cat_")) / "catalog"
     sj.save_items(sc.items_to_json(items, assets), out)
     sj.save_collections(sc.collections_to_json(sc.build_collections(info)), out)
     tree = sj.load_catalog_tree(spark, out)

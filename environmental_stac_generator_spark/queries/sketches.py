@@ -18,7 +18,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from environmental_stac_generator_spark.functions.rounding import rnd
+from environmental_stac_generator_spark.functions.rounding import rnd, sql_rnd
 from environmental_stac_generator_spark.registry import register
 from environmental_stac_generator_spark.tables import load
 
@@ -30,7 +30,7 @@ QUANTILES = (0.25, 0.5, 0.75, 0.95)
     f"""
     SELECT l_returnflag,
            {", ".join(
-               "floor((quantile_cont(l_extendedprice, " + str(q) + ")) * 10000.0 + 0.5) / 10000.0"
+               sql_rnd(f"quantile_cont(l_extendedprice, {q})", 4)
                + " AS p" + str(int(q * 100))
                for q in QUANTILES
            )}

@@ -43,14 +43,18 @@ def _atomic_write_text(path: Path, text: str) -> None:
 
 
 def save_items(items_json: DataFrame, out_dir: str | Path) -> None:
-    """Write one JSON file per item, executor-side."""
+    """Write one JSON file per item, executor-side. Atomic per file:
+    a task dying mid-write must not leave a torn item document that a
+    later catalog read parses as _corrupt_record and silently drops
+    from the ingest (items are the most numerous documents — they
+    need the all-or-nothing guarantee most)."""
     out = str(out_dir)
 
     def write_partition(rows) -> None:
         for row in rows:
             d = Path(out) / row["collection_id"] / row["item_id"]
             d.mkdir(parents=True, exist_ok=True)
-            (d / f"{row['item_id']}.json").write_text(row["json"])
+            _atomic_write_text(d / f"{row['item_id']}.json", row["json"])
 
     items_json.foreachPartition(write_partition)
 
@@ -145,9 +149,14 @@ def save_catalog_root(
 def load_catalog_tree(spark, out_dir: str | Path) -> DataFrame:
     """S3: read an existing catalog tree back as DataFrames
     (resume/incremental; ref ``Catalog.from_file``,
-    ``stac/generator.py:130-131``)."""
+    ``stac/generator.py:130-131``). Glob-filtered to ``*.json``: a
+    crash between an atomic write's tmp file and its rename leaves a
+    ``*.json.tmp.*`` remnant, and reading it as a real document would
+    duplicate a collection (double-ingest) or inject a
+    _corrupt_record column into every derived document."""
     return (
         spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.json")
         .option("multiLine", "true")
         .json(str(out_dir))
     )

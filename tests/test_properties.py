@@ -874,3 +874,36 @@ def test_lsh_bucketed_offset_ids_returns_empty_not_one_bucket(spark, tmp_path):
     assert out.columns == ["vec_id", "embedding", "bucket"]
     # and the near-dup consumer emits no pairs instead of O(n^2)
     assert similarity.embedding_near_dup(spark, str(tmp_path)).count() == 0
+
+
+def test_global_running_sum_with_nan_keys_matches_window(spark):
+    """NaN sort keys must bucket the same way Spark sorts them (NaN
+    greater than everything): the bucketed plan equals the
+    single-window plan even when keys contain NaN, and NaN never
+    reaches the boundary list (where Python's sort would corrupt
+    it)."""
+    import math
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from environmental_stac_generator_spark.operators.cumulative import (
+        global_running_sum,
+    )
+
+    rows = [(float(i), 1) for i in range(40)] + [(float("nan"), 1)] * 3
+    df = spark.createDataFrame(rows, "k double, v int").withColumn(
+        "tie", F.monotonically_increasing_id()
+    )
+    order = [(F.col("k"), True), (F.col("tie"), True)]
+    got = sorted(
+        r["rt"]
+        for r in global_running_sum(
+            df, order, "v", out_col="rt", num_partitions=4
+        ).collect()
+    )
+    w = Window.orderBy("k", "tie").rowsBetween(Window.unboundedPreceding, 0)
+    want = sorted(
+        r["rt"] for r in df.withColumn("rt", F.sum("v").over(w)).collect()
+    )
+    assert got == want
