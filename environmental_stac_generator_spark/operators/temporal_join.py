@@ -30,7 +30,13 @@ def as_of_join(
     matched_col: str = "matched_ts",
 ) -> DataFrame:
     """Left rows + the latest ``right_ts`` at-or-before ``left_ts``
-    per ``on`` key (null when no prior right row exists)."""
+    per ``on`` key (null when no prior right row exists).
+
+    NULL keys follow SQL equality: a NULL never matches a NULL, so
+    null-key left rows come back with a null ``matched_col`` (the
+    window's partitionBy would otherwise group all null keys together
+    and match them to each other — semantics no SQL/DuckDB ASOF join
+    has, and a silent divergence from the registered oracle)."""
     from pyspark.sql import Window
 
     l = left.select(
@@ -39,7 +45,7 @@ def as_of_join(
         F.lit(1).alias("_side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_payload"),
     )
-    r = right.select(
+    r = right.filter(F.col(on).isNotNull()).select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
@@ -73,7 +79,20 @@ def range_join(
     ``value_col``. Tiers are exploded into covering buckets (map-side;
     tiers are small), the join key is the bucket, and the exact bound
     check runs post-join — Catalyst gets a plain hash/broadcast join
-    instead of a BroadcastNestedLoopJoin."""
+    instead of a BroadcastNestedLoopJoin.
+
+    ``rows`` must not share column names with ``tiers`` (the bound
+    filter would be ambiguous) or carry ``_bucket`` (the internal join
+    key would silently overwrite it, then be dropped): both are
+    rejected loudly rather than crashing downstream or losing data."""
+    overlap = set(rows.columns) & set(tiers.columns)
+    if overlap:
+        raise ValueError(
+            f"rows and tiers share column names {sorted(overlap)}; "
+            "rename one side before range_join"
+        )
+    if "_bucket" in rows.columns or "_bucket" in tiers.columns:
+        raise ValueError("'_bucket' is reserved by range_join")
     expanded = tiers.withColumn(
         "_bucket",
         F.explode(

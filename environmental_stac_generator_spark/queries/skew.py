@@ -9,7 +9,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from environmental_stac_generator_spark.functions.rounding import rnd
+from environmental_stac_generator_spark.functions.rounding import rnd, sql_rnd
 from environmental_stac_generator_spark.operators.skew import salted_agg, salted_join
 from environmental_stac_generator_spark.registry import register
 from environmental_stac_generator_spark.tables import load
@@ -17,13 +17,13 @@ from environmental_stac_generator_spark.tables import load
 
 @register(
     "salted_agg",
-    """
+    f"""
     SELECT l_returnflag,
-           floor((CAST(sum(l_quantity) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS sum_qty,
+           {sql_rnd("CAST(sum(l_quantity) AS DOUBLE)", 2)} AS sum_qty,
            CAST(count(*) AS BIGINT) AS n_rows,
            min(l_extendedprice) AS min_price,
            max(l_extendedprice) AS max_price,
-           floor((avg(l_discount)) * 10000.0 + 0.5) / 10000.0 AS avg_disc
+           {sql_rnd("avg(l_discount)", 4)} AS avg_disc
     FROM lineitem GROUP BY l_returnflag
     """,
     doc="Two-stage salted aggregation over the skewed l_returnflag "
@@ -38,7 +38,10 @@ def salted_agg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["l_returnflag"],
         aggs={
             "sum_qty": ("sum", "l_quantity"),
-            "n_rows": ("count", "l_quantity"),
+            # count("*") = row count, matching the oracle's count(*)
+            # — count(col) skips nulls and would silently diverge on a
+            # null-bearing column (the _ALGEBRAIC table documents this)
+            "n_rows": ("count", "*"),
             "min_price": ("min", "l_extendedprice"),
             "max_price": ("max", "l_extendedprice"),
             "avg_disc": ("avg", "l_discount"),

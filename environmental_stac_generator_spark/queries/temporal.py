@@ -12,7 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from environmental_stac_generator_spark.functions.rounding import rnd
+from environmental_stac_generator_spark.functions.rounding import rnd, sql_rnd
 from environmental_stac_generator_spark.operators.temporal_join import as_of_join, range_join
 from environmental_stac_generator_spark.registry import register
 from environmental_stac_generator_spark.tables import load
@@ -60,7 +60,7 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       {", ".join(f"({lo}, {hi}, '{name}')" for lo, hi, name in TIERS)})
     SELECT t.tier,
            CAST(count(*) AS BIGINT) AS n_events,
-           floor((avg(e.value)) * 10000.0 + 0.5) / 10000.0 AS avg_value
+           {sql_rnd("avg(e.value)", 4)} AS avg_value
     FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
     GROUP BY t.tier
     """,

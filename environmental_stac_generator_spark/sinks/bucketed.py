@@ -36,7 +36,13 @@ def write_bucketed(
 def colocated_join(
     spark: SparkSession, left_table: str, right_table: str, key: str
 ) -> DataFrame:
-    """Join two same-bucketed tables on their bucket key. With equal
-    bucket counts Spark plans a sort-merge join with NO Exchange on
-    either side (asserted in tests/test_bucketed.py)."""
-    return spark.table(left_table).join(spark.table(right_table), key)
+    """Join two same-bucketed tables on their bucket key with a
+    FORCED sort-merge join: only SMJ exploits the bucket layout
+    (zero Exchange on either side); left to itself, Catalyst would
+    pick a BroadcastHashJoin under the auto-broadcast threshold —
+    correct, but paying a broadcast the bucketing exists to avoid
+    and leaving the documented exchange-free plan unexercised. Plan
+    asserted on THIS function in tests/test_bucketed.py."""
+    return spark.table(left_table).hint("merge").join(
+        spark.table(right_table), key
+    )

@@ -8,9 +8,11 @@ scheme. The Spark-native form is a hive-partitioned parquet table:
   collection/date (every per-run query in the reference) scan only
   their directories (partition pruning, visible as PartitionFilters
   in the plan);
-- ``sortWithinPartitions(leadtime_idx, variable)`` — row groups are
-  leadtime-clustered, so parquet min/max stats prune leadtime slices
-  inside a partition (the COG-per-leadtime access pattern);
+- ``sortWithinPartitions(collection, forecast_date, leadtime_idx,
+  variable)`` — row groups are leadtime-clustered, so parquet min/max
+  stats prune leadtime slices inside a partition (the
+  COG-per-leadtime access pattern); the partition columns lead the
+  sort because the V1 write path discards any sort that doesn't;
 - file sizing via ``maxRecordsPerFile`` so a 100 TB table lands as
   healthy ~100-500 MB files instead of one file per task.
 """
@@ -37,10 +39,19 @@ def write_partitioned(
     partition — the difference between ~date-count files and
     ~date-count × task-count files at cluster scale.
     """
+    # the sort MUST lead with the partitionBy columns: Spark's V1
+    # write path replaces any user sort that does not start with the
+    # partition columns by its own Sort on just (collection,
+    # forecast_date) — silently discarding the leadtime/variable
+    # clustering this module exists to provide (verified against the
+    # executed write plan; the prefix-including form keeps all four
+    # sort keys)
     (
         long_df.withColumn("forecast_date", F.to_date("forecast_reference_time"))
         .repartition("collection", "forecast_date")
-        .sortWithinPartitions("leadtime_idx", "variable")
+        .sortWithinPartitions(
+            "collection", "forecast_date", "leadtime_idx", "variable"
+        )
         .write.mode("overwrite")
         .option("maxRecordsPerFile", max_records_per_file)
         .partitionBy("collection", "forecast_date")

@@ -30,15 +30,13 @@ def bucketed_tables(spark, sf_dir):
 
 def test_join_has_no_exchange(spark, bucketed_tables, sf_dir):
     lt, rt = bucketed_tables
-    # force the sort-merge path (at sf0.001 the planner would rather
-    # broadcast; at scale SMJ is what bucketing exists for) and check
-    # the bucket layout removes BOTH sides' exchanges
-    merged = spark.table(lt).hint("merge").join(spark.table(rt), "o_orderkey")
-    plan = merged._jdf.queryExecution().executedPlan().toString()
+    # colocated_join itself forces the sort-merge path (at sf0.001 the
+    # planner would rather broadcast; at scale SMJ is what bucketing
+    # exists for): assert the FUNCTION's plan is exchange-free
+    joined = colocated_join(spark, lt, rt, "o_orderkey")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan
     assert "Exchange hashpartitioning" not in plan
-
-    joined = colocated_join(spark, lt, rt, "o_orderkey")
 
     # same answer as the plain join over the raw parquet
     expected = (

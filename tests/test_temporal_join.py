@@ -166,3 +166,38 @@ def test_range_join_value_just_under_hi_across_bucket_boundary(spark):
     )
     out = range_join(rows, tiers, "v", bucket_width=50.0).collect()
     assert len(out) == 1 and out[0]["tier"] == "t"
+
+
+def test_asof_null_keys_follow_sql_equality(spark):
+    """NULL never matches NULL: a null-key left row gets a null
+    matched_ts (the window's partitionBy would otherwise match all
+    null-key rows to each other — semantics no SQL ASOF join has)."""
+    import pandas as pd
+
+    t = lambda s: pd.Timestamp(s).to_pydatetime()  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, None, t("2025-01-02")), (2, "u1", t("2025-01-02"))],
+        "event_id long, user_id string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(None, t("2025-01-01")), ("u1", t("2025-01-01"))],
+        "user_id string, ts timestamp",
+    )
+    rows = {
+        r["event_id"]: r["matched_ts"]
+        for r in as_of_join(left, right, on="user_id").collect()
+    }
+    assert rows[1] is None  # null key: no match, row still present
+    assert rows[2] == t("2025-01-01")
+
+
+def test_range_join_rejects_colliding_column_names(spark):
+    import pytest
+
+    rows = spark.createDataFrame([(1.0, "x")], "value double, lo string")
+    tiers = spark.createDataFrame([(0.0, 10.0, "t")], "lo double, hi double, tier string")
+    with pytest.raises(ValueError, match="share column names"):
+        range_join(rows, tiers, value_col="value")
+    rows2 = spark.createDataFrame([(1.0, 9)], "value double, _bucket int")
+    with pytest.raises(ValueError, match="_bucket"):
+        range_join(rows2, tiers, value_col="value")
