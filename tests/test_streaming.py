@@ -425,3 +425,60 @@ def test_extent_state_fn_skips_nat_and_keeps_count():
     assert start == pd.Timestamp("2024-03-01")
     assert end == pd.Timestamp("2024-03-09")
     assert n == 6
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _extent_stream(draw):
+    n = draw(st.integers(0, 14))
+    # seconds-offset timestamps with ~25% nulls
+    rows = [
+        None if draw(st.booleans()) and draw(st.booleans()) else draw(st.integers(0, 10_000))
+        for _ in range(n)
+    ]
+    cuts = sorted(
+        draw(st.lists(st.integers(0, n), min_size=0, max_size=4))
+    )
+    return rows, cuts
+
+
+@settings(max_examples=25, deadline=None)
+@given(case=_extent_stream())
+def test_merge_extent_is_batch_split_invariant(case):
+    """The shared extent-merge (both stateful APIs) must produce the
+    same final (start, end, n) no matter how the same rows split into
+    micro-batches — including all-null chunks and a count-only prior
+    (the NaT-freeze class of bug is exactly a split-variance)."""
+    import pandas as pd
+
+    from environmental_stac_generator_spark.streaming.windows import merge_extent
+
+    rows, cuts = case
+    base = pd.Timestamp("2025-01-01")
+
+    def pdf(chunk):
+        return pd.DataFrame(
+            {
+                "forecast_reference_time": [
+                    base + pd.Timedelta(seconds=s) if s is not None else pd.NaT
+                    for s in chunk
+                ]
+            }
+        )
+
+    # one shot
+    single = merge_extent(None, iter([pdf(rows)]))
+    # arbitrary split: feed chunk by chunk, threading the state tuple
+    bounds = [0] + cuts + [len(rows)]
+    state = None
+    for a, b in zip(bounds, bounds[1:]):
+        state = merge_extent(state, iter([pdf(rows[a:b])]))
+    assert state[2] == single[2] == len(rows)
+    for i in (0, 1):
+        if single[i] is None:
+            assert state[i] is None or pd.isna(state[i])
+        else:
+            assert pd.Timestamp(state[i]) == pd.Timestamp(single[i])
