@@ -35,7 +35,6 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     BooleanType,
-    DoubleType,
     IntegerType,
     LongType,
     StringType,
