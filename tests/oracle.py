@@ -59,7 +59,17 @@ def compare(spark_df, duck_df: pd.DataFrame, name: str = "") -> list[str]:
             if xnull != ynull:
                 errs.append(f"{name}.{c}[{i}]: null mismatch {x!r} vs {y!r}")
             elif isinstance(x, float) or isinstance(y, float):
-                if abs(float(x) - float(y)) > 1e-9 * max(1.0, abs(float(y))):
+                # a type drift (one engine renders a string where the
+                # other returns a number) must surface as a MISMATCH
+                # diagnostic, not a ValueError crashing the test
+                try:
+                    fx, fy = float(x), float(y)
+                except (TypeError, ValueError):
+                    errs.append(
+                        f"{name}.{c}[{i}]: type mismatch {x!r} vs {y!r}"
+                    )
+                    continue
+                if abs(fx - fy) > 1e-9 * max(1.0, abs(fy)):
                     errs.append(f"{name}.{c}[{i}]: {x!r} != {y!r}")
             elif str(x) != str(y):
                 errs.append(f"{name}.{c}[{i}]: {x!r} != {y!r}")

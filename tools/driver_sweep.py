@@ -28,10 +28,7 @@ REPO = Path(__file__).resolve().parent.parent
 if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
 
-TABLES = [
-    "region", "nation", "customer", "supplier", "part", "orders",
-    "lineitem", "events", "documents", "embeddings",
-]
+from environmental_stac_generator_spark.tables import TABLE_NAMES as TABLES
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -89,6 +86,12 @@ def main() -> int:
         )
 
     n_pass = n_ran = n_bad = 0
+    # a typo'd name silently matching nothing would print an all-zero
+    # summary with exit 0 — report unknown names as failures up front
+    unknown = only - set(qs)
+    for name in sorted(unknown):
+        n_bad += 1
+        print(f"UNKNOWN  {name}  (not a registry entry)")
     t_all = time.time()
     for name, fn in qs.items():
         if only and name not in only:

@@ -53,17 +53,43 @@ MERGED = [
 PY_NODES = ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas", "MapInPandas")
 
 
+def _final_only(plan: str) -> str:
+    """Keep only the '== Final Plan ==' segments of an executed
+    adaptive plan string: toString prints the final plan AND the
+    initial plan below it, so counting over the raw text would
+    double-count every operator."""
+    out, keep = [], True
+    for line in plan.splitlines():
+        if "== Initial Plan ==" in line:
+            keep = False
+        elif "== Final Plan ==" in line:
+            keep = True
+        if keep:
+            out.append(line)
+    return "\n".join(out)
+
+
 def audit(reg, spark, sf_dir, name):
-    plan = reg[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    # EXECUTE the query first, then read the plan: with AQE on, an
+    # unexecuted DataFrame prints the initial AdaptiveSparkPlan
+    # (isFinalPlan=false), not the runtime plan — join strategies AQE
+    # flips (SMJ -> broadcast) and coalesced exchanges would be
+    # misreported, so the audit must look at the FINAL adaptive plan
+    # (the same toRdd-then-read pattern the soak's join detector uses)
+    qe = reg[name].fn(spark, sf_dir)._jdf.queryExecution()
+    qe.toRdd().count()
+    plan = _final_only(qe.executedPlan().toString())
     shuffles = len(re.findall(r"Exchange (hash|range)partitioning", plan))
-    joins = sorted(set(re.findall(r"(\w*Join\w*)", plan)) - {"Join"})
     join_counts = {}
     for j in re.findall(r"(BroadcastHashJoin|SortMergeJoin|BroadcastNestedLoopJoin|ShuffledHashJoin|CartesianProduct)", plan):
         join_counts[j] = join_counts.get(j, 0) + 1
     join_str = " ".join(
         f"{j}x{n}" if n > 1 else j for j, n in sorted(join_counts.items())
     ) or "—"
-    pushed = "yes" if "PushedFilters: [" in plan and not re.search(r"PushedFilters: \[\]", plan) else "none"
+    # "any scan carries pushed filters": look for a NON-empty list —
+    # requiring that no scan prints an empty one mislabeled every
+    # multi-scan query whose second side is unfiltered
+    pushed = "yes" if re.search(r"PushedFilters: \[[^\]]", plan) else "none"
     python = "yes" if any(p in plan for p in PY_NODES) else "no"
     return shuffles, join_str, pushed, python
 
@@ -72,6 +98,8 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
+    if not sf_dir.startswith("/"):  # 'sf0.1' shorthand, like driver_sweep
+        sf_dir = f"/root/testdata/{sf_dir}"
     spark = get_spark(app_name="plan-audit", master="local[8]", shuffle_partitions=8)
     full = load_full_registry()
     cons = load_registry()
