@@ -139,15 +139,27 @@ def _best_of(run) -> float:
     bursts) can inflate both attempts; when they disagree by >40%
     the fast one may still be the spiked one, so buy one more sample
     before taking the min."""
+    from environmental_stac_generator_spark.operators.lineage import (
+        release_tracked,
+    )
+
     attempts: list[float] = []
     for _ in range(2):
         t0 = time.perf_counter()
         run()
         attempts.append(time.perf_counter() - t0)
+        # drain cache pins some queries create for their multi-consumed
+        # relations (dedup.bucket_pairs): the bench loop is exactly the
+        # long-lived caller that would otherwise accumulate one pin per
+        # (query, attempt) for the whole session (ADVICE r6) — and a
+        # pinned bucket table would let attempt 2 read attempt 1's
+        # cache, timing the cache instead of the operator
+        release_tracked()
     if max(attempts) > 1.4 * min(attempts):
         t0 = time.perf_counter()
         run()
         attempts.append(time.perf_counter() - t0)
+        release_tracked()
     return round(min(attempts), 3)
 
 
@@ -350,9 +362,14 @@ def _run_and_bad_joins(df) -> set[str]:
     runtime strategy flips (the thing the soak asserts about) would
     be invisible in df's never-executed plan. toRdd() executes the
     AdaptiveSparkPlan to its final form."""
+    from environmental_stac_generator_spark.operators.lineage import (
+        release_tracked,
+    )
+
     qe = df._jdf.queryExecution()
     qe.toRdd().count()
     plan = qe.executedPlan().toString()
+    release_tracked()  # same pin-drain policy as _best_of (ADVICE r6)
     return {
         bad
         for bad in ("CartesianProduct", "BroadcastNestedLoopJoin")

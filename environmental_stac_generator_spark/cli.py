@@ -350,7 +350,10 @@ def main(argv: list[str] | None = None) -> int:
     # THREAD-local while getOrCreate falls back to the process-GLOBAL
     # default session, so a host session created on another thread
     # must also count as "not ours" — otherwise the finally below
-    # stops it out from under the host.
+    # stops it out from under the host. _instantiatedSession is
+    # internal PySpark API; tests/test_cli.py pins its existence so a
+    # rename in a future release fails loudly rather than silently
+    # flipping ownership.
     owns_session = (
         SparkSession.getActiveSession() is None
         and getattr(SparkSession, "_instantiatedSession", None) is None

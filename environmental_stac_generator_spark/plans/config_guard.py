@@ -46,7 +46,11 @@ def store_or_validate_config(
         p.parent.mkdir(parents=True, exist_ok=True)
         # atomic: a crash mid-write must not leave truncated JSON that
         # bricks every later run at json.loads
-        _atomic_write_text(p, json.dumps(current, sort_keys=True))
+        # default=str: the comparison path canonicalizes values with
+        # it (to_df below), so the store must too — a non-JSON-native
+        # param (datetime, Path) would otherwise crash the first store
+        # instead of persisting in the form the validator compares
+        _atomic_write_text(p, json.dumps(current, sort_keys=True, default=str))
         return
     try:
         stored = json.loads(p.read_text())
@@ -62,7 +66,9 @@ def store_or_validate_config(
     # detection on every future run, which defeats the guard
     new_colls = {c: v for c, v in current.items() if c not in stored}
     if new_colls:
-        _atomic_write_text(p, json.dumps({**stored, **new_colls}, sort_keys=True))
+        _atomic_write_text(
+            p, json.dumps({**stored, **new_colls}, sort_keys=True, default=str)
+        )
     # per-collection scope: ref DeepDiffs config_data[collection] only
     # when collection already exists in the stored file — so only
     # collections present on BOTH sides are compared

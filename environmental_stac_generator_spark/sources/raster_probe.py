@@ -23,6 +23,7 @@ import json
 import re
 import struct
 from collections.abc import Iterator
+from urllib.parse import unquote, urlparse
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -289,6 +290,51 @@ def probe_bytes(path: str, data: bytes) -> dict:
 # the per-file read bounded no matter how large the asset is.
 PROBE_HEADER_BYTES = 16 * 1024 * 1024
 
+# Hadoop filesystem schemes that pyarrow registers under a different
+# canonical name; anything else is handed to FileSystem.from_uri as-is.
+_SCHEME_ALIASES = {"s3a": "s3", "s3n": "s3"}
+
+# RFC 3986 scheme prefix. Deliberately NOT urlparse: Hadoop path
+# strings may carry raw '#' or '?' in file names, which urlparse
+# would split off as fragment/query and silently truncate the path.
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:")
+
+
+def _read_header(uri: str, n: int) -> bytes:
+    """Read the first ``n`` bytes of ``uri``, whatever its scheme.
+
+    The ``binaryFile`` source emits Hadoop-style path strings; local
+    ones open directly (falling back to percent-unquoting, since
+    Hadoop versions differ on whether they escape), while non-local
+    schemes (s3a://, hdfs://, gs://...) resolve through pyarrow's
+    filesystem registry so the probe works on every store the scan
+    itself could list — the kernel previously assumed ``file:`` and
+    aborted the whole scan on anything else (ADVICE r6).
+    """
+    m = _SCHEME_RE.match(uri)
+    scheme = m.group(0)[:-1].lower() if m else ""
+    if scheme in ("", "file"):
+        local = uri[len(scheme) + 1 :] if m else uri
+        try:
+            with open(local, "rb") as fh:
+                return fh.read(n)
+        except OSError:
+            # current Spark emits the path verbatim, but escaped forms
+            # (%20 for a space) exist in the wild; only reinterpret
+            # when the verbatim open failed AND an escape is present,
+            # so a file literally named with '%' still resolves
+            if "%" not in local:
+                raise
+            with open(unquote(local), "rb") as fh:
+                return fh.read(n)
+    from pyarrow import fs as pafs
+
+    canonical = _SCHEME_ALIASES.get(scheme)
+    resolved = uri if canonical is None else f"{canonical}:{uri.split(':', 1)[1]}"
+    filesystem, path = pafs.FileSystem.from_uri(resolved)
+    with filesystem.open_input_stream(path) as stream:
+        return stream.read(n)
+
 
 def probe_assets(
     spark: SparkSession,
@@ -317,9 +363,7 @@ def probe_assets(
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                local = r["path"].removeprefix("file:")
-                with open(local, "rb") as fh:
-                    head = fh.read(header_bytes)
+                head = _read_header(r["path"], header_bytes)
                 info = probe_bytes(r["path"], head)
                 rows.append({"path": r["path"], "length": r["length"], **info})
             yield pd.DataFrame(

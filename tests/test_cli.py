@@ -198,3 +198,21 @@ def test_cli_ingest_overwrite_needs_dsn(spark, landing, tmp_path):
         )
     with pytest.raises(SystemExit, match="jdbc-url"):
         main(["--master", "local[2]", "ingest", str(cat), "--dsn", "x.db"])
+
+
+def test_instantiated_session_attr_still_exists(spark):
+    """cli.main's ownership probe reads the private
+    ``SparkSession._instantiatedSession`` (the process-GLOBAL default
+    that ``getActiveSession`` — thread-local — cannot see). It is
+    internal PySpark API: if a future release renames it, the getattr
+    fallback would silently report "not ours" ... for sessions the CLI
+    DID create, leaking a JVM per invocation. Pin it here so a rename
+    fails loudly instead."""
+    from pyspark.sql import SparkSession
+
+    assert hasattr(SparkSession, "_instantiatedSession"), (
+        "PySpark renamed SparkSession._instantiatedSession — update "
+        "cli.main's owns_session probe to the new global-default probe"
+    )
+    # with a live session (the test fixture), the attr must reflect it
+    assert SparkSession._instantiatedSession is spark

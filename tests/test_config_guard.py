@@ -107,3 +107,26 @@ def test_corrupt_config_file_raises_clear_error(spark, tmp_path):
     p.write_text('{"truncat')  # crash mid-write remnant
     with pytest.raises(ConfigMismatchError, match="not valid JSON"):
         store_or_validate_config(spark, p, {"c": {"f": "1days"}})
+
+
+def test_non_json_native_value_stores_and_revalidates(spark, tmp_path):
+    """A datetime/Path-valued param must persist on the FIRST store in
+    the same default=str canonical form the validator compares
+    (ADVICE r6: the store path previously crashed with TypeError), and
+    an identical second run must pass while a changed one raises."""
+    import datetime as dt
+    from pathlib import Path
+
+    import pytest
+
+    p = tmp_path / "config.json"
+    cfg = {"c": {"start": dt.datetime(2024, 1, 2, 3, 4, 5), "root": Path("/data/x")}}
+    store_or_validate_config(spark, p, cfg)  # first store: must not raise
+    store_or_validate_config(spark, p, cfg)  # identical rerun: passes
+    # brand-new collection with a datetime also exercises the merge write
+    store_or_validate_config(
+        spark, p, {"d": {"start": dt.datetime(2025, 6, 7)}}
+    )
+    changed = {"c": {"start": dt.datetime(1999, 1, 1), "root": Path("/data/x")}}
+    with pytest.raises(ConfigMismatchError, match="start"):
+        store_or_validate_config(spark, p, changed)

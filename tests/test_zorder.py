@@ -65,3 +65,51 @@ def test_quantize_rejects_bits_beyond_mask_width():
     with pytest.raises(ValueError, match=r"\[1, 8\]"):
         quantize_sql("x", 0.0, 1.0, bits=10)
     assert "255" in quantize_sql("x", 0.0, 1.0, bits=8)
+
+
+def _interleave_bits(x: int, y: int) -> int:
+    """Independent per-bit reference: no mask-shift ladder, just the
+    DEFINITION of Morton order (x bits in even positions, y in odd).
+    A constant typo shared between _spread_sql and _py_spread cannot
+    survive this."""
+    z = 0
+    for i in range(8):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_morton_independent_bitloop_and_literal_anchors(spark):
+    # hand-computed literals (worked out on paper, not by either code
+    # path): the oracle SQL for zorder_spatial is GENERATED from
+    # morton_sql/quantize_sql on both engines, so these anchors are
+    # the only check that the shared helpers themselves are right.
+    anchors = [
+        (0, 0, 0),
+        (1, 0, 1),
+        (0, 1, 2),
+        (3, 5, 39),        # x=011 -> 000101, y=101 -> 100010
+        (255, 0, 0x5555),
+        (0, 255, 0xAAAA),
+        (255, 255, 0xFFFF),
+    ]
+    df = spark.createDataFrame(
+        [(x, y) for x, y, _ in anchors], "xq bigint, yq bigint"
+    ).withColumn("z", F.expr(morton_sql("xq", "yq")))
+    got = {(r["xq"], r["yq"]): r["z"] for r in df.collect()}
+    for x, y, expect in anchors:
+        assert got[(x, y)] == expect == _interleave_bits(x, y), (x, y)
+
+
+def test_quantize_literal_anchors(spark):
+    from environmental_stac_generator_spark.functions.zorder import quantize_sql
+
+    # [0, 500) over 256 cells -> width 1.953125; clamps at both ends
+    q = quantize_sql("v", 0.0, 500.0)
+    rows = spark.createDataFrame(
+        [(-5.0,), (0.0,), (1.9,), (250.0,), (499.9,), (500.0,), (1e9,)],
+        "v double",
+    ).selectExpr("v", f"{q} AS cell").collect()
+    expect = {-5.0: 0, 0.0: 0, 1.9: 0, 250.0: 128, 499.9: 255, 500.0: 255, 1e9: 255}
+    for r in rows:
+        assert r["cell"] == expect[r["v"]], r["v"]
