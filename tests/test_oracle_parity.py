@@ -24,13 +24,44 @@ SQL_QUERIES = sorted(name for name, spec in REG.items() if spec.sql is not None)
 ROWS_ONLY = sorted(name for name, spec in REG.items() if spec.sql is None)
 
 
+# The exact driver-entry names, IN ORDER, as recorded in
+# CORRECTNESS_r06.json. Round-over-round correctness comparability
+# rides on these never silently changing: a renamed entry would show
+# up driver-side as one query vanishing and an unknown one appearing,
+# breaking the per-name history (VERDICT r6 #7). Additions must
+# MERGE into an existing consolidated entry (COVERAGE.md merge map);
+# renames must be deliberate — update this literal in the same commit
+# and say why.
+DRIVER_ENTRY_NAMES = [
+    "q1_pricing_summary", "band_stats", "collection_extent",
+    "agg_counts", "overview_pyramid", "band_pivot", "geojson_bbox",
+    "explode_embeddings", "dedup_exact", "minhash_lsh",
+    "lsh_verified_pairs", "text_near_dup", "duplicate_clusters",
+    "bbox_reproject", "zorder_spatial", "skip_existing",
+    "get_or_create_collections", "upsert_merge", "fact_dim_join",
+    "datetime_scalars", "classifier_scalars", "row_scalars",
+    "md5_multihash", "json_props_extract", "config_guard",
+    "cosine_topk", "knn_join", "ann_lsh", "ivf_ann_probe",
+    "kmeans_clusters", "exact_percentiles", "salted_agg",
+    "salted_join", "asof_join_events", "range_join_tiers",
+    "curation_suite", "quality_score", "text_profile",
+    "ordered_select", "windowed_aggs", "time_rollup", "event_cube",
+    "netcdf_scan", "raster_encode", "stac_pipeline",
+    "streaming_suite", "multimodal_pipeline", "asset_probe",
+    "storage_layout", "approx_sketches",
+]
+
+
 def test_driver_window():
     """The driver checks the first 50 queries() entries — the whole
-    consolidated registry must fit, SQL-checked entries first."""
+    consolidated registry must fit, SQL-checked entries first, and
+    the names must match the pinned round-6 list exactly (count and
+    order alone would let a silent rename slip through)."""
     names = list(CONSOLIDATED)
-    assert len(names) <= 50
+    assert names == DRIVER_ENTRY_NAMES
     sql_flags = [CONSOLIDATED[n].sql is not None for n in names]
-    assert all(sql_flags[: sql_flags.count(True)]), "SQL entries must lead"
+    assert sql_flags.count(True) == 42, "42 SQL-checked entries"
+    assert all(sql_flags[:42]), "SQL entries must lead"
 
 
 @pytest.mark.parametrize("name", SQL_QUERIES)
