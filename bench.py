@@ -75,6 +75,10 @@ def main() -> None:
         app_name="envstac-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
+        # executor-realistic heap: local[32] previously ran on Spark's
+        # 1g cluster-driver default, so all 32 task threads shared 1 GB
+        # — a GC regime no real executor sees (r7 machine-config fix)
+        driver_memory=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     )
     spark.sparkContext.setLogLevel("ERROR")
     reg = load_full_registry()
@@ -107,6 +111,12 @@ def main() -> None:
             .format("noop")
             .save()
         )
+    # bench-only row #2 (VERDICT r6 #2): the one-call curate chain —
+    # the product surface a real user runs (CLI `curate`). It was
+    # pytest-e2e'd but never timed, so a regression in its stage
+    # materialization/reuse would be invisible round-over-round.
+    # Tracked per-row, EXCLUDED from `value` like auto_k.
+    timings["curate_chain"] = _best_of(lambda: _curate_chain_run(spark, sf_dir))
 
     calib_end = _calibration_probe(spark)
     steal1 = _steal_jiffies()
@@ -161,6 +171,19 @@ def _best_of(run) -> float:
         attempts.append(time.perf_counter() - t0)
         release_tracked()
     return round(min(attempts), 3)
+
+
+def _curate_chain_run(spark, sf_dir):
+    """One default-config curate() pass: exact dedup → near-dup LSH →
+    quality scoring → sequence packing, every stage materialized and
+    counted exactly as the CLI runs it."""
+    from environmental_stac_generator_spark.plans.curation_pipeline import (
+        curate,
+    )
+    from environmental_stac_generator_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    return curate(docs).stats
 
 
 def _auto_k_df(spark, sf_dir):
@@ -356,6 +379,285 @@ def _synthesize_soak_dir(src: str, factor: int) -> tuple[str, int]:
     return str(base), len(docs) * factor
 
 
+# --- natural-regime scale block (VERDICT r6 #1/#3/#5) -------------------
+# The 10x soak corpus (50k docs) sits below every stats gate, so its
+# scale plans only run under the force_scale_plans override. This
+# block synthesizes a corpus big enough that the parquet FOOTER STATS
+# flip every gate on their own (>SMALL_INPUT_ROWS documents,
+# >DRIVER_CC_PAIRS duplicate pairs), proving the thresholds are
+# placed right, and adds the two fixtures the plan audit said AQE
+# elides at bench sf: a viral document whose LSH buckets exceed
+# max_bucket (the mega-bucket fallback join actually executes) and an
+# all-conflict upsert (the JDBC chokepoint, measured at two batch
+# sizes).
+
+# 5000 docs/replica -> 1.25M docs > SMALL_INPUT_ROWS (the env
+# override exists for smoke-testing the block's plumbing quickly; the
+# recorded SOAK artifact always uses the default)
+NATURAL_FACTOR = int(os.environ.get("SPARK_GRAFT_NATURAL_FACTOR", "250"))
+VIRAL_COPIES = int(os.environ.get("SPARK_GRAFT_VIRAL_COPIES", "3000"))
+MEGA_MAX_BUCKET = 1_000  # cap the fallback must kick in above
+
+
+def _synthesize_natural_dir(
+    src: str, factor: int = NATURAL_FACTOR, viral: int = VIRAL_COPIES
+) -> tuple[str, int]:
+    """Documents-only corpus for the natural-regime block. Unlike the
+    10x fixture (whole-corpus replication, so duplicate-group size
+    GROWS with the factor — at 250x each group would be a 250-clique
+    and pair counts would explode quadratically, which no real corpus
+    does), replicas here are DISTINCT documents: every token carries
+    a per-replica tag, so no shingle survives across replicas. The
+    duplicate share stays constant and bounded instead — every 10th
+    replica is an exact copy of its predecessor (multiplicity-2
+    groups, ~10% dup rate), plus one viral document at ``viral``
+    exact copies whose LSH buckets exceed any sane ``max_bucket``."""
+    import tempfile
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    base = Path(tempfile.mkdtemp(prefix="envstac_natural_"))
+    docs = pq.read_table(f"{src}/documents.parquet").to_pandas()
+    span = int(docs["doc_id"].max()) + 1
+    reps = []
+    prev_text = docs["text"]
+    for r in range(factor):
+        d = docs.copy()
+        d["doc_id"] = d["doc_id"] + r * span
+        if r and r % 10 == 9:
+            d["text"] = prev_text.values  # exact dup of replica r-1
+        elif r:
+            tag = f"r{r}x"
+            d["text"] = tag + d["text"].str.replace(" ", " " + tag, regex=False)
+        prev_text = d["text"]
+        reps.append(d)
+    vtext = " ".join(f"viraltok{i}" for i in range(54))
+    viral_df = pd.DataFrame(
+        {
+            "doc_id": range(factor * span, factor * span + viral),
+            "text": vtext,
+            "lang": "en",
+            "source": "srcviral",
+        }
+    )
+    out = pd.concat([*reps, viral_df], ignore_index=True)
+    out["n_chars"] = out["text"].str.len()
+    # small row groups: parquet scans parallelize per row group, and
+    # pyarrow's default (~1M rows) would hand the whole corpus to one
+    # or two scan tasks — the tokenize-heavy stages would then run at
+    # 1/32 of the machine and the block would measure the fixture's
+    # layout, not the engine
+    out.to_parquet(base / "documents.parquet", row_group_size=65536)
+    return str(base), len(out)
+
+
+def _timed_plan(df) -> tuple[float, str]:
+    """(seconds, executed plan string) for one full execution of the
+    frame's own QueryExecution — the adaptive FINAL plan, same
+    methodology as _run_and_bad_joins."""
+    from environmental_stac_generator_spark.operators.lineage import (
+        release_tracked,
+    )
+
+    t0 = time.perf_counter()
+    qe = df._jdf.queryExecution()
+    qe.toRdd().count()
+    sec = round(time.perf_counter() - t0, 3)
+    plan = qe.executedPlan().toString()
+    release_tracked()
+    return sec, plan
+
+
+def _natural_scale_block(spark, sf_dir: str, reg) -> tuple[dict, list[str], str]:
+    import pyspark.sql.functions as F
+
+    from environmental_stac_generator_spark.queries.curation import span_dedup
+    from environmental_stac_generator_spark.queries.dedup import (
+        _components_label,
+        bands_of,
+        lsh_candidate_pairs,
+    )
+    from environmental_stac_generator_spark.tables import load
+
+    nat_dir, nat_rows = _synthesize_natural_dir(sf_dir)
+    res: dict = {
+        "doc_rows": nat_rows,
+        "factor": NATURAL_FACTOR,
+        "viral_copies": VIRAL_COPIES,
+    }
+    failures: list[str] = []
+
+    # 1. the CBO gates must flip on footer stats ALONE (no force
+    # flag): the bucketed prefix sums plan without a single-reducer
+    # exchange, span dedup without a window
+    for name, must_not in [
+        ("token_budget_select", "Exchange SinglePartition"),
+        ("sequence_pack", "Exchange SinglePartition"),
+        ("span_dedup", "Window ["),
+    ]:
+        sec, plan = _timed_plan(reg[name].fn(spark, nat_dir))
+        res[f"{name}_sec"] = sec
+        if must_not in plan:
+            failures.append(
+                f"natural regime: {name} gate did NOT flip on stats "
+                f"(plan still contains {must_not!r})"
+            )
+    # 2. the span crossover datapoint: the WINDOW plan at the same
+    # size (it buffers the viral hash group in one task) vs the
+    # skew-safe time recorded above — PLANS.md documents where the
+    # window plan loses
+    sec, _ = _timed_plan(span_dedup(spark, nat_dir, skew_safe=False))
+    res["span_dedup_window_sec"] = sec
+
+    # 3. connected components: the pair count (~constant dup share of
+    # 1.25M docs + the viral clique) exceeds DRIVER_CC_PAIRS, so the
+    # distributed fixpoint must engage off stats alone
+    t0 = time.perf_counter()
+    labels, cc_rounds = _components_label(lsh_candidate_pairs(spark, nat_dir))
+    labels.write.mode("overwrite").format("noop").save()
+    res["duplicate_clusters_sec"] = round(time.perf_counter() - t0, 3)
+    res["cc_rounds"] = cc_rounds
+    if cc_rounds < 1:
+        failures.append(
+            "natural regime: duplicate_clusters still took the driver "
+            "union-find below DRIVER_CC_PAIRS"
+        )
+
+    # 4. the mega-bucket fallback join, executed for REAL: the viral
+    # doc's clique shares every band bucket, so with max_bucket=1000
+    # those buckets can ONLY produce pairs through the
+    # bucket-restricted self-join branch of bucket_pairs — recovering
+    # all C(viral, 2) clique pairs is behavioral proof the fallback
+    # ran (the map-side small-bucket branch never sees them)
+    d = load(spark, nat_dir, "documents")
+    over = (
+        bands_of(d)
+        .groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > MEGA_MAX_BUCKET)
+        .count()
+    )
+    res["buckets_over_cap"] = over
+    if over < 1:
+        failures.append("natural regime: no bucket exceeded MEGA_MAX_BUCKET")
+    t0 = time.perf_counter()
+    n_pairs = lsh_candidate_pairs(
+        spark, nat_dir, max_bucket=MEGA_MAX_BUCKET
+    ).count()
+    res["mega_fallback_sec"] = round(time.perf_counter() - t0, 3)
+    res["mega_fallback_pairs"] = n_pairs
+    clique = VIRAL_COPIES * (VIRAL_COPIES - 1) // 2
+    if n_pairs < clique:
+        failures.append(
+            f"mega-bucket fallback lost clique pairs: {n_pairs} < {clique}"
+        )
+    from environmental_stac_generator_spark.operators.lineage import (
+        release_tracked,
+    )
+
+    release_tracked()
+    return res, failures, nat_dir
+
+
+def _semdedup_mega_fallback(spark, soak_dir: str) -> dict:
+    """Run the SemDeDup pair stage with max_bucket far below the
+    actual cluster populations (~20k vectors over K=32 clusters →
+    mean 625, so by pigeonhole clusters above 50 MUST exist): the
+    cluster-restricted self-join branch of the skew-safe path — the
+    analog of dedup's mega-bucket fallback, which AQE's
+    empty-relation propagation elides at bench sf — provably
+    executes and is timed."""
+    from environmental_stac_generator_spark.queries.similarity import (
+        semantic_pairs_of,
+    )
+    from environmental_stac_generator_spark.tables import load
+
+    e = load(spark, soak_dir, "embeddings").select("vec_id", "embedding")
+    t0 = time.perf_counter()
+    n = semantic_pairs_of(e, max_bucket=50).count()
+    sec = round(time.perf_counter() - t0, 3)
+    from environmental_stac_generator_spark.operators.lineage import (
+        release_tracked,
+    )
+
+    release_tracked()
+    return {"max_bucket": 50, "pairs": n, "sec": sec}
+
+
+def _upsert_throughput(spark, soak_dir: str) -> dict:
+    """K5 rows/s through the real ``upsert_partition`` path (VERDICT
+    r6 #5) against the embedded ON CONFLICT engine, at two batch
+    sizes plus an all-conflict re-upsert. The ``batch_size`` knob is
+    the executemany round-trip granularity — the lever to turn when a
+    live pgSTAC shows per-statement latency dominating."""
+    import os as _os
+    import tempfile
+
+    from environmental_stac_generator_spark.sinks.jdbc_upsert import (
+        sqlite_connection_factory,
+        upsert_dataframe,
+    )
+    from environmental_stac_generator_spark.tables import load
+
+    d = (
+        load(spark, soak_dir, "documents")
+        .selectExpr(
+            "cast(doc_id as string) AS id",
+            "source AS collection",
+            "to_json(struct(doc_id, lang, n_chars)) AS content",
+        )
+        .repartition(8)
+    )
+    out: dict = {}
+    for bs in (500, 5000):
+        db = tempfile.mktemp(prefix="envstac_upsert_", suffix=".db")
+        conn = sqlite_connection_factory(db)
+        conn.execute(
+            "CREATE TABLE items (id TEXT, collection TEXT, content TEXT,"
+            " PRIMARY KEY (id, collection))"
+        )
+        conn.commit()
+        conn.close()
+        t0 = time.perf_counter()
+        n = upsert_dataframe(
+            d,
+            db,
+            "items",
+            ["id", "collection"],
+            batch_size=bs,
+            connection_factory=sqlite_connection_factory,
+            paramstyle="qmark",
+        )
+        sec = time.perf_counter() - t0
+        out[f"insert_batch_{bs}"] = {
+            "rows": n,
+            "sec": round(sec, 3),
+            "rows_per_sec": int(n / sec),
+        }
+        if bs == 5000:
+            # every row now conflicts: the DO UPDATE arm, which is
+            # what a re-ingest of an existing catalog exercises
+            t0 = time.perf_counter()
+            n2 = upsert_dataframe(
+                d,
+                db,
+                "items",
+                ["id", "collection"],
+                batch_size=bs,
+                connection_factory=sqlite_connection_factory,
+                paramstyle="qmark",
+            )
+            sec2 = time.perf_counter() - t0
+            out["conflict_batch_5000"] = {
+                "rows": n2,
+                "sec": round(sec2, 3),
+                "rows_per_sec": int(n2 / sec2),
+            }
+        _os.unlink(db)
+    return out
+
+
 def _run_and_bad_joins(df) -> set[str]:
     """Execute the dataframe's OWN QueryExecution and inspect that
     plan: a noop write runs a separate QueryExecution, so AQE
@@ -388,6 +690,10 @@ def soak() -> None:
         app_name="envstac-soak",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
+        # the natural-regime block scans a >1M-doc corpus; Spark's 1g
+        # local-mode default heap OOMs there (32 task threads share
+        # the driver JVM — see session.DEFAULT_DRIVER_MEMORY)
+        driver_memory=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
     )
     spark.sparkContext.setLogLevel("ERROR")
     reg = load_full_registry()
@@ -485,6 +791,26 @@ def soak() -> None:
             )
     finally:
         force_scale_plans(False)
+
+    # the one-call curate chain at 10x (VERDICT r6 #2) — separate key,
+    # NOT summed into `value`, so soak totals stay comparable
+    t0 = time.perf_counter()
+    chain_stats = _curate_chain_run(spark, soak_dir)
+    curate_chain = {
+        "sec": round(time.perf_counter() - t0, 3),
+        "stats": chain_stats,
+    }
+
+    # K5 upsert throughput + the SemDeDup mega-cluster fallback, both
+    # at the 10x corpus (VERDICT r6 #3/#5)
+    upsert = _upsert_throughput(spark, soak_dir)
+    sem_mega = _semdedup_mega_fallback(spark, soak_dir)
+
+    # the natural-regime block: gates must flip on footer stats alone
+    # (VERDICT r6 #1), mega-bucket fallback provably executes (#3)
+    natural, nat_failures, nat_dir = _natural_scale_block(spark, sf_dir, reg)
+    shape_failures.extend(nat_failures)
+
     calib_end = _calibration_probe(spark)
     steal1 = _steal_jiffies()
     total = round(sum(timings.values()), 3)
@@ -496,6 +822,10 @@ def soak() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "forced_scale": forced,
+                "curate_chain": curate_chain,
+                "upsert_throughput": upsert,
+                "semdedup_mega_fallback": sem_mega,
+                "natural_scale": natural,
                 "base_sf_dir": sf_dir,
                 "scale_factor": SOAK_FACTOR,
                 "doc_rows": doc_rows,
@@ -506,6 +836,7 @@ def soak() -> None:
         )
     )
     shutil.rmtree(soak_dir, ignore_errors=True)
+    shutil.rmtree(nat_dir, ignore_errors=True)
     spark.stop()
     if shape_failures or degraded:
         sys.exit(1)

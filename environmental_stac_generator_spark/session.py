@@ -24,11 +24,22 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+# local-mode heap: Spark's 1g driver default is sized for a CLUSTER
+# driver that only coordinates — but local[N] runs every executor
+# thread inside the driver JVM, so N concurrent tasks share that 1 GB
+# and a million-document scan OOMs where a real cluster would not
+# (each executor there gets its own multi-GB heap). 4g keeps tests
+# comfortable on small CI hosts; bench/soak raise it via the env var
+# to executor-realistic sizes. Only effective for the process's FIRST
+# session (the JVM heap is fixed at launch).
+DEFAULT_DRIVER_MEMORY = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g")
+
 
 def get_spark(
     app_name: str = "environmental-stac-generator-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine's defaults.
 
@@ -38,6 +49,9 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name)
     if master:
         builder = builder.master(master)
+        builder = builder.config(
+            "spark.driver.memory", driver_memory or DEFAULT_DRIVER_MEMORY
+        )
     sp = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
     builder = (
         builder.config("spark.sql.session.timeZone", "UTC")
