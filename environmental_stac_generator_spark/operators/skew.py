@@ -126,6 +126,93 @@ def salted_join(
     )
 
 
+def blocked_self_pairs(
+    members: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    n_col: str,
+    max_block: int,
+) -> DataFrame:
+    """All unordered intra-key row pairs, triangle-blocked: a key with
+    ``n`` rows is split into ``S = ceil(n / max_block)`` deterministic
+    hash blocks and its O(n²) pair generation runs as S·(S+1)/2
+    independent block-pair reducers instead of one.
+
+    This is the correct mega-bucket fallback shape for a hot key at
+    100 TB. A plain self-join on ``key_cols`` is NOT skew-safe even
+    though it avoids collect_list: the join hash-partitions on the
+    key, so every candidate pair of a viral bucket — O(n²) of them —
+    is enumerated by the single reducer that owns that key, and both
+    join sides buffer the full bucket there. Here each side is
+    replicated ~S/2× with explicit block coordinates and the join key
+    is (key, block_i, block_j), so every reducer holds exactly two
+    ~max_block-row blocks regardless of which side the planner
+    buffers, and work per reducer is ≤ max_block² pairs.
+
+    ``members`` must be distinct on (key_cols, id_col) and carry an
+    ``n_col`` column with the key's (distinct) row count — callers
+    already know it from the size gate that routed them here. Every
+    other column is treated as payload and returned twice, prefixed
+    ``a_`` / ``b_``, oriented so ``a_<id_col> < b_<id_col>`` — the
+    exact pair set a naive self-join with an id-ordering filter
+    emits, property-tested equal in tests/test_properties.py.
+
+    The block id is ``pmod(xxhash64(id), S)`` — deterministic, so
+    plans replay identically and results stay oracle-checkable.
+    """
+    payload = [c for c in members.columns if c not in {*key_cols, n_col}]
+    if id_col not in payload:
+        raise ValueError(f"id_col {id_col!r} must be a non-key column")
+    m = members.withColumn(
+        "_blocks",
+        F.greatest(
+            F.lit(1), F.ceil(F.col(n_col) / F.lit(max_block))
+        ).cast("int"),
+    ).withColumn(
+        "_g", F.pmod(F.xxhash64(F.col(id_col)), F.col("_blocks")).cast("int")
+    )
+    # left side: a block-g row participates in block pairs (g, j) for
+    # j in [g, S); right side: in pairs (i, g) for i in [0, g]. Each
+    # unordered block pair (i, j), i <= j, meets at exactly one join
+    # key, so cross-block row pairs appear once; same-block pairs
+    # (i == j) appear in both orientations and the id filter keeps one.
+    lhs = m.withColumn(
+        "_bj", F.explode(F.sequence(F.col("_g"), F.col("_blocks") - F.lit(1)))
+    ).select(
+        *key_cols,
+        F.col("_g").alias("_bi"),
+        "_bj",
+        *[F.col(c).alias(f"_l_{c}") for c in payload],
+    )
+    rhs = m.withColumn(
+        "_bi", F.explode(F.sequence(F.lit(0), F.col("_g")))
+    ).select(
+        *key_cols,
+        "_bi",
+        F.col("_g").alias("_bj"),
+        *[F.col(c).alias(f"_r_{c}") for c in payload],
+    )
+    lid, rid = F.col(f"_l_{id_col}"), F.col(f"_r_{id_col}")
+    joined = lhs.join(rhs, [*key_cols, "_bi", "_bj"]).filter(
+        (F.col("_bi") < F.col("_bj")) | (lid < rid)
+    )
+    asc = lid < rid
+    return joined.select(
+        *[
+            F.when(asc, F.col(f"_l_{c}"))
+            .otherwise(F.col(f"_r_{c}"))
+            .alias(f"a_{c}")
+            for c in payload
+        ],
+        *[
+            F.when(asc, F.col(f"_r_{c}"))
+            .otherwise(F.col(f"_l_{c}"))
+            .alias(f"b_{c}")
+            for c in payload
+        ],
+    )
+
+
 def skew_report(df: DataFrame, keys: list[str], top: int = 10) -> DataFrame:
     """Diagnose key skew before choosing a remedy: per-key counts in
     one shuffle, then the tiny count table re-aggregates into a

@@ -205,44 +205,76 @@ def bucket_pairs(
 ) -> DataFrame:
     """Ordered id pairs per bucket, skew-safe.
 
-    Small buckets (the near-dup common case) collect into an in-row
-    sorted array and generate pairs MAP-SIDE — one shuffle, no join.
-    Buckets larger than ``max_bucket`` would blow executor memory as
-    arrays (and produce O(n²) pairs regardless), so they go through a
-    bucket-restricted self-join instead: same result set, no
-    collect_list of a mega-bucket. The size split consumes the
-    grouped relation twice; persist materializes it once (ReuseExchange
-    alone re-runs the reduce-side collect agg per consumer — measured
-    ~2x slower on the bench protocol). The cached relation is the
-    deduplicated bucket table (ids only, never text); the pin is
-    TRACKED (``lineage.persist_tracked``) so the curate chain / engine
-    release it once downstream materializes — no unbounded
-    per-input-frame accumulation (ADVICE r4)."""
+    Routing is by a COUNTED size, not a collected array: a cheap
+    per-bucket ``count(*)`` (single-phase, map-side combine — the
+    shuffle carries one partial row per bucket per task) finds the
+    over-cap keys before any bucket is ever materialized as one
+    in-memory object. The pre-r7 shape filtered
+    ``size(collect_set(...))`` AFTER the collect, so a viral bucket's
+    full member array was still built in a single aggregation buffer
+    — the exact executor-memory blow-up ``max_bucket`` exists to
+    prevent (caught by the r7 natural-regime soak work). ``count(*)``
+    is an UPPER BOUND on the distinct size (callers feed one row per
+    (bucket, id)); over-routing a duplicate-heavy bucket to the
+    blocked path only changes the plan, never the pair set, because
+    that path dedups first.
+
+    - Small buckets (the near-dup common case) anti-join away the
+      over-cap keys — a relation bounded by rows/``max_bucket``, so
+      AQE broadcasts it (and with zero mega keys, empty-relation
+      propagation collapses the anti-join entirely, leaving the same
+      single collect-shuffle plan as before the routing existed) —
+      then collect into an in-row sorted array bounded by
+      ``max_bucket`` and generate pairs MAP-SIDE, no join.
+    - Mega buckets take :func:`operators.skew.blocked_self_pairs`:
+      the bucket is hash-split into ~``max_bucket``-row blocks and
+      pairs are enumerated per block-pair reducer, so one viral
+      bucket's O(n²) work runs at S² task width instead of on the one
+      reducer that owns its key (which is where a plain
+      bucket-keyed self-join — the previous fallback — puts it).
+
+    The persisted relation is the (bucket, id) projection (ids only,
+    never text), consumed by the count pass and both routed sides;
+    the pin is TRACKED (``lineage.persist_tracked``) so the curate
+    chain / engine release it once downstream materializes — no
+    unbounded per-input-frame accumulation (ADVICE r4)."""
     from environmental_stac_generator_spark.operators.lineage import (
         persist_tracked,
     )
+    from environmental_stac_generator_spark.operators.skew import (
+        blocked_self_pairs,
+    )
 
-    grouped = persist_tracked(
-        members.groupBy(*bucket_cols)
+    ids = persist_tracked(members.select(*bucket_cols, id_col))
+    mega_keys = (
+        ids.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_bucket)
+    )
+    small_pairs = (
+        ids.join(
+            mega_keys.select(*bucket_cols), list(bucket_cols), "left_anti"
+        )
+        .groupBy(*bucket_cols)
         .agg(F.sort_array(F.collect_set(id_col)).alias("ds"))
         .filter(F.size("ds") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (a, i) -> "
+                    "transform(slice(ds, i + 2, size(ds)), b -> struct(a AS doc_a, b AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
     )
-    small = grouped.filter(F.size("ds") <= max_bucket)
-    small_pairs = small.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ds, (a, i) -> "
-                "transform(slice(ds, i + 2, size(ds)), b -> struct(a AS doc_a, b AS doc_b))))"
-            )
-        ).alias("p")
-    ).select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-    big = grouped.filter(F.size("ds") > max_bucket).select(
-        *bucket_cols, F.explode("ds").alias(id_col)
+    mega = ids.join(mega_keys, list(bucket_cols)).dropDuplicates(
+        [*bucket_cols, id_col]
     )
-    a = big.select(*bucket_cols, F.col(id_col).alias("doc_a"))
-    b = big.select(*bucket_cols, F.col(id_col).alias("doc_b"))
-    big_pairs = a.join(b, bucket_cols).filter(F.col("doc_a") < F.col("doc_b")).select(
-        "doc_a", "doc_b"
+    big_pairs = blocked_self_pairs(
+        mega, list(bucket_cols), id_col, "_n", max_bucket
+    ).select(
+        F.col(f"a_{id_col}").alias("doc_a"), F.col(f"b_{id_col}").alias("doc_b")
     )
     return small_pairs.unionByName(big_pairs).distinct()
 

@@ -995,30 +995,34 @@ def semantic_pairs_of(
                 F.col("p.b.nrm").alias("nrm_b"),
             )
         )
-        big_m = members.filter(F.col("cluster").isin(big_ids))
-        big_pairs = (
-            big_m.select(
-                "cluster",
-                F.col("vec_id").alias("vec_a"),
-                F.col("embedding").alias("emb_a"),
-                F.col("nrm").alias("nrm_a"),
-            )
-            .join(
-                big_m.select(
-                    "cluster",
-                    F.col("vec_id").alias("vec_b"),
-                    F.col("embedding").alias("emb_b"),
-                    F.col("nrm").alias("nrm_b"),
-                ),
-                "cluster",
-            )
-            .filter(F.col("vec_a") < F.col("vec_b"))
+        # mega-clusters: triangle-blocked pair join (operators.skew).
+        # A plain cluster-keyed self-join is not skew-safe — it hands
+        # a viral cluster's entire O(n²) cosine workload to the one
+        # reducer owning its key and buffers the full cluster there;
+        # the blocked shape bounds every reducer at two
+        # ~max_bucket-row blocks. Block counts come from the same
+        # driver-known FINAL sizes the gate itself used (K rows).
+        from environmental_stac_generator_spark.operators.skew import (
+            blocked_self_pairs,
         )
-        pairs = small_pairs.unionByName(
-            big_pairs.select(
-                "vec_a", "emb_a", "nrm_a", "vec_b", "emb_b", "nrm_b"
-            )
+
+        sizes_df = spark.createDataFrame(
+            [(int(c), int(n)) for c, n in sizes if n > max_bucket],
+            schema="cluster bigint, _n bigint",
         )
+        big_m = members.filter(F.col("cluster").isin(big_ids)).join(
+            F.broadcast(sizes_df), "cluster"
+        )
+        bp = blocked_self_pairs(big_m, ["cluster"], "vec_id", "_n", max_bucket)
+        big_pairs = bp.select(
+            F.col("a_vec_id").alias("vec_a"),
+            F.col("a_embedding").alias("emb_a"),
+            F.col("a_nrm").alias("nrm_a"),
+            F.col("b_vec_id").alias("vec_b"),
+            F.col("b_embedding").alias("emb_b"),
+            F.col("b_nrm").alias("nrm_b"),
+        )
+        pairs = small_pairs.unionByName(big_pairs)
     # no global sort here: chain consumers (semantic dedup's anti-join)
     # are order-free, and a 100 TB pair relation must not pay a range
     # exchange for cosmetics — the registered query orders for its
