@@ -161,3 +161,49 @@ def test_salted_join_rejects_outer_joins(spark):
     # left keeps exactly one row for an unmatched big-side key
     left = salted_join(big, small, "k", salt_from="v", how="left").collect()
     assert len(left) == 1 and left[0]["w"] is None
+
+
+def test_blocked_self_pairs_matches_naive_combinations(spark):
+    """blocked_self_pairs must emit exactly the unordered intra-key
+    pair set (oriented a_id < b_id), each pair once, across block
+    counts S = 1..ceil(n/max_block), with payload columns carried on
+    both sides. Sizes straddle the block boundary so same-block,
+    cross-block, and single-block keys all occur."""
+    import itertools
+
+    from environmental_stac_generator_spark.operators.skew import (
+        blocked_self_pairs,
+    )
+
+    sizes = {"k1": 1, "k2": 2, "k3": 7, "k4": 8, "k5": 23}
+    rows = [
+        (k, f"{k}_id{i:02d}", i * 10)
+        for k, n in sizes.items()
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "k string, doc string, pay int")
+    # carry the true per-key count the way callers do
+    counts = df.groupBy("k").agg(F.count(F.lit(1)).alias("_n"))
+    members = df.join(counts, "k")
+    out = blocked_self_pairs(members, ["k"], "doc", "_n", max_block=7)
+    got = {(r["a_doc"], r["b_doc"], r["a_pay"], r["b_pay"]) for r in out.collect()}
+    want = set()
+    for k, n in sizes.items():
+        ids = sorted((f"{k}_id{i:02d}", i * 10) for i in range(n))
+        for (a, pa), (b, pb) in itertools.combinations(ids, 2):
+            want.add((a, b, pa, pb))
+    assert got == want
+    # every pair oriented, none duplicated even where S > 1 (k5 -> S=4)
+    assert all(a < b for a, b, _, _ in got)
+
+
+def test_blocked_self_pairs_requires_non_key_id(spark):
+    import pytest
+
+    from environmental_stac_generator_spark.operators.skew import (
+        blocked_self_pairs,
+    )
+
+    df = spark.createDataFrame([("a", 1, 2)], "k string, doc int, _n int")
+    with pytest.raises(ValueError, match="id_col"):
+        blocked_self_pairs(df, ["k", "doc"], "doc", "_n", max_block=2)
