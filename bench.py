@@ -65,6 +65,10 @@ HEADLINE = [
     "importance_weights",
     "perplexity_score",
     "int8_quantize",
+    # r7 additions — new HEADLINE rows; round-over-round total
+    # comparisons use the shared-row subset, as in r5/r6
+    "pq_encode",
+    "pq_ann_probe",
 ]
 
 

@@ -392,7 +392,25 @@ def build(full: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
                     "stage).",
                 ),
             ),
-            keep("ivf_ann_probe"),
+            (
+                "ivf_ann_probe",
+                _merged(
+                    full,
+                    [("a", "bigint"), ("b", "bigint"), ("metric", "double")],
+                    [
+                        ("ivf", "ivf_ann_probe",
+                         {"a": "vec_id", "metric": "cosine"}),
+                        ("pq_code", "pq_encode",
+                         {"a": "vec_id", "b": "m", "metric": "code"}),
+                        ("pq_adc", "pq_ann_probe",
+                         {"a": "vec_id", "metric": "adc"}),
+                    ],
+                    doc="Quantized ANN: IVF cell-probe ranking + product-"
+                    "quantization codes (32x compression, fixed-sample "
+                    f"codebooks) + PQ ADC top-k probe (absorbs "
+                    "ivf_ann_probe, pq_encode, pq_ann_probe — r7).",
+                ),
+            ),
             keep("kmeans_clusters"),
             # ---- sketches / skew / temporal ------------------------
             keep("exact_percentiles"),

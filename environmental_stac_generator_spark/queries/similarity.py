@@ -1082,3 +1082,244 @@ def int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.posexplode(q).alias("idx", "q"))
         .select("vec_id", F.col("idx").cast("bigint").alias("idx"), "q")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — Jégou, Douze & Schmid, "Product
+# Quantization for Nearest Neighbor Search" (TPAMI 2011). The third
+# leg of the ANN/compression surface next to LSH (`ann_lsh_*`), IVF
+# (`ivf_ann_probe`) and scalar int8 (`int8_quantize`): the embedding
+# is split into PQ_M subspaces and each subvector is replaced by the
+# index of its nearest codebook centroid, so a dim-64 float32 vector
+# (256 B) stores as PQ_M uint8 codes (8 B, 32x). ADC (asymmetric
+# distance computation) then answers probes by summing PQ_M
+# table-lookups per vector — the scan reads CODES, never floats,
+# which is what makes a 100 TB corpus scannable from memory.
+#
+# Codebooks: the registered queries use the first PQ_K vectors (by
+# vec_id) as each subspace's codebook — the same fixed-sample
+# convention as `ivf_ann_probe`'s coarse centroids, which keeps the
+# DuckDB oracle fully SQL-derivable from the data (no literal
+# codebooks to leak float formatting through). A production index
+# would Lloyd-train them: `pq_train_codebook` does exactly that on a
+# driver-bounded sample and feeds the same `pq_encode_of` kernel
+# (property-tested to never increase total quantization error vs the
+# sampled codebook it starts from).
+#
+# Determinism contract with the oracle (same argument as `_dot_sql`):
+# subtraction/multiply on float32-widened doubles are exact IEEE ops
+# on both engines, both sides sum the dsub squared terms
+# left-to-right (aggregate HOF from 0.0 here, left-assoc `+` there;
+# 0.0 + t == t bitwise for the non-negative squares), and argmin
+# tie-breaks on the lowest code on both (struct-ordered array_min
+# here, `ORDER BY dist, k` row_number there).
+
+PQ_M = 8  # subspaces (codes per vector)
+PQ_K = 16  # centroids per subspace codebook (uint8-range, 4 bits used)
+
+
+def _pq_sample_codebook(e: DataFrame) -> list[list[float]]:
+    """First PQ_K vectors by vec_id — the fixed sample codebook (one
+    K-row driver collect, the IVF centroid-bootstrap pattern)."""
+    rows = sorted(
+        e.filter(F.col("vec_id") < PQ_K).select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    return [[float(v) for v in r.embedding] for r in rows]
+
+
+def _pq_sqdist_sql(off: int, dsub: int, cvals: list[float]) -> str:
+    """Squared L2 distance between the row's [off, off+dsub) slice and
+    a literal centroid subvector — sequential-double sum, the sqdist
+    twin of :func:`_dot_sql`."""
+    return (
+        f"aggregate(zip_with(slice(embedding, {off}, {dsub}), {_vec_sql(cvals)}, "
+        "(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _pq_code_sql(m: int, dsub: int, cb: list[list[float]]) -> str:
+    """argmin centroid index for subspace ``m``: array_min over
+    (dist, k) structs — ties take the lowest code."""
+    off = m * dsub + 1
+    structs = ", ".join(
+        f"struct({_pq_sqdist_sql(off, dsub, c[m * dsub:(m + 1) * dsub])} AS d, "
+        f"{k} AS k)"
+        for k, c in enumerate(cb)
+    )
+    return f"cast(array_min(array({structs})).k as bigint)"
+
+
+def pq_encode_of(e: DataFrame, codebook: list[list[float]] | None = None) -> DataFrame:
+    """(vec_id, m, code) PQ codes — ONE map-side scan, zero shuffle:
+    every code is a codegen'd argmin over literal centroids, exactly
+    the expression shape of `ivf_ann_probe`'s cell assignment. The
+    long grain is the oracle-hashable view of the packed uint8 row a
+    sink would write."""
+    cb = codebook if codebook is not None else _pq_sample_codebook(e)
+    spark = e.sparkSession
+    if not cb:
+        return spark.createDataFrame([], "vec_id bigint, m bigint, code bigint")
+    dsub = len(cb[0]) // PQ_M
+    if dsub == 0:
+        raise ValueError(f"embedding dim {len(cb[0])} < PQ_M={PQ_M}")
+    codes = ", ".join(_pq_code_sql(m, dsub, cb) for m in range(PQ_M))
+    return e.select(
+        "vec_id", F.posexplode(F.expr(f"array({codes})")).alias("m", "code")
+    ).select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.col("m").cast("bigint").alias("m"),
+        "code",
+    )
+
+
+_PQ_DUCK_TERMS = " + ".join(
+    f"(e[r.m*8+{i}]-c[r.m*8+{i}])*(e[r.m*8+{i}]-c[r.m*8+{i}])" for i in range(1, 9)
+)
+# the codebook/codes CTE chain is derived from the DATA in SQL (first
+# PQ_K rows), independently of the Spark expression generators — the
+# ADVICE r7 zorder lesson: the two engines must not share generated
+# text, and tests/test_similarity_pq.py anchors both against
+# hand-computed literals besides.
+_PQ_DUCK_CODES = f"""cb AS (
+      SELECT vec_id AS k, CAST(embedding AS DOUBLE[]) AS c
+      FROM embeddings WHERE vec_id < {PQ_K}
+    ),
+    vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    d AS (
+      SELECT vecs.vec_id, r.m, cb.k, {_PQ_DUCK_TERMS} AS dist
+      FROM vecs CROSS JOIN range({PQ_M}) r(m) CROSS JOIN cb
+    ),
+    codes AS (
+      SELECT vec_id, m, k,
+             row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS rn
+      FROM d
+    )"""
+
+
+@register(
+    "pq_encode",
+    f"""
+    WITH {_PQ_DUCK_CODES}
+    SELECT vec_id, CAST(m AS BIGINT) AS m, CAST(k AS BIGINT) AS code
+    FROM codes WHERE rn = 1
+    """,
+    doc=f"Product-quantization encode: split each embedding into "
+    f"{PQ_M} subspaces, code = argmin squared-L2 centroid per "
+    f"subspace ({PQ_K}-entry fixed-sample codebooks). 32x "
+    "compression; one codegen'd map pass, zero shuffle.",
+)
+def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pq_encode_of(load(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "pq_ann_probe",
+    f"""
+    WITH {_PQ_DUCK_CODES},
+    t AS (SELECT m, k, dist FROM d WHERE vec_id = 0),
+    best AS (SELECT vec_id, m, k AS code FROM codes WHERE rn = 1 AND vec_id <> 0),
+    adc AS (
+      SELECT b.vec_id,
+             ({" + ".join(f"MAX(CASE WHEN b.m = {m} THEN t.dist END)" for m in range(PQ_M))}) AS adc_raw
+      FROM best b JOIN t ON t.m = b.m AND t.k = b.code
+      GROUP BY b.vec_id
+    )
+    SELECT vec_id, floor(adc_raw * 100000.0 + 0.5) / 100000.0 AS adc
+    FROM adc ORDER BY adc, vec_id LIMIT 10
+    """,
+    doc="PQ ADC probe: top-10 nearest to probe vec 0 by asymmetric "
+    f"distance — per vector, sum of {PQ_M} precomputed "
+    "probe-to-centroid table lookups selected by its codes. The scan "
+    "touches codes only; the float corpus is never read at query "
+    "time — the 100 TB memory-resident ANN path.",
+)
+def pq_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    cb = _pq_sample_codebook(e)
+    spark_ = e.sparkSession
+    empty = spark_.createDataFrame([], "vec_id bigint, adc double")
+    if not cb:
+        return empty
+    probe_row = e.filter(F.col("vec_id") == 0).select("embedding").head()
+    if probe_row is None:
+        return empty
+    probe = [float(v) for v in probe_row[0]]
+    dsub = len(cb[0]) // PQ_M
+
+    def _sq(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            t = x - y
+            acc += t * t
+        return acc
+
+    # the ADC distance table is DRIVER-computed (PQ_M x PQ_K doubles;
+    # Python float arithmetic is IEEE double in the same sequential
+    # order, so the literals are bit-identical to what either engine
+    # would compute) and enters the plan as literals — real ADC: the
+    # executor-side work per row is PQ_M array lookups + adds.
+    tables = [
+        [_sq(probe[m * dsub:(m + 1) * dsub], c[m * dsub:(m + 1) * dsub]) for c in cb]
+        for m in range(PQ_M)
+    ]
+    adc = " + ".join(
+        f"element_at({_vec_sql(tables[m])}, "
+        f"cast({_pq_code_sql(m, dsub, cb)} + 1 as int))"
+        for m in range(PQ_M)
+    )
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .select("vec_id", rnd(F.expr(adc), 5).alias("adc"))
+        .orderBy("adc", "vec_id")
+        .limit(10)
+    )
+
+
+def pq_train_codebook(
+    e: DataFrame,
+    sample_n: int = 4096,
+    iters: int = 5,
+    k: int = PQ_K,
+) -> list[list[float]]:
+    """Lloyd-trained PQ codebooks for production indexes: per
+    subspace, k-means over a driver-bounded deterministic sample
+    (lowest ``sample_n`` vec_ids — one bounded collect, the same
+    budget as the hyperplane/centroid bootstraps). Returns the
+    codebook in the flat [k][dim] layout ``pq_encode_of`` consumes —
+    entry ``c[m*dsub:(m+1)*dsub]`` is subspace m's centroid c.
+    Deterministic: sample order, init (first k sample rows), and a
+    fixed iteration count; empty clusters keep their previous
+    centroid. numpy float64 throughout."""
+    import numpy as np
+
+    rows = (
+        e.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(sample_n)
+        .collect()
+    )
+    if len(rows) < k:
+        return [[float(v) for v in r.embedding] for r in rows]
+    x = np.asarray([r.embedding for r in rows], dtype=np.float64)
+    dim = x.shape[1]
+    dsub = dim // PQ_M
+    if dsub == 0:
+        raise ValueError(f"embedding dim {dim} < PQ_M={PQ_M}")
+    books = []
+    for m in range(PQ_M):
+        s = x[:, m * dsub:(m + 1) * dsub]
+        cents = s[:k].copy()
+        for _ in range(iters):
+            d2 = ((s[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(k):
+                members = s[assign == j]
+                if len(members):
+                    cents[j] = members.mean(axis=0)
+        books.append(cents)
+    # reassemble into full-dim rows so the same cb[...] slicing works
+    return [
+        [float(v) for m in range(PQ_M) for v in books[m][j]] for j in range(k)
+    ]
