@@ -322,6 +322,8 @@ SOAK_QUERIES = [
     "kmeans_clusters",
     "semdedup_pairs",
     "int8_quantize",
+    "pq_encode",
+    "pq_ann_probe",
     # curation / text family
     "quality_score",
     "repetition_profile",
@@ -337,7 +339,10 @@ SOAK_QUERIES = [
 ]
 
 # zero-shuffle map stages must stay zero-shuffle at any scale
-SOAK_MAP_SIDE = ["minhash_signatures", "simhash", "quality_score", "int8_quantize"]
+SOAK_MAP_SIDE = [
+    "minhash_signatures", "simhash", "quality_score", "int8_quantize",
+    "pq_encode",
+]
 
 
 def _synthesize_soak_dir(src: str, factor: int) -> tuple[str, int]:
