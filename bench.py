@@ -69,6 +69,7 @@ HEADLINE = [
     # comparisons use the shared-row subset, as in r5/r6
     "pq_encode",
     "pq_ann_probe",
+    "ivfpq_ann_probe",
 ]
 
 

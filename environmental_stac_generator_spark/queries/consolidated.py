@@ -404,11 +404,14 @@ def build(full: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
                          {"a": "vec_id", "b": "m", "metric": "code"}),
                         ("pq_adc", "pq_ann_probe",
                          {"a": "vec_id", "metric": "adc"}),
+                        ("ivfpq", "ivfpq_ann_probe",
+                         {"a": "vec_id", "metric": "adc"}),
                     ],
                     doc="Quantized ANN: IVF cell-probe ranking + product-"
                     "quantization codes (32x compression, fixed-sample "
-                    f"codebooks) + PQ ADC top-k probe (absorbs "
-                    "ivf_ann_probe, pq_encode, pq_ann_probe — r7).",
+                    "codebooks) + PQ ADC top-k probe + the composed "
+                    "IVFPQ cell-routed ADC probe (absorbs ivf_ann_probe, "
+                    "pq_encode, pq_ann_probe, ivfpq_ann_probe — r7).",
                 ),
             ),
             keep("kmeans_clusters"),

@@ -505,12 +505,33 @@ def ivf_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         return e.select(
             "vec_id", F.lit(None).cast("double").alias("cosine")
         ).limit(0)
-    # Hoist norms: ||e|| is ONE shared column (not recomputed per
-    # centroid) and ||c|| is a driver-side double literal — Python's
-    # sequential double sum is bit-identical to the aggregate HOF —
-    # so assignment costs N_CENTROIDS dots per row, not 3x that in
-    # full cosines. (48 -> 17 aggregate evaluations per row; 2.6x
-    # faster at sf0.1.)
+    cells = _ivf_cells_of(e, cents)
+    probe = _ivf_probe_cell(cents)
+    if probe is None:  # probe vector absent: no result set
+        return cells.select(
+            "vec_id", F.lit(None).cast("double").alias("cosine")
+        ).limit(0)
+    probe_vec, p_norm, probe_cell = probe
+    cos = F.expr(_dot_sql("embedding", _vec_sql(probe_vec))) / (
+        F.col("_norm") * F.lit(p_norm)
+    )
+    return (
+        cells.filter((F.col("cell") == F.lit(probe_cell)) & (F.col("vec_id") != 0))
+        .select("vec_id", rnd(cos, 5).alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+    )
+
+
+def _ivf_cells_of(e: DataFrame, cents) -> DataFrame:
+    """(vec_id, embedding, _norm, cell) — the IVF coarse assignment,
+    shared by `ivf_ann_probe` and `ivfpq_ann_probe`.
+
+    Hoist norms: ||e|| is ONE shared column (not recomputed per
+    centroid) and ||c|| is a driver-side double literal — Python's
+    sequential double sum is bit-identical to the aggregate HOF —
+    so assignment costs N_CENTROIDS dots per row, not 3x that in
+    full cosines. (48 -> 17 aggregate evaluations per row; 2.6x
+    faster at sf0.1.)"""
     import math
 
     normed = e.withColumn("_norm", F.sqrt(_dot("embedding", "embedding")))
@@ -549,13 +570,18 @@ def ivf_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "/ (_norm * c.nrm) AS c, c.nid AS nid))).nid as bigint)"
             ),
         ).drop("_cents")
-    cells = with_cell.select("vec_id", "embedding", "_norm", "cell")
+    return with_cell.select("vec_id", "embedding", "_norm", "cell")
 
-    # The probe's cell is computed on the DRIVER with the identical
-    # sequential-double arithmetic (Python floats are IEEE doubles, so
-    # the bits match the aggregate HOF exactly) — real IVF routing:
-    # one scalar decides which inverted-file partition to scan, and
-    # the corpus is passed over exactly once, filter first.
+
+def _ivf_probe_cell(cents):
+    """(probe_vec, p_norm, probe_cell) for probe vec 0, or None if the
+    probe vector is absent. Computed on the DRIVER with the identical
+    sequential-double arithmetic (Python floats are IEEE doubles, so
+    the bits match the aggregate HOF exactly) — real IVF routing:
+    one scalar decides which inverted-file partition to scan, and
+    the corpus is passed over exactly once, filter first."""
+    import math
+
     def py_dot(a, b):
         acc = 0.0
         for x, y in zip(a, b):
@@ -563,10 +589,8 @@ def ivf_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         return acc
 
     probe_vecs = [r.embedding for r in cents if r.vec_id == 0]
-    if not probe_vecs:  # probe vector absent: no result set
-        return cells.select(
-            "vec_id", F.lit(None).cast("double").alias("cosine")
-        ).limit(0)
+    if not probe_vecs:
+        return None
     probe_vec = probe_vecs[0]
     p_norm = math.sqrt(py_dot(probe_vec, probe_vec))
     best = max(
@@ -579,15 +603,7 @@ def ivf_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in cents
         ),
     )
-    probe_cell = -best[1]
-    cos = F.expr(_dot_sql("embedding", _vec_sql(probe_vec))) / (
-        F.col("_norm") * F.lit(p_norm)
-    )
-    return (
-        cells.filter((F.col("cell") == F.lit(probe_cell)) & (F.col("vec_id") != 0))
-        .select("vec_id", rnd(cos, 5).alias("cosine"))
-        .orderBy(F.desc("cosine"), "vec_id")
-    )
+    return probe_vec, p_norm, -best[1]
 
 # ---------------------------------------------------------------------------
 # k-means clustering (Lloyd's) — the semantic-clustering pass of a
@@ -1259,6 +1275,24 @@ def pq_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         return empty
     probe = [float(v) for v in probe_row[0]]
     dsub = len(cb[0]) // PQ_M
+    adc = _pq_adc_sql(probe, cb, dsub)
+    return (
+        _pq_with_subvectors(e.filter(F.col("vec_id") != 0), dsub)
+        .select("vec_id", rnd(F.expr(adc), 5).alias("adc"))
+        .orderBy("adc", "vec_id")
+        .limit(10)
+    )
+
+
+def _pq_adc_sql(probe: list[float], cb: list[list[float]], dsub: int) -> str:
+    """The ADC ranking expression: PQ_M literal-table lookups selected
+    by the row's codes, summed left-to-right.
+
+    The distance table is DRIVER-computed (PQ_M x PQ_K doubles;
+    Python float arithmetic is IEEE double in the same sequential
+    order, so the literals are bit-identical to what either engine
+    would compute) and enters the plan as literals — real ADC: the
+    executor-side work per row is PQ_M array lookups + adds."""
 
     def _sq(a: list[float], b: list[float]) -> float:
         acc = 0.0
@@ -1267,22 +1301,85 @@ def pq_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc += t * t
         return acc
 
-    # the ADC distance table is DRIVER-computed (PQ_M x PQ_K doubles;
-    # Python float arithmetic is IEEE double in the same sequential
-    # order, so the literals are bit-identical to what either engine
-    # would compute) and enters the plan as literals — real ADC: the
-    # executor-side work per row is PQ_M array lookups + adds.
     tables = [
         [_sq(probe[m * dsub:(m + 1) * dsub], c[m * dsub:(m + 1) * dsub]) for c in cb]
         for m in range(PQ_M)
     ]
-    adc = " + ".join(
+    return " + ".join(
         f"element_at({_vec_sql(tables[m])}, "
         f"cast({_pq_code_sql(m, dsub, cb)} + 1 as int))"
         for m in range(PQ_M)
     )
+
+
+@register(
+    "ivfpq_ann_probe",
+    f"""
+    WITH centroids AS (
+      SELECT vec_id AS centroid_id, embedding AS centroid
+      FROM embeddings WHERE vec_id < {N_CENTROIDS}
+    ),
+    scored AS (
+      SELECT e.vec_id, c.centroid_id,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                               CAST(c.centroid AS DOUBLE[])) DESC,
+                        c.centroid_id
+             ) AS rn
+      FROM embeddings e CROSS JOIN centroids c
+    ),
+    cells AS (SELECT vec_id, centroid_id AS cell FROM scored WHERE rn = 1),
+    pcell AS (SELECT cell FROM cells WHERE vec_id = 0),
+    {_PQ_DUCK_CODES},
+    t AS (SELECT m, k, dist FROM d WHERE vec_id = 0),
+    best AS (
+      SELECT co.vec_id, co.m, co.k AS code
+      FROM codes co
+      JOIN cells ON cells.vec_id = co.vec_id
+      JOIN pcell ON cells.cell = pcell.cell
+      WHERE co.rn = 1 AND co.vec_id <> 0
+    ),
+    adc AS (
+      SELECT b.vec_id,
+             ({" + ".join(f"MAX(CASE WHEN b.m = {m} THEN t.dist END)" for m in range(PQ_M))}) AS adc_raw
+      FROM best b JOIN t ON t.m = b.m AND t.k = b.code
+      GROUP BY b.vec_id
+    )
+    SELECT vec_id, floor(adc_raw * 100000.0 + 0.5) / 100000.0 AS adc
+    FROM adc ORDER BY adc, vec_id LIMIT 10
+    """,
+    doc="IVFPQ: the composed FAISS-style ANN architecture — the IVF "
+    "coarse quantizer routes the probe to one of "
+    f"{N_CENTROIDS} cells, and PQ ADC ranks only that cell's members "
+    "by table lookups over their codes (raw-vector codes, no "
+    "residual encoding). At 100 TB: the inverted-file layout prunes "
+    "the scan to ~1/K of the corpus and the ranking reads 8-byte "
+    "codes, never floats.",
+)
+def ivfpq_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    empty = e.sparkSession.createDataFrame([], "vec_id bigint, adc double")
+    cents = sorted(
+        e.filter(F.col("vec_id") < N_CENTROIDS).select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    if not cents:
+        return empty
+    probe = _ivf_probe_cell(cents)
+    if probe is None:
+        return empty
+    probe_vec, _p_norm, probe_cell = probe
+    cb = _pq_sample_codebook(e)
+    if not cb:
+        return empty
+    dsub = len(cb[0]) // PQ_M
+    adc = _pq_adc_sql([float(v) for v in probe_vec], cb, dsub)
+    cell_members = _ivf_cells_of(e, cents).filter(
+        (F.col("cell") == F.lit(probe_cell)) & (F.col("vec_id") != 0)
+    )
     return (
-        _pq_with_subvectors(e.filter(F.col("vec_id") != 0), dsub)
+        _pq_with_subvectors(cell_members, dsub)
         .select("vec_id", rnd(F.expr(adc), 5).alias("adc"))
         .orderBy("adc", "vec_id")
         .limit(10)

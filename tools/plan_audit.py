@@ -41,7 +41,7 @@ AUDIT = [
     "kmeans_clusters", "chunk_documents", "incremental_lsh_dedup",
     "vocab_top_tokens", "pii_scan", "semdedup_pairs", "span_dedup",
     "importance_weights", "perplexity_score", "int8_quantize",
-    "pq_encode", "pq_ann_probe",
+    "pq_encode", "pq_ann_probe", "ivfpq_ann_probe",
 ]
 # consolidated (driver-facing) merged entries worth auditing explicitly
 MERGED = [
