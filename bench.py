@@ -325,6 +325,7 @@ SOAK_QUERIES = [
     "int8_quantize",
     "pq_encode",
     "pq_ann_probe",
+    "ivfpq_ann_probe",
     # curation / text family
     "quality_score",
     "repetition_profile",
@@ -342,7 +343,7 @@ SOAK_QUERIES = [
 # zero-shuffle map stages must stay zero-shuffle at any scale
 SOAK_MAP_SIDE = [
     "minhash_signatures", "simhash", "quality_score", "int8_quantize",
-    "pq_encode",
+    "pq_encode", "ivfpq_ann_probe",
 ]
 
 
