@@ -313,8 +313,25 @@ def _read_header(uri: str, n: int) -> bytes:
     """
     m = _SCHEME_RE.match(uri)
     scheme = m.group(0)[:-1].lower() if m else ""
+    # A single-letter "scheme" is a Windows drive path (C:\data\x.tif),
+    # not a URI — real schemes are >= 2 chars (ADVICE r7).
+    if m and len(scheme) < 2:
+        m, scheme = None, ""
     if scheme in ("", "file"):
         local = uri[len(scheme) + 1 :] if m else uri
+        # RFC 8089 authority form: file://[host]/path. Empty and
+        # localhost authorities mean this machine; strip them so the
+        # path opens (//host/path is not an openable POSIX path,
+        # ADVICE r7). A foreign host cannot be opened locally — say
+        # so instead of the bare ENOENT a verbatim open would raise.
+        if m and local.startswith("//"):
+            authority, _, tail = local[2:].partition("/")
+            if authority not in ("", "localhost"):
+                raise OSError(
+                    f"file:// URI names remote authority {authority!r}; "
+                    "only empty or localhost file URIs resolve locally"
+                )
+            local = "/" + tail
         try:
             with open(local, "rb") as fh:
                 return fh.read(n)

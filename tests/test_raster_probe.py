@@ -114,3 +114,22 @@ def test_read_header_scheme_dispatch(tmp_path):
     with pytest.raises(Exception) as exc:
         rp._read_header("s3a://no-such-bucket-envstac/x.tif", 4)
     assert not isinstance(exc.value, FileNotFoundError)
+
+
+def test_read_header_authority_and_drive_forms(tmp_path):
+    """ADVICE r7: RFC 8089 authority-form file URIs resolve locally
+    (empty and localhost authorities), a foreign authority fails with
+    a message naming it (not a bare ENOENT on //host/...), and a
+    Windows drive letter is a path, not a URI scheme."""
+    import pytest
+
+    p = tmp_path / "hdr.bin"
+    p.write_bytes(b"payload")
+    assert rp._read_header(f"file://{p}", 7) == b"payload"  # file:///abs
+    assert rp._read_header(f"file://localhost{p}", 7) == b"payload"
+    with pytest.raises(OSError, match="remote authority 'otherhost'"):
+        rp._read_header(f"file://otherhost{p}", 7)
+    # single-letter scheme == drive path: must route to open(), whose
+    # FileNotFoundError proves it was not handed to pyarrow as a URI
+    with pytest.raises(FileNotFoundError):
+        rp._read_header(r"C:\no\such\drive-path.tif", 4)
