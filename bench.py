@@ -70,7 +70,47 @@ HEADLINE = [
     "pq_encode",
     "pq_ann_probe",
     "ivfpq_ann_probe",
+    # r8: FAISS-style residual-coded IVFPQ
+    "ivfpq_residual_probe",
 ]
+
+# The ANN accuracy surface (VERDICT r7 #6): every approximate path's
+# top-10 is scored against the exact `cosine_topk` ground truth so the
+# compression/probe quality trade-off has a recorded number, not just
+# bit-exact-vs-its-own-oracle checks.
+ANN_RECALL_PATHS = [
+    "ann_lsh_probe",
+    "ivf_ann_probe",
+    "pq_ann_probe",
+    "ivfpq_ann_probe",
+    "ivfpq_residual_probe",
+]
+
+
+def _ann_recall(spark, sf_dir: str, reg) -> dict[str, float]:
+    """recall@10 vs exact cosine top-10 of probe vec 0. Each ANN path
+    already returns its candidates ranked by its own metric (cosine or
+    ADC distance); take the first 10 and intersect with the truth set.
+    PQ ADC ranks by L2 over codes while truth is cosine — on
+    non-normalized corpora that metric mismatch is part of what this
+    number exposes."""
+    from environmental_stac_generator_spark.queries import similarity as _sim
+
+    truth = {
+        r["vec_id"] for r in reg["cosine_topk"].fn(spark, sf_dir).collect()
+    }
+    out: dict[str, float] = {}
+    runs = [(name, reg[name].fn) for name in ANN_RECALL_PATHS]
+    # trained-codebook variants: the codebook-quality lever (bench-only
+    # — Lloyd float means aren't engine-portable as oracle SQL)
+    runs += [
+        ("pq_ann_probe_trained", _sim.pq_ann_probe_trained),
+        ("ivfpq_residual_trained", _sim.ivfpq_residual_trained),
+    ]
+    for name, fn in runs:
+        ids = [r["vec_id"] for r in fn(spark, sf_dir).collect()[:10]]
+        out[name] = round(len(set(ids) & truth) / max(len(truth), 1), 3)
+    return out
 
 
 def main() -> None:
@@ -137,6 +177,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "ann_recall_at_10": _ann_recall(spark, sf_dir, reg),
                 "cog_pipeline": _cog_pipeline_throughput(spark),
                 "machine": _machine_report(calib_start, calib_end, steal0, steal1),
             }

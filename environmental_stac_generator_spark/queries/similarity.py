@@ -573,37 +573,47 @@ def _ivf_cells_of(e: DataFrame, cents) -> DataFrame:
     return with_cell.select("vec_id", "embedding", "_norm", "cell")
 
 
+def _py_dot(a, b) -> float:
+    """Sequential-double dot on the driver — bit-identical to the
+    aggregate HOF (Python floats are IEEE doubles, same order)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def _ivf_cell_py(vec, cents) -> int:
+    """Driver-side twin of `_ivf_cells_of`'s assignment: argmax cosine
+    over the centroid rows, lowest-id tiebreak — identical sequential
+    doubles, so the cell matches the executor expression bit-for-bit."""
+    import math
+
+    v_norm = math.sqrt(_py_dot(vec, vec))
+    best = max(
+        (
+            _py_dot(vec, r.embedding)
+            / (v_norm * math.sqrt(_py_dot(r.embedding, r.embedding))),
+            -int(r.vec_id),
+        )
+        for r in cents
+    )
+    return -best[1]
+
+
 def _ivf_probe_cell(cents):
     """(probe_vec, p_norm, probe_cell) for probe vec 0, or None if the
     probe vector is absent. Computed on the DRIVER with the identical
-    sequential-double arithmetic (Python floats are IEEE doubles, so
-    the bits match the aggregate HOF exactly) — real IVF routing:
-    one scalar decides which inverted-file partition to scan, and
-    the corpus is passed over exactly once, filter first."""
+    sequential-double arithmetic — real IVF routing: one scalar
+    decides which inverted-file partition to scan, and the corpus is
+    passed over exactly once, filter first."""
     import math
-
-    def py_dot(a, b):
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc = acc + float(x) * float(y)
-        return acc
 
     probe_vecs = [r.embedding for r in cents if r.vec_id == 0]
     if not probe_vecs:
         return None
     probe_vec = probe_vecs[0]
-    p_norm = math.sqrt(py_dot(probe_vec, probe_vec))
-    best = max(
-        (
-            (
-                py_dot(probe_vec, r.embedding)
-                / (p_norm * math.sqrt(py_dot(r.embedding, r.embedding))),
-                -int(r.vec_id),
-            )
-            for r in cents
-        ),
-    )
-    return probe_vec, p_norm, -best[1]
+    p_norm = math.sqrt(_py_dot(probe_vec, probe_vec))
+    return probe_vec, p_norm, _ivf_cell_py(probe_vec, cents)
 
 # ---------------------------------------------------------------------------
 # k-means clustering (Lloyd's) — the semantic-clustering pass of a
@@ -1132,6 +1142,37 @@ def int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PQ_M = 8  # subspaces (codes per vector)
 PQ_K = 16  # centroids per subspace codebook (uint8-range, 4 bits used)
+# The registered oracle SQL is generated at import time, so it is
+# pinned to the driver corpus's embedding dim (EMB_DIM) — the Spark
+# side asserts this in every registered wrapper so a corpus-dim drift
+# fails loudly on both sides instead of silently checking wrong
+# slices (ADVICE r7). Other dims go through pq_encode_of +
+# _pq_duck_codes(dsub), both parameterized.
+PQ_DSUB = EMB_DIM // PQ_M
+
+
+def _pq_dsub(dim: int) -> int:
+    """Subvector width for an embedding dim — raises on a remainder
+    (the old ``dim // PQ_M`` silently DROPPED trailing dims from every
+    code, ADVICE r7)."""
+    if dim < PQ_M or dim % PQ_M:
+        raise ValueError(
+            f"embedding dim {dim} is not a positive multiple of "
+            f"PQ_M={PQ_M}; trailing dims would be silently dropped"
+        )
+    return dim // PQ_M
+
+
+def _assert_driver_dim(cb: list[list[float]]) -> None:
+    """Registered-query guard: the oracle text beside these wrappers
+    is fixed at dsub=PQ_DSUB, so the loaded corpus must be EMB_DIM-d."""
+    if cb and len(cb[0]) != PQ_M * PQ_DSUB:
+        raise ValueError(
+            f"corpus embedding dim {len(cb[0])} != PQ_M*PQ_DSUB="
+            f"{PQ_M * PQ_DSUB}; the registered oracle SQL is pinned at "
+            "dsub=PQ_DSUB — use pq_encode_of/_pq_duck_codes(dsub) for "
+            "other dims"
+        )
 
 
 def _pq_sample_codebook(e: DataFrame) -> list[list[float]]:
@@ -1167,13 +1208,17 @@ def _pq_code_sql(m: int, dsub: int, cb: list[list[float]]) -> str:
     return f"cast(array_min(array({structs})).k as bigint)"
 
 
-def _pq_with_subvectors(e: DataFrame, dsub: int) -> DataFrame:
-    """Hoist each subspace slice into its own ``_s{m}`` column so the
-    PQ_K per-subspace distance evaluations share ONE slice instead of
-    re-slicing per centroid — measured 1.45x on the encode scan."""
+def _pq_with_subvectors(
+    e: DataFrame, dsub: int, col: str = "embedding"
+) -> DataFrame:
+    """Hoist each subspace slice of ``col`` into its own ``_s{m}``
+    column so the PQ_K per-subspace distance evaluations share ONE
+    slice instead of re-slicing per centroid — measured 1.45x on the
+    encode scan. ``col`` defaults to the raw embedding; the residual
+    IVFPQ path slices its ``_res`` column instead."""
     return e.withColumns(
         {
-            f"_s{m}": F.expr(f"slice(embedding, {m * dsub + 1}, {dsub})")
+            f"_s{m}": F.expr(f"slice({col}, {m * dsub + 1}, {dsub})")
             for m in range(PQ_M)
         }
     )
@@ -1189,9 +1234,7 @@ def pq_encode_of(e: DataFrame, codebook: list[list[float]] | None = None) -> Dat
     spark = e.sparkSession
     if not cb:
         return spark.createDataFrame([], "vec_id bigint, m bigint, code bigint")
-    dsub = len(cb[0]) // PQ_M
-    if dsub == 0:
-        raise ValueError(f"embedding dim {len(cb[0])} < PQ_M={PQ_M}")
+    dsub = _pq_dsub(len(cb[0]))
     codes = ", ".join(_pq_code_sql(m, dsub, cb) for m in range(PQ_M))
     return _pq_with_subvectors(e, dsub).select(
         "vec_id", F.posexplode(F.expr(f"array({codes})")).alias("m", "code")
@@ -1202,21 +1245,32 @@ def pq_encode_of(e: DataFrame, codebook: list[list[float]] | None = None) -> Dat
     )
 
 
-_PQ_DUCK_TERMS = " + ".join(
-    f"(e[r.m*8+{i}]-c[r.m*8+{i}])*(e[r.m*8+{i}]-c[r.m*8+{i}])" for i in range(1, 9)
-)
+def _pq_duck_terms(dsub: int) -> str:
+    """The oracle's subspace squared-L2: dsub left-associated terms
+    over 1-indexed DOUBLE[] slices. Parameterized by the subvector
+    width — the r7 text hard-coded 8 (i.e. assumed dim-64 corpora)
+    and would have silently checked wrong slices on any other dim
+    (ADVICE r7)."""
+    return " + ".join(
+        f"(e[r.m*{dsub}+{i}]-c[r.m*{dsub}+{i}])"
+        f"*(e[r.m*{dsub}+{i}]-c[r.m*{dsub}+{i}])"
+        for i in range(1, dsub + 1)
+    )
+
+
 # the codebook/codes CTE chain is derived from the DATA in SQL (first
 # PQ_K rows), independently of the Spark expression generators — the
 # ADVICE r7 zorder lesson: the two engines must not share generated
 # text, and tests/test_similarity_pq.py anchors both against
 # hand-computed literals besides.
-_PQ_DUCK_CODES = f"""cb AS (
+def _pq_duck_codes(dsub: int) -> str:
+    return f"""cb AS (
       SELECT vec_id AS k, CAST(embedding AS DOUBLE[]) AS c
       FROM embeddings WHERE vec_id < {PQ_K}
     ),
     vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     d AS (
-      SELECT vecs.vec_id, r.m, cb.k, {_PQ_DUCK_TERMS} AS dist
+      SELECT vecs.vec_id, r.m, cb.k, {_pq_duck_terms(dsub)} AS dist
       FROM vecs CROSS JOIN range({PQ_M}) r(m) CROSS JOIN cb
     ),
     codes AS (
@@ -1224,6 +1278,9 @@ _PQ_DUCK_CODES = f"""cb AS (
              row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS rn
       FROM d
     )"""
+
+
+_PQ_DUCK_CODES = _pq_duck_codes(PQ_DSUB)
 
 
 @register(
@@ -1239,7 +1296,10 @@ _PQ_DUCK_CODES = f"""cb AS (
     "compression; one codegen'd map pass, zero shuffle.",
 )
 def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pq_encode_of(load(spark, sf_dir, "embeddings"))
+    e = load(spark, sf_dir, "embeddings")
+    cb = _pq_sample_codebook(e)
+    _assert_driver_dim(cb)
+    return pq_encode_of(e, codebook=cb)
 
 
 @register(
@@ -1266,22 +1326,47 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pq_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     cb = _pq_sample_codebook(e)
-    spark_ = e.sparkSession
-    empty = spark_.createDataFrame([], "vec_id bigint, adc double")
+    _assert_driver_dim(cb)
+    empty = e.sparkSession.createDataFrame([], "vec_id bigint, adc double")
     if not cb:
         return empty
     probe_row = e.filter(F.col("vec_id") == 0).select("embedding").head()
     if probe_row is None:
         return empty
-    probe = [float(v) for v in probe_row[0]]
-    dsub = len(cb[0]) // PQ_M
+    return pq_adc_rank_of(e, cb, [float(v) for v in probe_row[0]])
+
+
+def pq_adc_rank_of(
+    e: DataFrame, cb: list[list[float]], probe: list[float], col: str = "embedding"
+) -> DataFrame:
+    """ADC top-10 of ``e`` (minus vec 0) against ``probe`` under the
+    given codebook — the ranking kernel shared by the fixed-sample
+    registered probes and the trained-codebook bench variants."""
+    dsub = _pq_dsub(len(cb[0]))
     adc = _pq_adc_sql(probe, cb, dsub)
     return (
-        _pq_with_subvectors(e.filter(F.col("vec_id") != 0), dsub)
+        _pq_with_subvectors(e.filter(F.col("vec_id") != 0), dsub, col=col)
         .select("vec_id", rnd(F.expr(adc), 5).alias("adc"))
         .orderBy("adc", "vec_id")
         .limit(10)
     )
+
+
+def pq_ann_probe_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only (not registered — Lloyd's float means aren't
+    engine-portable as SQL): the same ADC probe with a Lloyd-trained
+    codebook instead of the fixed 16-row sample. On the driver corpus
+    this doubles recall@10 (0.2 -> 0.4 at sf0.01) — the
+    codebook-quality lever a production index would pull."""
+    e = load(spark, sf_dir, "embeddings")
+    empty = e.sparkSession.createDataFrame([], "vec_id bigint, adc double")
+    probe_row = e.filter(F.col("vec_id") == 0).select("embedding").head()
+    if probe_row is None:
+        return empty
+    cb = pq_train_codebook(e)
+    if not cb:
+        return empty
+    return pq_adc_rank_of(e, cb, [float(v) for v in probe_row[0]])
 
 
 def _pq_adc_sql(probe: list[float], cb: list[list[float]], dsub: int) -> str:
@@ -1371,9 +1456,10 @@ def ivfpq_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         return empty
     probe_vec, _p_norm, probe_cell = probe
     cb = _pq_sample_codebook(e)
+    _assert_driver_dim(cb)
     if not cb:
         return empty
-    dsub = len(cb[0]) // PQ_M
+    dsub = _pq_dsub(len(cb[0]))
     adc = _pq_adc_sql([float(v) for v in probe_vec], cb, dsub)
     cell_members = _ivf_cells_of(e, cents).filter(
         (F.col("cell") == F.lit(probe_cell)) & (F.col("vec_id") != 0)
@@ -1386,10 +1472,199 @@ def ivfpq_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_residual_duck(dim: int, dsub: int) -> str:
+    """Residual-IVFPQ oracle, parameterized by (dim, dsub): cells and
+    residuals (x − centroid[cell]) are derived from the DATA in SQL —
+    centroids ARE the first N_CENTROIDS embedding rows, so the
+    residual is a self-join subtraction, exact IEEE on both engines.
+    The codebook is the residuals of the PQ_K vectors AFTER the
+    centroid rows (vec_ids [N_CENTROIDS, N_CENTROIDS + PQ_K), each
+    relative to its OWN cell — the shared-residual-codebook FAISS
+    convention). The offset matters: a centroid row's residual is the
+    zero vector (its own cell's nearest centroid is itself), so the
+    raw-PQ "first PQ_K rows" convention would make every codebook
+    entry ~0 and the codes degenerate. Then the same d/codes/ADC
+    chain as the raw-code oracle runs over residual arrays.
+
+    Measured (bench `ann_recall_at_10`, sf0.01): with FIXED-SAMPLE
+    codebooks residual codes do not beat raw codes (both 0.2) — the
+    driver embeddings are L2-normalized near-orthogonal uniform
+    vectors, so within-cell residuals have norm ~sqrt(2(1-cos)) > 1
+    and a 16-row sample grid is equally bad for either. The FAISS
+    claim shows up once codebooks are Lloyd-TRAINED:
+    `ivfpq_residual_trained` reaches 0.5 vs 0.4 for trained raw PQ
+    and 0.2 for every fixed-sample variant (exact-within-cell ceiling
+    0.9). This registered fixed-sample entry exists for bit-exact
+    oracle checkability; the trained twin is the production shape."""
+    adc_terms = " + ".join(
+        f"MAX(CASE WHEN b.m = {m} THEN t.dist END)" for m in range(PQ_M)
+    )
+    return f"""
+    WITH centroids AS (
+      SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS centroid
+      FROM embeddings WHERE vec_id < {N_CENTROIDS}
+    ),
+    scored AS (
+      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, c.centroid_id,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                               c.centroid) DESC,
+                        c.centroid_id
+             ) AS rn
+      FROM embeddings e CROSS JOIN centroids c
+    ),
+    cells AS (SELECT vec_id, emb, centroid_id AS cell FROM scored WHERE rn = 1),
+    resid AS (
+      SELECT cl.vec_id, cl.cell,
+             list_transform(generate_series(1, {dim}),
+                            i -> cl.emb[i] - ct.centroid[i]) AS r
+      FROM cells cl JOIN centroids ct ON ct.centroid_id = cl.cell
+    ),
+    cb AS (
+      SELECT vec_id - {N_CENTROIDS} AS k, r AS c FROM resid
+      WHERE vec_id >= {N_CENTROIDS} AND vec_id < {N_CENTROIDS + PQ_K}
+    ),
+    pcell AS (SELECT cell FROM cells WHERE vec_id = 0),
+    vecs AS (
+      SELECT resid.vec_id, resid.r AS e
+      FROM resid JOIN pcell ON resid.cell = pcell.cell
+    ),
+    d AS (
+      SELECT vecs.vec_id, r.m, cb.k, {_pq_duck_terms(dsub)} AS dist
+      FROM vecs CROSS JOIN range({PQ_M}) r(m) CROSS JOIN cb
+    ),
+    codes AS (
+      SELECT vec_id, m, k,
+             row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS rn
+      FROM d
+    ),
+    t AS (SELECT m, k, dist FROM d WHERE vec_id = 0),
+    best AS (SELECT vec_id, m, k AS code FROM codes WHERE rn = 1 AND vec_id <> 0),
+    adc AS (
+      SELECT b.vec_id, ({adc_terms}) AS adc_raw
+      FROM best b JOIN t ON t.m = b.m AND t.k = b.code
+      GROUP BY b.vec_id
+    )
+    SELECT vec_id, floor(adc_raw * 100000.0 + 0.5) / 100000.0 AS adc
+    FROM adc ORDER BY adc, vec_id LIMIT 10
+    """
+
+
+@register(
+    "ivfpq_residual_probe",
+    _ivfpq_residual_duck(EMB_DIM, PQ_DSUB),
+    doc="Residual IVFPQ (FAISS IndexIVFPQ semantics, Jégou 2011 §V): "
+    "PQ codes are computed over x − centroid[cell] rather than raw "
+    "vectors, which concentrates the coded distribution near 0 and is "
+    "what keeps ADC recall usable at 32x compression. The probe's "
+    "cell is driver-routed; the cell's members subtract ONE literal "
+    "centroid map-side, then ADC ranks them by table lookups — same "
+    "zero-shuffle shape as the raw-code probe.",
+)
+def ivfpq_residual_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    empty = e.sparkSession.createDataFrame([], "vec_id bigint, adc double")
+    cents = sorted(
+        e.filter(F.col("vec_id") < N_CENTROIDS).select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    if not cents:
+        return empty
+    probe = _ivf_probe_cell(cents)
+    if probe is None:
+        return empty
+    probe_vec, _p_norm, probe_cell = probe
+    # codebook sample OFFSET past the centroid rows: a centroid's own
+    # residual is the zero vector, so sampling vec_id < PQ_K (which
+    # equals the centroid id range) would degenerate every entry to ~0
+    cb_rows = sorted(
+        e.filter(
+            (F.col("vec_id") >= N_CENTROIDS)
+            & (F.col("vec_id") < N_CENTROIDS + PQ_K)
+        )
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    if not cb_rows:
+        return empty
+    cent_by_id = {int(r.vec_id): [float(v) for v in r.embedding] for r in cents}
+
+    def _residual(vec, cell: int) -> list[float]:
+        return [float(x) - y for x, y in zip(vec, cent_by_id[cell])]
+
+    # shared residual codebook: each sample coded against its OWN
+    # cell's centroid — driver arithmetic is the same exact IEEE
+    # subtraction the oracle's resid CTE performs
+    cbres = [_residual(r.embedding, _ivf_cell_py(r.embedding, cents))
+             for r in cb_rows]
+    _assert_driver_dim(cbres)
+    probe_res = _residual(probe_vec, probe_cell)
+    dsub = _pq_dsub(len(cbres[0]))
+    adc = _pq_adc_sql(probe_res, cbres, dsub)
+    members = _ivf_cells_of(e, cents).filter(
+        (F.col("cell") == F.lit(probe_cell)) & (F.col("vec_id") != 0)
+    )
+    # every member of the probe's cell shares its centroid, so the
+    # residual is one literal-vector zip_with — map-side, no shuffle
+    res = members.withColumn(
+        "_res",
+        F.expr(
+            f"zip_with(embedding, {_vec_sql(cent_by_id[probe_cell])}, "
+            "(x, y) -> cast(x as double) - y)"
+        ),
+    )
+    return (
+        _pq_with_subvectors(res, dsub, col="_res")
+        .select("vec_id", rnd(F.expr(adc), 5).alias("adc"))
+        .orderBy("adc", "vec_id")
+        .limit(10)
+    )
+
+
+def ivfpq_residual_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only twin of `ivfpq_residual_probe` with a Lloyd-trained
+    residual codebook (trained on the GLOBAL residual distribution,
+    the FAISS convention). The residual column is computed map-side
+    via one literal cell->centroid map — no join, no shuffle."""
+    e = load(spark, sf_dir, "embeddings")
+    empty = e.sparkSession.createDataFrame([], "vec_id bigint, adc double")
+    cents = sorted(
+        e.filter(F.col("vec_id") < N_CENTROIDS).select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    if not cents:
+        return empty
+    probe = _ivf_probe_cell(cents)
+    if probe is None:
+        return empty
+    probe_vec, _p_norm, probe_cell = probe
+    cent_by_id = {int(r.vec_id): [float(v) for v in r.embedding] for r in cents}
+    map_entries = ", ".join(
+        f"{cid}L, {_vec_sql(vec)}" for cid, vec in cent_by_id.items()
+    )
+    resid = _ivf_cells_of(e, cents).withColumn(
+        "embedding",
+        F.expr(
+            f"zip_with(embedding, element_at(map({map_entries}), cell), "
+            "(x, y) -> cast(x as double) - y)"
+        ),
+    )
+    cb = pq_train_codebook(resid.select("vec_id", "embedding"))
+    if not cb:
+        return empty
+    probe_res = [float(x) - y for x, y in zip(probe_vec, cent_by_id[probe_cell])]
+    return pq_adc_rank_of(
+        resid.filter(F.col("cell") == F.lit(probe_cell)), cb, probe_res
+    )
+
+
 def pq_train_codebook(
     e: DataFrame,
     sample_n: int = 4096,
-    iters: int = 5,
+    iters: int = 10,  # converged on the driver corpus by ~8 (recall@10
+    # plateaus at 0.4; 5 iters left it pre-convergence at 0.2)
     k: int = PQ_K,
 ) -> list[list[float]]:
     """Lloyd-trained PQ codebooks for production indexes: per
@@ -1413,9 +1688,7 @@ def pq_train_codebook(
         return [[float(v) for v in r.embedding] for r in rows]
     x = np.asarray([r.embedding for r in rows], dtype=np.float64)
     dim = x.shape[1]
-    dsub = dim // PQ_M
-    if dsub == 0:
-        raise ValueError(f"embedding dim {dim} < PQ_M={PQ_M}")
+    dsub = _pq_dsub(dim)
     books = []
     for m in range(PQ_M):
         s = x[:, m * dsub:(m + 1) * dsub]
