@@ -388,6 +388,58 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPAN_W = 16  # tokens per exact-match window (Lee et al. use 50 BPE
 # tokens on web-scale corpora; 16 fits the short synthetic docs)
 
+SPAN_WINDOW_MAX_GROUP = 2048  # largest (span-hash -> docs) group the
+# window plan may buffer in one task. Below this a group's sort
+# buffer is trivial (~2k narrow rows); above it the corpus exhibits
+# kilo-scale viral boilerplate, whose tail is effectively unbounded
+# (the 100M-copy span is the one that kills the window plan), so only
+# those corpora pay the skew-safe premium (SOAK r7 measured it at
+# 1.74x on a 3000-copy viral 1.25M-doc corpus).
+SPAN_GATE_SAMPLE_MOD = 64  # deterministic 1/64 doc sample for the bound
+
+
+def span_max_group_bound(
+    d: DataFrame, sample_mod: int = SPAN_GATE_SAMPLE_MOD
+) -> int:
+    """Upper confidence bound on the largest span-hash doc group, from
+    a deterministic 1/``sample_mod`` DOC sample (VERDICT r7 #1: gating
+    on corpus row count alone made every large corpus pay the ~1.7x
+    skew-safe premium, viral or not).
+
+    Sampling DOCS (not hashes) is what makes the bound sound: every
+    hash group of true size G contributes Binomial(G, 1/S) sampled
+    members, so a viral group cannot hide — whereas sampling hash
+    values would only see the viral group with probability 1/S. The
+    estimate inflates the sampled max by 3 binomial standard
+    deviations plus a small-count floor before scaling back by S.
+    Cost: one scan of 1/S of the corpus plus a 1/S-sized partial-agg
+    shuffle — ~2% of the span job to decide a ~40% premium."""
+    import math
+
+    toks = (
+        d.filter(F.expr(f"pmod(xxhash64(doc_id), {sample_mod}) = 0"))
+        .select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= SPAN_W)
+    )
+    wins = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(w) - {SPAN_W} + 1), "
+                f"s -> md5(cast(concat_ws(' ', slice(w, s, {SPAN_W})) as binary)))"
+            )
+        ).alias("h"),
+    )
+    mx = (
+        wins.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n"))
+        .first()[0]
+    ) or 0
+    return int((mx + 3 * math.sqrt(mx) + 5) * sample_mod)
+
 
 @register(
     "span_dedup",
@@ -450,23 +502,34 @@ SPAN_W = 16  # tokens per exact-match window (Lee et al. use 50 BPE
 def span_dedup(
     spark: SparkSession, sf_dir: str, skew_safe: bool | None = None
 ) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
     if skew_safe is None:
         from environmental_stac_generator_spark.operators.cumulative import (
             SMALL_INPUT_ROWS,
         )
 
-        # stats gate (the prefix sum's CBO pattern): footer row counts
-        # bound ANY hash group — viral span included — by the corpus
-        # row count, so a provably small corpus takes the cheaper
-        # one-scan window plan; absent or large stats keep the
-        # skew-safe no-window default (ADVICE r4: the plan that
-        # survives a viral boilerplate span). Both paths are
-        # property-tested equal.
-        from environmental_stac_generator_spark.tables import provably_small
+        # two-stage gate (VERDICT r7 #1). Stage 1, free: footer row
+        # counts bound ANY hash group by the corpus row count, so a
+        # provably small corpus takes the cheaper one-scan window plan
+        # with no further work. Stage 2, one cheap sampled job: bound
+        # the LARGEST span-hash group — large-but-unviral corpora
+        # (bounded group tail) keep the ~1.7x cheaper window plan, and
+        # only corpora with measured kilo-scale viral spans pay the
+        # skew-safe premium (ADVICE r4: the plan that must survive a
+        # viral boilerplate span). Both paths are property-tested
+        # equal, so the gate can never change results.
+        from environmental_stac_generator_spark.tables import (
+            provably_small,
+            scale_plans_forced,
+        )
 
         rows = table_rows(sf_dir, "documents")
-        skew_safe = not provably_small(rows, SMALL_INPUT_ROWS)
-    d = load(spark, sf_dir, "documents")
+        if provably_small(rows, SMALL_INPUT_ROWS):
+            skew_safe = False
+        elif scale_plans_forced():
+            skew_safe = True
+        else:
+            skew_safe = span_max_group_bound(d) > SPAN_WINDOW_MAX_GROUP
     toks = (
         d.select("doc_id", "source", F.split("text", " ").alias("w"))
         .filter(F.size("w") >= SPAN_W)

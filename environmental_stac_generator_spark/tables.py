@@ -111,6 +111,14 @@ def force_scale_plans(on: bool) -> None:
     _FORCE_SCALE_PLANS = bool(on)
 
 
+def scale_plans_forced() -> bool:
+    """True while :func:`force_scale_plans` is on — gates that decide
+    between plans by MEASURING the data (not just footer stats) must
+    also honor the force flag, or soak's forced-scale blocks would
+    silently time the small-side plan."""
+    return _FORCE_SCALE_PLANS
+
+
 def provably_small(rows: int | None, threshold: int) -> bool:
     """True only when stats PROVE the relation holds at most
     ``threshold`` rows. ``None`` (missing/unreadable stats) is NOT

@@ -163,3 +163,38 @@ def test_forced_scale_gate_flips_every_gated_plan(spark, sf_dir):
         assert rounds_forced >= 1  # distributed fixpoint ran
     finally:
         force_scale_plans(False)
+
+
+def test_span_group_bound_gate(spark, sf_dir, monkeypatch):
+    """VERDICT r7 #1: past the stats gate, span_dedup's plan choice
+    keys on a sampled bound of the LARGEST span-hash group, not corpus
+    row count — a large-but-unviral corpus keeps the ~1.7x cheaper
+    window plan, and only measured kilo-scale viral spans pay the
+    skew-safe premium."""
+    from environmental_stac_generator_spark import tables
+    from environmental_stac_generator_spark.queries import curation
+
+    # 1. the estimator separates the regimes: 20k docs sharing ONE
+    # text (every window hash a 20k-doc group) vs 20k docs of fully
+    # id-tagged distinct tokens (every group exactly 1 doc)
+    shared = " ".join(f"tok{i}" for i in range(20))
+    viral = spark.range(20000).selectExpr(
+        "id AS doc_id", f"'{shared}' AS text"
+    )
+    unviral = spark.range(20000).selectExpr(
+        "id AS doc_id",
+        "concat_ws(' ', transform(sequence(1, 20), "
+        "i -> concat('t', id, '_', i))) AS text",
+    )
+    vb = curation.span_max_group_bound(viral)
+    ub = curation.span_max_group_bound(unviral)
+    assert vb > curation.SPAN_WINDOW_MAX_GROUP, vb
+    assert ub <= curation.SPAN_WINDOW_MAX_GROUP, ub
+
+    # 2. the gate wiring: with footer stats refusing to prove "small",
+    # the bound alone must decide the plan
+    monkeypatch.setattr(tables, "provably_small", lambda rows, thr: False)
+    monkeypatch.setattr(curation, "span_max_group_bound", lambda d: 10_000)
+    assert "Window [" not in _plan(spark, sf_dir, "span_dedup")
+    monkeypatch.setattr(curation, "span_max_group_bound", lambda d: 100)
+    assert "Window [" in _plan(spark, sf_dir, "span_dedup")
