@@ -1,5 +1,6 @@
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
@@ -11,7 +12,9 @@ if str(REPO) not in sys.path:
 
 from environmental_stac_generator_spark.session import get_spark  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.001"
+# Overridable for hosts without the driver corpus (ADVICE r7: CI
+# synthesizes a schema-faithful twin via tools/make_testdata.py)
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")

@@ -11,6 +11,8 @@ from pathlib import Path
 
 import pytest
 
+from tests.conftest import SF_DIR
+
 from environmental_stac_generator_spark.cli import _build_parser, _ingest, _preprocess
 
 REPO = Path(__file__).resolve().parent.parent
@@ -80,7 +82,7 @@ def test_cli_curate(tmp_path, capsys):
     rc = main(
         [
             "--master", "local[4]",
-            "curate", "/root/testdata/sf0.001/documents.parquet",
+            "curate", f"{SF_DIR}/documents.parquet",
             "--token-budget", "15000",
             "--quality-min", "0.2",
             "--output", str(out),
@@ -111,7 +113,7 @@ def test_cli_curate_shard_export(tmp_path, capsys):
     rc = main(
         [
             "--master", "local[4]",
-            "curate", "/root/testdata/sf0.001/documents.parquet",
+            "curate", f"{SF_DIR}/documents.parquet",
             "--jaccard", "-1",
             "--output", str(out),
             "--shards", "4",
@@ -148,7 +150,7 @@ def test_cli_validate(tmp_path, capsys):
     ]))
     rc = main([
         "--master", "local[4]",
-        "validate", "/root/testdata/sf0.001/documents.parquet",
+        "validate", f"{SF_DIR}/documents.parquet",
         "--rules", str(rules),
     ])
     assert rc == 0
@@ -161,7 +163,7 @@ def test_cli_validate(tmp_path, capsys):
     bad.write_text(json.dumps([{"kind": "row_count_min", "min_rows": 10**9}]))
     rc = main([
         "--master", "local[4]",
-        "validate", "/root/testdata/sf0.001/documents.parquet",
+        "validate", f"{SF_DIR}/documents.parquet",
         "--rules", str(bad),
     ])
     assert rc == 1

@@ -45,6 +45,12 @@ rec = {
     "green": status == 0 and counts.get("failed", 0) == 0 and counts.get("error", 0) == 0,
     "fully_exercised": counts.get("skipped", 0) == 0 and counts.get("passed", 0) > 0,
 }
+# live-Postgres upsert throughput, when the lane ran against a real
+# server (VERDICT r7 #7) — written by test_psycopg_upsert_throughput
+try:
+    rec["pg_upsert_throughput"] = json.load(open("PG_THROUGHPUT.json"))
+except Exception:
+    pass
 json.dump(rec, open("REALCODEC.json", "w"), indent=2)
 print("\nwrote REALCODEC.json:", json.dumps(rec))
 EOF
