@@ -80,6 +80,7 @@ HEADLINE = [
 # bit-exact-vs-its-own-oracle checks.
 ANN_RECALL_PATHS = [
     "ann_lsh_probe",
+    "ann_lsh_multiprobe",
     "ivf_ann_probe",
     "pq_ann_probe",
     "ivfpq_ann_probe",

@@ -1,7 +1,7 @@
 """Driver-facing consolidated registry: SURVEY §2 + §2.11 in ≤50 rows.
 
 The driver's CORRECTNESS check covers the first 50 ``queries()``
-entries, so the full fine-grained registry (92 queries — kept intact
+entries, so the full fine-grained registry (93 queries — kept intact
 for tests, bench continuity, and debugging granularity; see
 ``registry.load_full_registry``) is consolidated here into 50
 driver-facing entries: 42 SQL-oracle-checked + 8 rows-only kernels.
@@ -379,17 +379,20 @@ def build(full: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
                     [
                         ("probe", "ann_lsh_probe",
                          {"a": "vec_id", "cosine": "cosine"}),
+                        ("multiprobe", "ann_lsh_multiprobe",
+                         {"a": "vec_id", "cosine": "cosine"}),
                         ("near_dup", "embedding_near_dup",
                          {"a": "vec_a", "b": "vec_b", "cosine": "cosine"}),
                         ("semdedup", "semdedup_pairs",
                          {"a": "vec_a", "b": "vec_b", "cosine": "cosine"}),
                     ],
                     doc="Random-hyperplane LSH ANN: bucket-probe ranking + "
+                    "Hamming-radius multi-probe ranking (r8) + "
                     "embedding-cosine near-dup pairs from bucket groups + "
                     "SemDeDup-style within-k-means-cluster semantic dup "
-                    "pairs (absorbs ann_lsh_probe, embedding_near_dup, "
-                    "semdedup_pairs; ann_lsh_buckets is their shared map "
-                    "stage).",
+                    "pairs (absorbs ann_lsh_probe, ann_lsh_multiprobe, "
+                    "embedding_near_dup, semdedup_pairs; ann_lsh_buckets "
+                    "is their shared map stage).",
                 ),
             ),
             (

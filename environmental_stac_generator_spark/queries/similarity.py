@@ -222,6 +222,74 @@ def ann_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MULTIPROBE_R = 2  # probe every bucket within this Hamming radius
+
+
+def _hamming_terms(a: str, b: str) -> str:
+    """SQL Hamming distance between two N_PLANES-char '0'/'1' bucket
+    strings — N_PLANES generated per-position terms, identical text
+    shape on both engines (substr is 1-indexed in both)."""
+    return " + ".join(
+        f"(CASE WHEN substr({a}, {i}, 1) <> substr({b}, {i}, 1) "
+        "THEN 1 ELSE 0 END)"
+        for i in range(1, N_PLANES + 1)
+    )
+
+
+@register(
+    "ann_lsh_multiprobe",
+    f"""
+    WITH planes AS (
+      SELECT vec_id AS plane_id, embedding AS plane
+      FROM embeddings WHERE vec_id < {N_PLANES}
+    ),
+    bits AS (
+      SELECT e.vec_id, p.plane_id, e.embedding,
+             CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(p.plane AS DOUBLE[])) >= 0
+                  THEN '1' ELSE '0' END AS bit
+      FROM embeddings e CROSS JOIN planes p
+    ),
+    buckets AS (
+      SELECT vec_id, any_value(embedding) AS embedding,
+             string_agg(bit, '' ORDER BY plane_id) AS bucket
+      FROM bits GROUP BY vec_id
+    ),
+    probe AS (SELECT embedding AS p, bucket FROM buckets WHERE vec_id = 0)
+    SELECT b.vec_id,
+           floor((list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                        CAST(p.p AS DOUBLE[]))) * 100000.0 + 0.5) / 100000.0 AS cosine
+    FROM buckets b CROSS JOIN probe p
+    WHERE ({_hamming_terms('b.bucket', 'p.bucket')}) <= {MULTIPROBE_R}
+      AND b.vec_id <> 0
+    ORDER BY cosine DESC, b.vec_id
+    LIMIT 10
+    """,
+    doc=f"Multi-probe LSH ANN (Lv et al. 2007): rank every bucket "
+    f"within Hamming distance {MULTIPROBE_R} of the probe's signature "
+    "— the recall/cost dial single-bucket LSH lacks (the r8 recall "
+    "harness measured the single-bucket probe at 0.0 recall@10 on the "
+    "driver corpus: one of 256 buckets holds ~n/256 candidates). "
+    f"Radius {MULTIPROBE_R} scans C(8,<=2)=37 of 256 buckets (~14% "
+    "of the corpus); at 100 TB with a bucket-partitioned layout this "
+    "is 37 partition reads instead of 1 — still pruned, but with "
+    "usable recall.",
+)
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    buckets = _lsh_bucketed(spark, sf_dir)
+    probe = buckets.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("p"), F.col("bucket").alias("probe_bucket")
+    )
+    ham = F.expr(_hamming_terms("bucket", "probe_bucket"))
+    return (
+        buckets.crossJoin(F.broadcast(probe))
+        .filter((ham <= MULTIPROBE_R) & (F.col("vec_id") != 0))
+        .select("vec_id", rnd(_cosine("embedding", "p"), 5).alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+    )
+
+
 @register(
     "embedding_near_dup",
     f"""
