@@ -27,11 +27,18 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 PKG = "environmental_stac_generator_spark"
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
 
 
-def _load_registry_from(tree: Path, alias: str):
+def _load_registry_from(tree: Path, alias: str | None):
+    """Import the package rooted at ``tree`` and return its full
+    registry. With ``alias``, the loaded modules are renamed out of
+    sys.modules afterwards (their function objects keep working via
+    closures) so a subsequent load can import the same package from a
+    different tree; ``alias=None`` leaves them installed (use for the
+    final/current tree)."""
     import importlib
-    import importlib.util
 
     sys.path.insert(0, str(tree))
     try:
@@ -40,9 +47,10 @@ def _load_registry_from(tree: Path, alias: str):
                 del sys.modules[name]
         mod = importlib.import_module(f"{PKG}.registry")
         reg = dict(mod.load_full_registry())
-        for name in list(sys.modules):
-            if name == PKG or name.startswith(PKG + "."):
-                sys.modules[f"{alias}:{name}"] = sys.modules.pop(name)
+        if alias is not None:
+            for name in list(sys.modules):
+                if name == PKG or name.startswith(PKG + "."):
+                    sys.modules[f"{alias}:{name}"] = sys.modules.pop(name)
         return reg
     finally:
         sys.path.remove(str(tree))
@@ -57,7 +65,7 @@ def main() -> None:
         shell=True, check=True, cwd=REPO,
     )
     old_reg = _load_registry_from(tmp, "old")
-    new_reg = _load_registry_from(REPO, "new")
+    new_reg = _load_registry_from(REPO, None)
 
     from environmental_stac_generator_spark.session import get_spark
 
