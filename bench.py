@@ -82,6 +82,7 @@ ANN_RECALL_PATHS = [
     "ann_lsh_probe",
     "ann_lsh_multiprobe",
     "ivf_ann_probe",
+    "ivf_ann_nprobe",
     "pq_ann_probe",
     "ivfpq_ann_probe",
     "ivfpq_residual_probe",

@@ -1,7 +1,7 @@
 """Driver-facing consolidated registry: SURVEY §2 + §2.11 in ≤50 rows.
 
 The driver's CORRECTNESS check covers the first 50 ``queries()``
-entries, so the full fine-grained registry (93 queries — kept intact
+entries, so the full fine-grained registry (94 queries — kept intact
 for tests, bench continuity, and debugging granularity; see
 ``registry.load_full_registry``) is consolidated here into 50
 driver-facing entries: 42 SQL-oracle-checked + 8 rows-only kernels.
@@ -403,6 +403,8 @@ def build(full: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
                     [
                         ("ivf", "ivf_ann_probe",
                          {"a": "vec_id", "metric": "cosine"}),
+                        ("ivf_nprobe", "ivf_ann_nprobe",
+                         {"a": "vec_id", "metric": "cosine"}),
                         ("pq_code", "pq_encode",
                          {"a": "vec_id", "b": "m", "metric": "code"}),
                         ("pq_adc", "pq_ann_probe",
@@ -412,12 +414,14 @@ def build(full: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
                         ("ivfpq_res", "ivfpq_residual_probe",
                          {"a": "vec_id", "metric": "adc"}),
                     ],
-                    doc="Quantized ANN: IVF cell-probe ranking + product-"
-                    "quantization codes (32x compression, fixed-sample "
-                    "codebooks) + PQ ADC top-k probe + the composed "
-                    "IVFPQ cell-routed ADC probe, raw-code and residual-"
-                    "code (absorbs ivf_ann_probe, pq_encode, pq_ann_probe, "
-                    "ivfpq_ann_probe — r7; ivfpq_residual_probe — r8).",
+                    doc="Quantized ANN: IVF cell-probe ranking (single- "
+                    "and nprobe=4 multi-cell) + product-quantization "
+                    "codes (32x compression, fixed-sample codebooks) + PQ "
+                    "ADC top-k probe + the composed IVFPQ cell-routed ADC "
+                    "probe, raw-code and residual-code (absorbs "
+                    "ivf_ann_probe, pq_encode, pq_ann_probe, "
+                    "ivfpq_ann_probe — r7; ivfpq_residual_probe, "
+                    "ivf_ann_nprobe — r8).",
                 ),
             ),
             keep("kmeans_clusters"),

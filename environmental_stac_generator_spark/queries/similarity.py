@@ -590,6 +590,95 @@ def ivf_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NPROBE = 4  # cells scanned by the multi-cell IVF probe
+
+
+@register(
+    "ivf_ann_nprobe",
+    f"""
+    WITH centroids AS (
+      SELECT vec_id AS centroid_id, embedding AS centroid
+      FROM embeddings WHERE vec_id < {N_CENTROIDS}
+    ),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.centroid_id,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                               CAST(c.centroid AS DOUBLE[])) DESC,
+                        c.centroid_id
+             ) AS rn
+      FROM embeddings e CROSS JOIN centroids c
+    ),
+    cells AS (
+      SELECT vec_id, embedding, centroid_id AS cell FROM scored WHERE rn = 1
+    ),
+    pcells AS (
+      SELECT centroid_id AS cell FROM scored WHERE vec_id = 0 AND rn <= {NPROBE}
+    ),
+    probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
+    SELECT c.vec_id,
+           floor((list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                        CAST(p.p AS DOUBLE[]))) * 100000.0 + 0.5) / 100000.0 AS cosine
+    FROM cells c JOIN pcells ON c.cell = pcells.cell CROSS JOIN probe p
+    WHERE c.vec_id <> 0
+    ORDER BY cosine DESC, c.vec_id
+    LIMIT 10
+    """,
+    doc=f"Multi-cell IVF probe (FAISS nprobe={NPROBE}): rank the union "
+    f"of the probe's {NPROBE} nearest cells instead of one — the "
+    "coarse-quantizer recall dial (single-cell routing loses every "
+    "true neighbor assigned to an adjacent cell). Routing stays a "
+    "driver-side scalar decision; the corpus is passed once, filtered "
+    f"to ~{NPROBE}/K of its rows — at 100 TB with a "
+    "partitionBy(cell) layout this reads 4 partitions instead of 1.",
+)
+def ivf_ann_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    empty = e.sparkSession.createDataFrame([], "vec_id bigint, cosine double")
+    cents = sorted(
+        e.filter(F.col("vec_id") < N_CENTROIDS).select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    if not cents:
+        return empty
+    probe = _ivf_probe_cell(cents)
+    if probe is None:
+        return empty
+    probe_vec, p_norm, _cell = probe
+    top_cells = _ivf_top_cells_py(probe_vec, cents, NPROBE)
+    cos = F.expr(_dot_sql("embedding", _vec_sql(probe_vec))) / (
+        F.col("_norm") * F.lit(p_norm)
+    )
+    return (
+        _ivf_cells_of(e, cents)
+        .filter(F.col("cell").isin(top_cells) & (F.col("vec_id") != 0))
+        .select("vec_id", rnd(cos, 5).alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+    )
+
+
+def _ivf_top_cells_py(vec, cents, n: int) -> list[int]:
+    """Driver-side top-n cells by (cosine desc, id asc) — the same
+    exact-sequential-double ranking as `_ivf_cell_py`, extended past
+    rank 1."""
+    import math
+
+    v_norm = math.sqrt(_py_dot(vec, vec))
+    ranked = sorted(
+        (
+            (
+                -_py_dot(vec, r.embedding)
+                / (v_norm * math.sqrt(_py_dot(r.embedding, r.embedding))),
+                int(r.vec_id),
+            )
+            for r in cents
+        ),
+    )
+    return [cid for _neg, cid in ranked[:n]]
+
+
 def _ivf_cells_of(e: DataFrame, cents) -> DataFrame:
     """(vec_id, embedding, _norm, cell) — the IVF coarse assignment,
     shared by `ivf_ann_probe` and `ivfpq_ann_probe`.
