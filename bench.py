@@ -108,6 +108,12 @@ def _ann_recall(spark, sf_dir: str, reg) -> dict[str, float]:
     runs += [
         ("pq_ann_probe_trained", _sim.pq_ann_probe_trained),
         ("ivfpq_residual_trained", _sim.ivfpq_residual_trained),
+        # K=64 codebooks through the broadcast-array ADC kernel — the
+        # codebook-size axis of the quality dial
+        ("pq_ann_probe_trained_k64",
+         lambda s, d: _sim.pq_ann_probe_trained(s, d, k=64)),
+        ("ivfpq_residual_trained_k64",
+         lambda s, d: _sim.ivfpq_residual_trained(s, d, k=64)),
     ]
     for name, fn in runs:
         ids = [r["vec_id"] for r in fn(spark, sf_dir).collect()[:10]]

@@ -1509,21 +1509,74 @@ def pq_adc_rank_of(
     )
 
 
-def pq_ann_probe_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pq_adc_rank_bcast(
+    e: DataFrame, cb: list[list[float]], probe: list[float], col: str = "embedding"
+) -> DataFrame:
+    """ADC ranking for codebooks past the literal-expression budget
+    (K > K_LITERAL_MAX would make the generated argmin text O(K·dsub)
+    per subspace): the codebook subvectors and the probe's distance
+    tables enter the plan as ONE broadcast row each, and the per-row
+    expression is O(PQ_M) — argmin over the broadcast array via a
+    (d, k)-struct array_min (same lowest-code tiebreak as the literal
+    kernel; property-tested equal at K=16). Per-row work: K sqdists +
+    one table lookup per subspace."""
+    dsub = _pq_dsub(len(cb[0]))
+
+    def _sq(a, b) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            t = x - y
+            acc += t * t
+        return acc
+
+    tables = [
+        [_sq(probe[m * dsub:(m + 1) * dsub], c[m * dsub:(m + 1) * dsub]) for c in cb]
+        for m in range(PQ_M)
+    ]
+    cbsub = [
+        [[float(v) for v in c[m * dsub:(m + 1) * dsub]] for c in cb]
+        for m in range(PQ_M)
+    ]
+    base = _pq_with_subvectors(e.filter(F.col("vec_id") != 0), dsub, col=col)
+    base = _with_centroid_array(base, cbsub, "array<array<array<double>>>", "_cbsub")
+    base = _with_centroid_array(base, tables, "array<array<double>>", "_tab")
+    adc = " + ".join(
+        f"element_at(element_at(_tab, {m + 1}), "
+        f"cast(array_min(transform(element_at(_cbsub, {m + 1}), (c, k) -> "
+        f"struct(aggregate(zip_with(_s{m}, c, "
+        "(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
+        "0.0D, (acc, v) -> acc + v) AS d, k AS k))).k + 1 as int))"
+        for m in range(PQ_M)
+    )
+    return (
+        base.select("vec_id", rnd(F.expr(adc), 5).alias("adc"))
+        .orderBy("adc", "vec_id")
+        .limit(10)
+        .drop("_cbsub", "_tab")
+    )
+
+
+def pq_ann_probe_trained(
+    spark: SparkSession, sf_dir: str, k: int = PQ_K
+) -> DataFrame:
     """Bench-only (not registered — Lloyd's float means aren't
     engine-portable as SQL): the same ADC probe with a Lloyd-trained
     codebook instead of the fixed 16-row sample. On the driver corpus
     this doubles recall@10 (0.2 -> 0.4 at sf0.01) — the
-    codebook-quality lever a production index would pull."""
+    codebook-quality lever a production index would pull. ``k`` past
+    K_LITERAL_MAX routes to the broadcast-codebook kernel."""
     e = load(spark, sf_dir, "embeddings")
     empty = e.sparkSession.createDataFrame([], "vec_id bigint, adc double")
     probe_row = e.filter(F.col("vec_id") == 0).select("embedding").head()
     if probe_row is None:
         return empty
-    cb = pq_train_codebook(e)
+    cb = pq_train_codebook(e, k=k)
     if not cb:
         return empty
-    return pq_adc_rank_of(e, cb, [float(v) for v in probe_row[0]])
+    probe = [float(v) for v in probe_row[0]]
+    if k <= K_LITERAL_MAX:
+        return pq_adc_rank_of(e, cb, probe)
+    return pq_adc_rank_bcast(e, cb, probe)
 
 
 def _pq_adc_sql(probe: list[float], cb: list[list[float]], dsub: int) -> str:
@@ -1780,11 +1833,14 @@ def ivfpq_residual_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def ivfpq_residual_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivfpq_residual_trained(
+    spark: SparkSession, sf_dir: str, k: int = PQ_K
+) -> DataFrame:
     """Bench-only twin of `ivfpq_residual_probe` with a Lloyd-trained
     residual codebook (trained on the GLOBAL residual distribution,
     the FAISS convention). The residual column is computed map-side
-    via one literal cell->centroid map — no join, no shuffle."""
+    via one literal cell->centroid map — no join, no shuffle. ``k``
+    past K_LITERAL_MAX routes to the broadcast-codebook kernel."""
     e = load(spark, sf_dir, "embeddings")
     empty = e.sparkSession.createDataFrame([], "vec_id bigint, adc double")
     cents = sorted(
@@ -1808,13 +1864,14 @@ def ivfpq_residual_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(x, y) -> cast(x as double) - y)"
         ),
     )
-    cb = pq_train_codebook(resid.select("vec_id", "embedding"))
+    cb = pq_train_codebook(resid.select("vec_id", "embedding"), k=k)
     if not cb:
         return empty
     probe_res = [float(x) - y for x, y in zip(probe_vec, cent_by_id[probe_cell])]
-    return pq_adc_rank_of(
-        resid.filter(F.col("cell") == F.lit(probe_cell)), cb, probe_res
-    )
+    members = resid.filter(F.col("cell") == F.lit(probe_cell))
+    if k <= K_LITERAL_MAX:
+        return pq_adc_rank_of(members, cb, probe_res)
+    return pq_adc_rank_bcast(members, cb, probe_res)
 
 
 def pq_train_codebook(

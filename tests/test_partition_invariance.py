@@ -32,6 +32,10 @@ QUERIES = [
     "importance_weights",
     "perplexity_score",
     "int8_quantize",
+    # r8 ANN additions: top-k probes with deterministic tiebreaks
+    "ann_lsh_multiprobe",
+    "ivf_ann_nprobe",
+    "ivfpq_residual_probe",
 ]
 
 
