@@ -86,6 +86,7 @@ ANN_RECALL_PATHS = [
     "pq_ann_probe",
     "ivfpq_ann_probe",
     "ivfpq_residual_probe",
+    "ivfpq_residual_nprobe",
 ]
 
 

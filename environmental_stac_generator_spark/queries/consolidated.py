@@ -1,7 +1,7 @@
 """Driver-facing consolidated registry: SURVEY §2 + §2.11 in ≤50 rows.
 
 The driver's CORRECTNESS check covers the first 50 ``queries()``
-entries, so the full fine-grained registry (94 queries — kept intact
+entries, so the full fine-grained registry (95 queries — kept intact
 for tests, bench continuity, and debugging granularity; see
 ``registry.load_full_registry``) is consolidated here into 50
 driver-facing entries: 42 SQL-oracle-checked + 8 rows-only kernels.
@@ -412,6 +412,8 @@ def build(full: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
                         ("ivfpq", "ivfpq_ann_probe",
                          {"a": "vec_id", "metric": "adc"}),
                         ("ivfpq_res", "ivfpq_residual_probe",
+                         {"a": "vec_id", "metric": "adc"}),
+                        ("ivfpq_res_np", "ivfpq_residual_nprobe",
                          {"a": "vec_id", "metric": "adc"}),
                     ],
                     doc="Quantized ANN: IVF cell-probe ranking (single- "

@@ -1833,6 +1833,176 @@ def ivfpq_residual_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_residual_nprobe_duck(dim: int, dsub: int) -> str:
+    """Residual-IVFPQ with nprobe cells — the full FAISS IndexIVFPQ
+    query shape: members of every probed cell are coded against the
+    SHARED residual codebook, and each cell gets its OWN probe
+    distance table (the probe's residual differs per cell). Same
+    exact-IEEE derivation discipline as the single-cell oracle."""
+    adc_terms = " + ".join(
+        f"MAX(CASE WHEN b.m = {m} THEN t.dist END)" for m in range(PQ_M)
+    )
+    return f"""
+    WITH centroids AS (
+      SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS centroid
+      FROM embeddings WHERE vec_id < {N_CENTROIDS}
+    ),
+    scored AS (
+      SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, c.centroid_id,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                               c.centroid) DESC,
+                        c.centroid_id
+             ) AS rn
+      FROM embeddings e CROSS JOIN centroids c
+    ),
+    cells AS (SELECT vec_id, emb, centroid_id AS cell FROM scored WHERE rn = 1),
+    resid AS (
+      SELECT cl.vec_id, cl.cell,
+             list_transform(generate_series(1, {dim}),
+                            i -> cl.emb[i] - ct.centroid[i]) AS r
+      FROM cells cl JOIN centroids ct ON ct.centroid_id = cl.cell
+    ),
+    cb AS (
+      SELECT vec_id - {N_CENTROIDS} AS k, r AS c FROM resid
+      WHERE vec_id >= {N_CENTROIDS} AND vec_id < {N_CENTROIDS + PQ_K}
+    ),
+    pcells AS (
+      SELECT centroid_id AS cell FROM scored WHERE vec_id = 0 AND rn <= {NPROBE}
+    ),
+    vecs AS (
+      SELECT resid.vec_id, resid.cell, resid.r AS e
+      FROM resid JOIN pcells USING (cell)
+      WHERE resid.vec_id <> 0
+    ),
+    d AS (
+      SELECT vecs.vec_id, vecs.cell, r.m, cb.k, {_pq_duck_terms(dsub)} AS dist
+      FROM vecs CROSS JOIN range({PQ_M}) r(m) CROSS JOIN cb
+    ),
+    codes AS (
+      SELECT vec_id, cell, m, k,
+             row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS rn
+      FROM d
+    ),
+    presid AS (
+      SELECT pc.cell,
+             list_transform(generate_series(1, {dim}),
+                            i -> pe.emb[i] - ct.centroid[i]) AS e
+      FROM pcells pc
+      JOIN centroids ct ON ct.centroid_id = pc.cell
+      CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS emb
+                  FROM embeddings WHERE vec_id = 0) pe
+    ),
+    t AS (
+      SELECT presid.cell, r.m, cb.k, {_pq_duck_terms(dsub)} AS dist
+      FROM (SELECT cell, e FROM presid) presid
+      CROSS JOIN range({PQ_M}) r(m) CROSS JOIN cb
+    ),
+    best AS (SELECT vec_id, cell, m, k AS code FROM codes WHERE rn = 1),
+    adc AS (
+      SELECT b.vec_id, ({adc_terms}) AS adc_raw
+      FROM best b
+      JOIN t ON t.cell = b.cell AND t.m = b.m AND t.k = b.code
+      GROUP BY b.vec_id
+    )
+    SELECT vec_id, floor(adc_raw * 100000.0 + 0.5) / 100000.0 AS adc
+    FROM adc ORDER BY adc, vec_id LIMIT 10
+    """
+
+
+@register(
+    "ivfpq_residual_nprobe",
+    _ivfpq_residual_nprobe_duck(EMB_DIM, PQ_DSUB),
+    doc=f"Residual IVFPQ with nprobe={NPROBE} — the full FAISS "
+    "IndexIVFPQ query shape: route the probe to its nearest "
+    f"{NPROBE} cells, subtract each member's OWN cell centroid "
+    "map-side (one literal cell->centroid map over the probed "
+    "cells), code against the shared residual codebook, and rank by "
+    "per-cell ADC tables (the probe's residual differs per cell). "
+    f"Scan prunes to ~{NPROBE}/{N_CENTROIDS} of the corpus and reads "
+    "codes; every stage stays map-side after the one routing "
+    "decision.",
+)
+def ivfpq_residual_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    empty = e.sparkSession.createDataFrame([], "vec_id bigint, adc double")
+    cents = sorted(
+        e.filter(F.col("vec_id") < N_CENTROIDS).select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    if not cents:
+        return empty
+    probe = _ivf_probe_cell(cents)
+    if probe is None:
+        return empty
+    probe_vec, _p_norm, _pc = probe
+    cb_rows = sorted(
+        e.filter(
+            (F.col("vec_id") >= N_CENTROIDS)
+            & (F.col("vec_id") < N_CENTROIDS + PQ_K)
+        )
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    if not cb_rows:
+        return empty
+    cent_by_id = {int(r.vec_id): [float(v) for v in r.embedding] for r in cents}
+
+    def _residual(vec, cell: int) -> list[float]:
+        return [float(x) - y for x, y in zip(vec, cent_by_id[cell])]
+
+    cbres = [_residual(r.embedding, _ivf_cell_py(r.embedding, cents))
+             for r in cb_rows]
+    _assert_driver_dim(cbres)
+    dsub = _pq_dsub(len(cbres[0]))
+    top_cells = _ivf_top_cells_py(probe_vec, cents, NPROBE)
+
+    def _sq(a, b) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            t = x - y
+            acc += t * t
+        return acc
+
+    # per-cell probe tables: tables[cell][m][k]
+    tables = {}
+    for cell in top_cells:
+        pres = _residual(probe_vec, cell)
+        tables[cell] = [
+            [_sq(pres[m * dsub:(m + 1) * dsub], c[m * dsub:(m + 1) * dsub])
+             for c in cbres]
+            for m in range(PQ_M)
+        ]
+    cmap = ", ".join(
+        f"{cid}L, {_vec_sql(cent_by_id[cid])}" for cid in top_cells
+    )
+    members = (
+        _ivf_cells_of(e, cents)
+        .filter(F.col("cell").isin(top_cells) & (F.col("vec_id") != 0))
+        .withColumn(
+            "_res",
+            F.expr(
+                f"zip_with(embedding, element_at(map({cmap}), cell), "
+                "(x, y) -> cast(x as double) - y)"
+            ),
+        )
+    )
+    adc = " + ".join(
+        "element_at(element_at(map("
+        + ", ".join(f"{cid}L, {_vec_sql(tables[cid][m])}" for cid in top_cells)
+        + f"), cell), cast({_pq_code_sql(m, dsub, cbres)} + 1 as int))"
+        for m in range(PQ_M)
+    )
+    return (
+        _pq_with_subvectors(members, dsub, col="_res")
+        .select("vec_id", rnd(F.expr(adc), 5).alias("adc"))
+        .orderBy("adc", "vec_id")
+        .limit(10)
+    )
+
+
 def ivfpq_residual_trained(
     spark: SparkSession, sf_dir: str, k: int = PQ_K
 ) -> DataFrame:

@@ -36,6 +36,7 @@ QUERIES = [
     "ann_lsh_multiprobe",
     "ivf_ann_nprobe",
     "ivfpq_residual_probe",
+    "ivfpq_residual_nprobe",
 ]
 
 
