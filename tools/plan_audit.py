@@ -42,6 +42,9 @@ AUDIT = [
     "vocab_top_tokens", "pii_scan", "semdedup_pairs", "span_dedup",
     "importance_weights", "perplexity_score", "int8_quantize",
     "pq_encode", "pq_ann_probe", "ivfpq_ann_probe",
+    # r8 additions
+    "ivfpq_residual_probe", "ivfpq_residual_nprobe", "ivf_ann_nprobe",
+    "ann_lsh_multiprobe",
 ]
 # consolidated (driver-facing) merged entries worth auditing explicitly
 MERGED = [
