@@ -394,6 +394,8 @@ SOAK_QUERIES = [
 SOAK_MAP_SIDE = [
     "minhash_signatures", "simhash", "quality_score", "int8_quantize",
     "pq_encode", "ivfpq_ann_probe",
+    # r8: the residual/nprobe probes stay map-side at 10x too
+    "ivfpq_residual_probe", "ivfpq_residual_nprobe", "ivf_ann_nprobe",
 ]
 
 
