@@ -1144,6 +1144,10 @@ def soak() -> None:
     mm_stream, mm_failures = _multimodal_streaming_block(spark, soak_dir, sf_dir)
     shape_failures.extend(mm_failures)
 
+    # the ANN quality ladder at the 10x embedding corpus (r8): recall
+    # behavior under corpus growth, beside bench's base-sf numbers
+    ann_recall_10x = _ann_recall(spark, soak_dir, reg)
+
     # the natural-regime block: gates must flip on footer stats alone
     # (VERDICT r6 #1), mega-bucket fallback provably executes (#3)
     natural, nat_failures, nat_dir = _natural_scale_block(spark, sf_dir, reg)
@@ -1164,6 +1168,7 @@ def soak() -> None:
                 "upsert_throughput": upsert,
                 "semdedup_mega_fallback": sem_mega,
                 "multimodal_streaming": mm_stream,
+                "ann_recall_at_10_10x": ann_recall_10x,
                 "natural_scale": natural,
                 "base_sf_dir": sf_dir,
                 "scale_factor": SOAK_FACTOR,
