@@ -1494,15 +1494,20 @@ def pq_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pq_adc_rank_of(
-    e: DataFrame, cb: list[list[float]], probe: list[float], col: str = "embedding"
+    e: DataFrame,
+    cb: list[list[float]],
+    probe: list[float],
+    col: str = "embedding",
+    exclude: int = 0,
 ) -> DataFrame:
-    """ADC top-10 of ``e`` (minus vec 0) against ``probe`` under the
-    given codebook — the ranking kernel shared by the fixed-sample
-    registered probes and the trained-codebook bench variants."""
+    """ADC top-10 of ``e`` (minus the ``exclude`` probe id) against
+    ``probe`` under the given codebook — the ranking kernel shared by
+    the fixed-sample registered probes (probe vec 0) and the
+    trained-codebook / multi-probe bench harnesses."""
     dsub = _pq_dsub(len(cb[0]))
     adc = _pq_adc_sql(probe, cb, dsub)
     return (
-        _pq_with_subvectors(e.filter(F.col("vec_id") != 0), dsub, col=col)
+        _pq_with_subvectors(e.filter(F.col("vec_id") != exclude), dsub, col=col)
         .select("vec_id", rnd(F.expr(adc), 5).alias("adc"))
         .orderBy("adc", "vec_id")
         .limit(10)
