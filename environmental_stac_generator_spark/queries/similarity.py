@@ -1553,11 +1553,12 @@ def pq_adc_rank_bcast(
         "0.0D, (acc, v) -> acc + v) AS d, k AS k))).k + 1 as int))"
         for m in range(PQ_M)
     )
+    # the select projects _cbsub/_tab away — the broadcast columns
+    # leave the plan there, no trailing drop needed
     return (
         base.select("vec_id", rnd(F.expr(adc), 5).alias("adc"))
         .orderBy("adc", "vec_id")
         .limit(10)
-        .drop("_cbsub", "_tab")
     )
 
 

@@ -130,9 +130,13 @@ def test_psycopg_upsert_throughput(spark, tmp_path):
     sink is Postgres, stac/dataloader.py:45). Needs psycopg AND a
     live server (the CI realcodec job provides one as a service
     container via ENVSTAC_PG_DSN). Measures rows/s for a fresh load
-    and an all-conflict re-upsert, and records them to
-    PG_THROUGHPUT.json so run_realcodec_lane.sh can fold the numbers
-    into REALCODEC.json."""
+    and an all-conflict re-upsert, and records them to the path in
+    ENVSTAC_PG_THROUGHPUT_PATH (default: under pytest's tmp dir, so a
+    local run leaves no repo-root artifact) — run_realcodec_lane.sh
+    passes a per-run path and folds the numbers into REALCODEC.json.
+    The env-var indirection exists so a STALE file from a previous
+    run can never be recorded as this run's live-Postgres evidence
+    (ADVICE r8)."""
     import json
     import os
     import time
@@ -179,4 +183,7 @@ def test_psycopg_upsert_throughput(spark, tmp_path):
     with psycopg.connect(dsn) as conn:
         got = conn.execute("SELECT count(*) FROM items_tp").fetchone()[0]
     assert got == out["fresh"]["rows"], "re-upsert must not duplicate rows"
-    json.dump(out, open("PG_THROUGHPUT.json", "w"), indent=2)
+    report = os.environ.get(
+        "ENVSTAC_PG_THROUGHPUT_PATH", str(tmp_path / "PG_THROUGHPUT.json")
+    )
+    json.dump(out, open(report, "w"), indent=2)

@@ -21,13 +21,20 @@ cd "$(dirname "$0")/.."
 
 report=REALCODEC.json
 tmp=$(mktemp)
+# per-run throughput path (ADVICE r8: a bare read of a repo-root
+# PG_THROUGHPUT.json could fold a STALE file from a previous run into
+# this run's record even when the live-Postgres test skipped) — the
+# test writes here only if it actually ran against a server
+pg_tmp=$(mktemp -u)
+export ENVSTAC_PG_THROUGHPUT_PATH="$pg_tmp"
 status=0
 python -m pytest -m realcodec -q --no-header -rs tests/test_real_codecs.py \
   | tee "$tmp" || status=$?
 
-python - "$tmp" "$status" <<'EOF'
+python - "$tmp" "$status" "$pg_tmp" <<'EOF'
 import json, re, sys, datetime, platform
 out, status = open(sys.argv[1]).read(), int(sys.argv[2])
+pg_path = sys.argv[3]
 tail = out.strip().splitlines()[-1] if out.strip() else ""
 counts = {k: int(v) for v, k in re.findall(r"(\d+) (passed|failed|skipped|error)", tail)}
 deps = {}
@@ -47,12 +54,13 @@ rec = {
 }
 # live-Postgres upsert throughput, when the lane ran against a real
 # server (VERDICT r7 #7) — written by test_psycopg_upsert_throughput
+# to THIS run's path; absent file == the test skipped this run
 try:
-    rec["pg_upsert_throughput"] = json.load(open("PG_THROUGHPUT.json"))
-except Exception:
+    rec["pg_upsert_throughput"] = json.load(open(pg_path))
+except FileNotFoundError:
     pass
 json.dump(rec, open("REALCODEC.json", "w"), indent=2)
 print("\nwrote REALCODEC.json:", json.dumps(rec))
 EOF
-rm -f "$tmp"
+rm -f "$tmp" "$pg_tmp"
 exit "$status"
