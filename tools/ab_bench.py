@@ -7,12 +7,21 @@ suspected regression is adjudicated by running OLD and NEW code in
 the SAME process, alternating samples, on the same warm session —
 host drift then hits both sides equally.
 
+Revision isolation (ADVICE r8): each side's modules are swapped into
+sys.modules under their CANONICAL names (and its tree put first on
+sys.path) for the duration of its timed call, then swapped back out.
+Without this, a query whose behavior lives behind a CALL-TIME import
+(e.g. span_dedup's gate does `from ...tables import provably_small`
+inside the function) would resolve that import against whichever
+revision happened to be installed — the old lane silently executing
+NEW code and reporting a false "no regression".
+
 Usage:
     python tools/ab_bench.py <old_rev> <query> [<query> ...]
 
 Checks out <old_rev>'s package into a temp dir, imports both
-registries under distinct module names, and reports per-query
-min-of-3 alternating samples for old vs new.
+registries, and reports per-query min-of-3 alternating samples for
+old vs new.
 """
 
 from __future__ import annotations
@@ -23,6 +32,7 @@ import subprocess
 import sys
 import tempfile
 import time
+from contextlib import contextmanager
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
@@ -31,29 +41,53 @@ if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
 
 
-def _load_registry_from(tree: Path, alias: str | None):
-    """Import the package rooted at ``tree`` and return its full
-    registry. With ``alias``, the loaded modules are renamed out of
-    sys.modules afterwards (their function objects keep working via
-    closures) so a subsequent load can import the same package from a
-    different tree; ``alias=None`` leaves them installed (use for the
-    final/current tree)."""
+def _clear_pkg_modules() -> None:
+    for name in list(sys.modules):
+        if name == PKG or name.startswith(PKG + "."):
+            del sys.modules[name]
+
+
+def _snapshot_pkg_modules() -> dict:
+    return {
+        name: sys.modules[name]
+        for name in list(sys.modules)
+        if name == PKG or name.startswith(PKG + ".")
+    }
+
+
+def _load_registry_from(tree: Path):
+    """Import the package rooted at ``tree`` and return (registry,
+    modules). The loaded modules are captured and then REMOVED from
+    sys.modules — neither revision stays installed between timed
+    calls; `_active` installs exactly one side at a time."""
     import importlib
 
     sys.path.insert(0, str(tree))
     try:
-        for name in list(sys.modules):
-            if name == PKG or name.startswith(PKG + "."):
-                del sys.modules[name]
+        _clear_pkg_modules()
         mod = importlib.import_module(f"{PKG}.registry")
         reg = dict(mod.load_full_registry())
-        if alias is not None:
-            for name in list(sys.modules):
-                if name == PKG or name.startswith(PKG + "."):
-                    sys.modules[f"{alias}:{name}"] = sys.modules.pop(name)
-        return reg
+        mods = _snapshot_pkg_modules()
+        _clear_pkg_modules()
+        return reg, mods
     finally:
         sys.path.remove(str(tree))
+
+
+@contextmanager
+def _active(tree: Path, mods: dict):
+    """Install one revision's modules under canonical names with its
+    tree first on sys.path, so call-time imports inside its query
+    functions resolve WITHIN that revision (fresh imports of
+    never-loaded submodules hit the right tree too)."""
+    _clear_pkg_modules()
+    sys.modules.update(mods)
+    sys.path.insert(0, str(tree))
+    try:
+        yield
+    finally:
+        sys.path.remove(str(tree))
+        _clear_pkg_modules()
 
 
 def main() -> None:
@@ -64,27 +98,29 @@ def main() -> None:
         f"git archive {old_rev} {PKG} | tar -x -C {tmp}",
         shell=True, check=True, cwd=REPO,
     )
-    old_reg = _load_registry_from(tmp, "old")
-    new_reg = _load_registry_from(REPO, None)
+    old_reg, old_mods = _load_registry_from(tmp)
+    new_reg, new_mods = _load_registry_from(REPO)
 
-    from environmental_stac_generator_spark.session import get_spark
+    with _active(REPO, new_mods):
+        from environmental_stac_generator_spark.session import get_spark
 
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = get_spark(
-        app_name="envstac-ab", master=f"local[{cpus}]",
-        shuffle_partitions=int(cpus), driver_memory="8g",
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-
-    def run_once(reg, name) -> float:
-        from environmental_stac_generator_spark.operators.lineage import (
-            release_tracked,
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        spark = get_spark(
+            app_name="envstac-ab", master=f"local[{cpus}]",
+            shuffle_partitions=int(cpus), driver_memory="8g",
         )
+        spark.sparkContext.setLogLevel("ERROR")
 
-        t0 = time.perf_counter()
-        reg[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        sec = time.perf_counter() - t0
-        release_tracked()
+    def run_once(reg, name, tree, mods) -> float:
+        with _active(tree, mods):
+            from environmental_stac_generator_spark.operators.lineage import (
+                release_tracked,
+            )
+
+            t0 = time.perf_counter()
+            reg[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            sec = time.perf_counter() - t0
+            release_tracked()
         return sec
 
     out = {}
@@ -92,11 +128,11 @@ def main() -> None:
         if name not in old_reg or name not in new_reg:
             out[name] = "absent in one side"
             continue
-        run_once(new_reg, name)  # shared warmup
+        run_once(new_reg, name, REPO, new_mods)  # shared warmup
         olds, news = [], []
         for _ in range(3):  # interleaved: host drift hits both sides
-            olds.append(run_once(old_reg, name))
-            news.append(run_once(new_reg, name))
+            olds.append(run_once(old_reg, name, tmp, old_mods))
+            news.append(run_once(new_reg, name, REPO, new_mods))
         out[name] = {
             "old_min": round(min(olds), 3),
             "new_min": round(min(news), 3),
