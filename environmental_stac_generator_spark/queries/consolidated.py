@@ -415,6 +415,10 @@ def build(full: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
                          {"a": "vec_id", "metric": "adc"}),
                         ("ivfpq_res_np", "ivfpq_residual_nprobe",
                          {"a": "vec_id", "metric": "adc"}),
+                        ("ivf_index", "ivf_index_probe",
+                         {"a": "vec_id", "metric": "cosine"}),
+                        ("ivfpq_index", "ivfpq_index_probe",
+                         {"a": "vec_id", "metric": "adc"}),
                     ],
                     doc="Quantized ANN: IVF cell-probe ranking (single- "
                     "and nprobe=4 multi-cell) + product-quantization "
@@ -423,7 +427,10 @@ def build(full: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
                     "probe, raw-code and residual-code (absorbs "
                     "ivf_ann_probe, pq_encode, pq_ann_probe, "
                     "ivfpq_ann_probe — r7; ivfpq_residual_probe, "
-                    "ivf_ann_nprobe — r8).",
+                    "ivf_ann_nprobe — r8; ivf_index_probe, "
+                    "ivfpq_index_probe — r9: the same probes against the "
+                    "MATERIALIZED partitionBy(cell) index, partition-"
+                    "pruned reads instead of full-corpus cell recompute).",
                 ),
             ),
             keep("kmeans_clusters"),

@@ -50,6 +50,7 @@ def load_full_registry() -> dict[str, QuerySpec]:
     # Imports are inside the function so `import registry` stays cheap.
     from environmental_stac_generator_spark.queries import (  # noqa: F401
         aggregates,
+        ann_index,
         arrays,
         curation,
         dedup,

@@ -1,0 +1,137 @@
+"""Materialized ANN index (VERDICT r8 #1): the inverted-file layout's
+claims as EXECUTED-PLAN facts.
+
+Three contracts:
+1. Parity — the index probes return bit-identical results to their
+   on-the-fly twins (same kernels at build time + exact parquet
+   double round-trip), for both the exact and the residual-ADC
+   ranking, single-cell and nprobe=4.
+2. Partition pruning — a probe READS only its probed cell
+   directories: the executed FileSourceScan's numFiles metric equals
+   the probed cells' file count, not the corpus's, and the scan
+   carries a cell PartitionFilter. (``inputFiles()`` can't show this
+   — it lists the relation pre-pruning — so the metric is the
+   assertion surface.)
+3. Codes-only ADC reads — the ADC probe's scan ReadSchema contains
+   codes but NOT the float embedding/norm columns: at 100 TB the
+   ranking reads 8-byte codes, never floats.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from environmental_stac_generator_spark.queries import ann_index as AI
+from environmental_stac_generator_spark.queries import similarity as S
+from environmental_stac_generator_spark.registry import load_full_registry
+
+REG = load_full_registry()
+
+
+@pytest.fixture(scope="module")
+def idx_dir(spark, sf_dir):
+    d = AI.index_dir_for(spark, sf_dir)
+    assert d is not None
+    return d
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+def test_exact_probe_matches_onthefly(spark, sf_dir, idx_dir):
+    assert _rows(REG["ivf_index_probe"].fn(spark, sf_dir)) == _rows(
+        REG["ivf_ann_probe"].fn(spark, sf_dir)
+    )
+
+
+def test_exact_nprobe_matches_onthefly(spark, sf_dir, idx_dir):
+    assert _rows(AI.index_probe_exact(spark, sf_dir, nprobe=S.NPROBE)) == _rows(
+        REG["ivf_ann_nprobe"].fn(spark, sf_dir)
+    )
+
+
+def test_adc_probe_matches_onthefly(spark, sf_dir, idx_dir):
+    assert _rows(REG["ivfpq_index_probe"].fn(spark, sf_dir)) == _rows(
+        REG["ivfpq_residual_probe"].fn(spark, sf_dir)
+    )
+
+
+def test_adc_nprobe_matches_onthefly(spark, sf_dir, idx_dir):
+    assert _rows(AI.index_probe_adc(spark, sf_dir, nprobe=S.NPROBE)) == _rows(
+        REG["ivfpq_residual_nprobe"].fn(spark, sf_dir)
+    )
+
+
+@pytest.mark.parametrize("nprobe", [1, S.NPROBE])
+def test_probe_reads_only_probed_partitions(spark, sf_dir, idx_dir, nprobe):
+    total_files = len(spark.read.parquet(idx_dir).inputFiles())
+    cells = spark.read.parquet(idx_dir).select("cell").distinct().count()
+    assert cells > nprobe, "corpus must have more cells than the probe"
+    scans = AI.executed_scan_metrics(
+        AI.index_probe_exact(spark, sf_dir, nprobe=nprobe)
+    )
+    assert len(scans) == 1, scans
+    scan = scans[0]
+    # the I/O claim itself: files READ == the probed cells' files
+    # (one file per cell at this size), strictly fewer than the corpus
+    assert scan["num_files"] == nprobe, scan
+    assert scan["num_files"] < total_files
+    assert scan.get("num_partitions", nprobe) == nprobe
+    # and it is PARTITION pruning, not post-read filtering
+    assert "PartitionFilters: [" in scan["scan"]
+    assert "cell" in scan["scan"].split("PartitionFilters")[1].split("]")[0]
+
+
+def test_adc_probe_reads_codes_not_floats(spark, sf_dir, idx_dir):
+    scans = AI.executed_scan_metrics(
+        AI.index_probe_adc(spark, sf_dir, nprobe=S.NPROBE)
+    )
+    assert len(scans) == 1, scans
+    scan = scans[0]
+    read_schema = scan["scan"].split("ReadSchema:")[1]
+    assert "codes" in read_schema
+    assert "embedding" not in read_schema, read_schema
+    assert "norm" not in read_schema, read_schema
+    # the codes scan is pruned too
+    assert scan["num_files"] == S.NPROBE, scan
+
+
+def test_index_layout_one_file_per_cell(spark, idx_dir):
+    # repartition("cell") before partitionBy: ~one file per cell dir,
+    # not one per (cell x input task) — the small-files guard
+    files = spark.read.parquet(idx_dir).inputFiles()
+    cells = {f.split("cell=")[1].split("/")[0] for f in files}
+    assert len(files) == len(cells)
+
+
+def test_index_rebuilds_on_corpus_change(spark, tmp_path):
+    src = spark.range(0, 80).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 64), i -> cast(hash(id, i) % 1000 as float)"
+            " / 1000.0f)"
+        ).alias("embedding"),
+    )
+    corpus = str(tmp_path / "corpus")
+    src.coalesce(1).write.parquet(f"{corpus}/embeddings.parquet")
+    first = _rows(AI.index_probe_exact(spark, corpus, nprobe=1))
+    assert first
+    # overwrite with a SHIFTED corpus: the fingerprint must miss and
+    # the rebuilt index must reflect the new vectors
+    shifted = spark.range(0, 80).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 64), i -> cast(hash(id + 7, i) % 1000 "
+            "as float) / 1000.0f)"
+        ).alias("embedding"),
+    )
+    shifted.coalesce(1).write.mode("overwrite").parquet(
+        f"{corpus}/embeddings.parquet"
+    )
+    second = _rows(AI.index_probe_exact(spark, corpus, nprobe=1))
+    assert second and second != first
+    # and the fresh index agrees with the on-the-fly kernel on the
+    # fresh corpus
+    assert second == _rows(REG["ivf_ann_probe"].fn(spark, corpus))

@@ -43,6 +43,8 @@ QUERIES = [
     "knn_join",
     "ann_lsh_buckets",
     "ivf_ann_probe",
+    "ivf_index_probe",
+    "ivfpq_index_probe",
     "embedding_near_dup",
     "int8_quantize",
     "salted_agg",

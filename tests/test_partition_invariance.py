@@ -37,6 +37,9 @@ QUERIES = [
     "ivf_ann_nprobe",
     "ivfpq_residual_probe",
     "ivfpq_residual_nprobe",
+    # r9: probes against the materialized partitionBy(cell) index
+    "ivf_index_probe",
+    "ivfpq_index_probe",
 ]
 
 
