@@ -90,20 +90,27 @@ ANN_RECALL_PATHS = [
 ]
 
 
-def _ann_recall_mean(spark, sf_dir: str, n_probes: int = 8) -> dict[str, float]:
-    """Mean recall@10 over ``n_probes`` probe vectors — the
-    single-probe registered queries quantize recall to 0.1 steps, so
-    this is the statistically meaningful quality number. Reuses the
-    engine's kernels with per-probe driver routing (same bit-exact
-    arithmetic); paths: single-/multi-probe LSH, single-/nprobe IVF
-    (exact in-cell ranking), and fixed-sample PQ ADC."""
+def _ann_recall_mean(spark, sf_dir: str, n_probes: int | None = None) -> dict:
+    """Mean ± sd of recall@10 over ``n_probes`` (default 32, env
+    ``SPARK_GRAFT_ANN_PROBES``) probe vectors. recall@10 over 8
+    probes quantized to 0.0125 steps — too coarse to rank adjacent
+    variants (VERDICT r8 #5) — so the ladder now reports a per-probe
+    mean and spread over >=32 probe ids (the first ``n_probes``
+    corpus rows). Reuses the engine's kernels with per-probe driver
+    routing (same bit-exact arithmetic); paths: single-/multi-probe
+    LSH, single-/nprobe IVF (exact in-cell ranking), fixed-sample PQ
+    ADC, and the PRODUCTION composition (VERDICT r8 #4): Lloyd-
+    trained k=64 residual codebook + nprobe=4 routing + per-cell ADC
+    through the broadcast-codebook kernel."""
     import math
+    import statistics
 
     import pyspark.sql.functions as F
 
-    from environmental_stac_generator_spark.functions.rounding import rnd
     from environmental_stac_generator_spark.queries import similarity as S
 
+    if n_probes is None:
+        n_probes = int(os.environ.get("SPARK_GRAFT_ANN_PROBES", "32"))
     e = S.load(spark, sf_dir, "embeddings")
     cents = sorted(
         e.filter(F.col("vec_id") < S.N_CENTROIDS)
@@ -111,12 +118,32 @@ def _ann_recall_mean(spark, sf_dir: str, n_probes: int = 8) -> dict[str, float]:
         key=lambda r: r.vec_id,
     )
     planes = cents[: S.N_PLANES]
-    probes = cents[:n_probes]
-    if len(probes) < n_probes:
+    probes = sorted(
+        e.filter(F.col("vec_id") < n_probes)
+        .select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    if len(probes) < n_probes or len(cents) < S.N_CENTROIDS:
         return {}
     cb = S._pq_sample_codebook(e)
-    cells = S._ivf_cells_of(e, cents)
-    buckets = S._lsh_bucketed(spark, sf_dir)
+    # cache the shared per-path relations: the harness fires
+    # ~7 x n_probes small jobs over them
+    cells = S._ivf_cells_of(e, cents).cache()
+    buckets = S._lsh_bucketed(spark, sf_dir).cache()
+    cent_by_id = {int(r.vec_id): [float(v) for v in r.embedding] for r in cents}
+    map_entries = ", ".join(
+        f"{cid}L, {S._vec_sql(vec)}" for cid, vec in cent_by_id.items()
+    )
+    resid = cells.withColumn(
+        "embedding",
+        F.expr(
+            f"zip_with(embedding, element_at(map({map_entries}), cell), "
+            "(x, y) -> cast(x as double) - y)"
+        ),
+    ).cache()
+    # ONE training (the codebook is probe-independent): the global
+    # residual distribution, k=64 — the production composition's book
+    cb64 = S.pq_train_codebook(resid.select("vec_id", "embedding"), k=64)
 
     def _bucket_of(vec) -> str:
         return "".join(
@@ -131,8 +158,11 @@ def _ann_recall_mean(spark, sf_dir: str, n_probes: int = 8) -> dict[str, float]:
             .orderBy(order, "vec_id").limit(10).collect()
         ]
 
-    hits = {k: 0 for k in ("lsh", "lsh_multiprobe", "ivf", "ivf_nprobe", "pq_adc")}
-    slots = 0
+    paths = (
+        "lsh", "lsh_multiprobe", "ivf", "ivf_nprobe", "pq_adc",
+        "ivfpq_residual_trained_nprobe_k64",
+    )
+    per_probe: dict[str, list[float]] = {k: [] for k in paths}
     for p in probes:
         pid = int(p.vec_id)
         pv = [float(v) for v in p.embedding]
@@ -141,38 +171,59 @@ def _ann_recall_mean(spark, sf_dir: str, n_probes: int = 8) -> dict[str, float]:
             F.sqrt(F.expr(S._dot_sql("embedding", "embedding"))) * F.lit(p_norm)
         )
         truth = set(_top10(e.select("vec_id", cos.alias("c")), pid, "c", True))
-        slots += len(truth)
+        if not truth:
+            continue
+
+        def rec(ids) -> float:
+            return len(set(ids) & truth) / len(truth)
+
         pb = _bucket_of(pv)
         ham = F.expr(S._hamming_terms("bucket", f"'{pb}'"))
         bcos = cos  # same expression over the buckets frame
-        hits["lsh"] += len(
-            set(_top10(
-                buckets.filter(F.col("bucket") == pb).select("vec_id", bcos.alias("c")),
-                pid, "c", True)) & truth
-        )
-        hits["lsh_multiprobe"] += len(
-            set(_top10(
-                buckets.filter(ham <= S.MULTIPROBE_R).select("vec_id", bcos.alias("c")),
-                pid, "c", True)) & truth
-        )
+        per_probe["lsh"].append(rec(_top10(
+            buckets.filter(F.col("bucket") == pb).select("vec_id", bcos.alias("c")),
+            pid, "c", True)))
+        per_probe["lsh_multiprobe"].append(rec(_top10(
+            buckets.filter(ham <= S.MULTIPROBE_R).select("vec_id", bcos.alias("c")),
+            pid, "c", True)))
         top_cells = S._ivf_top_cells_py(pv, cents, S.NPROBE)
-        hits["ivf"] += len(
-            set(_top10(
-                cells.filter(F.col("cell") == top_cells[0]).select("vec_id", cos.alias("c")),
-                pid, "c", True)) & truth
-        )
-        hits["ivf_nprobe"] += len(
-            set(_top10(
-                cells.filter(F.col("cell").isin(top_cells)).select("vec_id", cos.alias("c")),
-                pid, "c", True)) & truth
-        )
+        per_probe["ivf"].append(rec(_top10(
+            cells.filter(F.col("cell") == top_cells[0]).select("vec_id", cos.alias("c")),
+            pid, "c", True)))
+        per_probe["ivf_nprobe"].append(rec(_top10(
+            cells.filter(F.col("cell").isin(top_cells)).select("vec_id", cos.alias("c")),
+            pid, "c", True)))
         if cb:
-            adc_ids = [
+            per_probe["pq_adc"].append(rec([
                 r["vec_id"]
                 for r in S.pq_adc_rank_of(e, cb, pv, exclude=pid).collect()
-            ]
-            hits["pq_adc"] += len(set(adc_ids) & truth)
-    return {k: round(v / max(slots, 1), 3) for k, v in hits.items()}
+            ]))
+        if cb64:
+            ranked = None
+            for cell in top_cells:
+                pres = [x - y for x, y in zip(pv, cent_by_id[cell])]
+                r = S.pq_adc_rank_bcast(
+                    resid.filter(F.col("cell") == F.lit(cell)), cb64, pres,
+                    exclude=pid,
+                )
+                ranked = r if ranked is None else ranked.unionByName(r)
+            per_probe["ivfpq_residual_trained_nprobe_k64"].append(rec([
+                r["vec_id"]
+                for r in ranked.orderBy("adc", "vec_id").limit(10).collect()
+            ]))
+    for df in (cells, buckets, resid):
+        df.unpersist()
+    return {
+        "n_probes": n_probes,
+        "paths": {
+            k: {
+                "mean": round(statistics.fmean(v), 4),
+                "sd": round(statistics.pstdev(v), 4),
+            }
+            for k, v in per_probe.items()
+            if v
+        },
+    }
 
 
 def _ann_recall(spark, sf_dir: str, reg) -> dict[str, float]:
@@ -200,6 +251,13 @@ def _ann_recall(spark, sf_dir: str, reg) -> dict[str, float]:
          lambda s, d: _sim.pq_ann_probe_trained(s, d, k=64)),
         ("ivfpq_residual_trained_k64",
          lambda s, d: _sim.ivfpq_residual_trained(s, d, k=64)),
+        # the production COMPOSITION measured as one row (VERDICT r8
+        # #4): trained k=64 residual codebook + nprobe=4 routing +
+        # per-cell ADC; its exact-ranking ceiling is the
+        # ivf_ann_nprobe row (exact cosine within the same 4 cells)
+        ("ivfpq_residual_trained_nprobe_k64",
+         lambda s, d: _sim.ivfpq_residual_trained(
+             s, d, k=64, nprobe=_sim.NPROBE)),
     ]
     for name, fn in runs:
         ids = [r["vec_id"] for r in fn(spark, sf_dir).collect()[:10]]
@@ -272,7 +330,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "ann_recall_at_10": _ann_recall(spark, sf_dir, reg),
-                "ann_recall_at_10_mean8": _ann_recall_mean(spark, sf_dir),
+                "ann_recall_at_10_mean": _ann_recall_mean(spark, sf_dir),
                 "cog_pipeline": _cog_pipeline_throughput(spark),
                 "machine": _machine_report(calib_start, calib_end, steal0, steal1),
             }

@@ -1515,7 +1515,11 @@ def pq_adc_rank_of(
 
 
 def pq_adc_rank_bcast(
-    e: DataFrame, cb: list[list[float]], probe: list[float], col: str = "embedding"
+    e: DataFrame,
+    cb: list[list[float]],
+    probe: list[float],
+    col: str = "embedding",
+    exclude: int = 0,
 ) -> DataFrame:
     """ADC ranking for codebooks past the literal-expression budget
     (K > K_LITERAL_MAX would make the generated argmin text O(K·dsub)
@@ -1542,7 +1546,7 @@ def pq_adc_rank_bcast(
         [[float(v) for v in c[m * dsub:(m + 1) * dsub]] for c in cb]
         for m in range(PQ_M)
     ]
-    base = _pq_with_subvectors(e.filter(F.col("vec_id") != 0), dsub, col=col)
+    base = _pq_with_subvectors(e.filter(F.col("vec_id") != exclude), dsub, col=col)
     base = _with_centroid_array(base, cbsub, "array<array<array<double>>>", "_cbsub")
     base = _with_centroid_array(base, tables, "array<array<double>>", "_tab")
     adc = " + ".join(
@@ -2010,13 +2014,20 @@ def ivfpq_residual_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ivfpq_residual_trained(
-    spark: SparkSession, sf_dir: str, k: int = PQ_K
+    spark: SparkSession, sf_dir: str, k: int = PQ_K, nprobe: int = 1
 ) -> DataFrame:
     """Bench-only twin of `ivfpq_residual_probe` with a Lloyd-trained
     residual codebook (trained on the GLOBAL residual distribution,
     the FAISS convention). The residual column is computed map-side
     via one literal cell->centroid map — no join, no shuffle. ``k``
-    past K_LITERAL_MAX routes to the broadcast-codebook kernel."""
+    past K_LITERAL_MAX routes to the broadcast-codebook kernel.
+
+    ``nprobe`` > 1 is the full PRODUCTION composition (VERDICT r8 #4:
+    trained residual codebook + multi-cell routing measured as ONE
+    row): each probed cell ranks its members against the probe's
+    per-cell residual table (the probe residual differs per cell),
+    and the per-cell top-10s re-rank into one global top-10 — a union
+    of nprobe disjoint map passes, no extra shuffle class."""
     e = load(spark, sf_dir, "embeddings")
     empty = e.sparkSession.createDataFrame([], "vec_id bigint, adc double")
     cents = sorted(
@@ -2028,7 +2039,7 @@ def ivfpq_residual_trained(
     probe = _ivf_probe_cell(cents)
     if probe is None:
         return empty
-    probe_vec, _p_norm, probe_cell = probe
+    probe_vec, _p_norm, _probe_cell = probe
     cent_by_id = {int(r.vec_id): [float(v) for v in r.embedding] for r in cents}
     map_entries = ", ".join(
         f"{cid}L, {_vec_sql(vec)}" for cid, vec in cent_by_id.items()
@@ -2043,11 +2054,23 @@ def ivfpq_residual_trained(
     cb = pq_train_codebook(resid.select("vec_id", "embedding"), k=k)
     if not cb:
         return empty
-    probe_res = [float(x) - y for x, y in zip(probe_vec, cent_by_id[probe_cell])]
-    members = resid.filter(F.col("cell") == F.lit(probe_cell))
-    if k <= K_LITERAL_MAX:
-        return pq_adc_rank_of(members, cb, probe_res)
-    return pq_adc_rank_bcast(members, cb, probe_res)
+    top_cells = _ivf_top_cells_py(probe_vec, cents, nprobe)
+    out = None
+    for cell in top_cells:
+        probe_res = [
+            float(x) - y for x, y in zip(probe_vec, cent_by_id[cell])
+        ]
+        members = resid.filter(F.col("cell") == F.lit(cell))
+        ranked = (
+            pq_adc_rank_of(members, cb, probe_res)
+            if k <= K_LITERAL_MAX
+            else pq_adc_rank_bcast(members, cb, probe_res)
+        )
+        out = ranked if out is None else out.unionByName(ranked)
+    if nprobe == 1:
+        return out
+    # per-cell top-10s cover the global top-10 over the probed union
+    return out.orderBy("adc", "vec_id").limit(10)
 
 
 def pq_train_codebook(
