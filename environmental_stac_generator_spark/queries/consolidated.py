@@ -392,7 +392,10 @@ def build(full: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
                     "SemDeDup-style within-k-means-cluster semantic dup "
                     "pairs (absorbs ann_lsh_probe, ann_lsh_multiprobe, "
                     "embedding_near_dup, semdedup_pairs; ann_lsh_buckets "
-                    "is their shared map stage).",
+                    "is their shared map stage). ann_lsh_multiprobe is "
+                    "the ONLY LSH probe consumers should reach — the "
+                    "single-bucket part exists for oracle checkability "
+                    "(its measured recall@10 is ~0).",
                 ),
             ),
             (

@@ -8,8 +8,12 @@ always broadcast — the big embeddings table is never shuffled.
 
 At scale: brute-force is one broadcast-join map pass O(n·d) — fine
 for one probe; the LSH variant buckets the corpus once (one map
-pass + one small shuffle) and then answers probes by scanning a
-single bucket.
+pass + one small shuffle) and then answers probes by scanning the
+probe's Hamming-radius-2 bucket NEIGHBORHOOD (``ann_lsh_multiprobe``,
+Lv et al. 2007 — the DEFAULT probe path; the single-bucket
+``ann_lsh_probe`` is kept only for bit-exact oracle checkability,
+its measured recall@10 being ~0). For materialized, partition-pruned
+probing see ``queries/ann_index.py``.
 """
 
 from __future__ import annotations
@@ -207,7 +211,12 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY cosine DESC, b.vec_id
     """,
     doc="ANN probe: rank only the probe's LSH bucket by exact cosine — "
-    "the candidate set is ~n/2^planes of the corpus.",
+    "the candidate set is ~n/2^planes of the corpus. WARNING (do not "
+    "consume): single-bucket probing's measured recall@10 is 0.0-0.01 "
+    "on the uniform corpus (BENCH ann_recall ladder) — this entry "
+    "survives ONLY as the oracle-checkable bit-exact twin; every "
+    "consumer path should use ann_lsh_multiprobe (recall ~0.36 mean32 "
+    "at the same candidate-cost class) or the IVF family.",
 )
 def ann_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = _lsh_bucketed(spark, sf_dir)
