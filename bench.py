@@ -146,9 +146,11 @@ def _ann_recall_mean(spark, sf_dir: str, n_probes: int | None = None) -> dict:
             "(x, y) -> cast(x as double) - y)"
         ),
     ).cache()
-    # ONE training (the codebook is probe-independent): the global
-    # residual distribution, k=64 — the production composition's book
+    # ONE training per codebook size (probe-independent): the global
+    # residual distribution — k=64 is the named production row, k=256
+    # the codebook-size dial's upper rung
     cb64 = S.pq_train_codebook(resid.select("vec_id", "embedding"), k=64)
+    cb256 = S.pq_train_codebook(resid.select("vec_id", "embedding"), k=256)
 
     def _bucket_of(vec) -> str:
         return "".join(
@@ -166,6 +168,7 @@ def _ann_recall_mean(spark, sf_dir: str, n_probes: int | None = None) -> dict:
     paths = (
         "lsh", "lsh_multiprobe", "ivf", "ivf_nprobe", "pq_adc",
         "ivfpq_residual_trained_nprobe_k64",
+        "ivfpq_residual_trained_nprobe_k256",
     )
     per_probe: dict[str, list[float]] = {k: [] for k in paths}
     for p in probes:
@@ -203,16 +206,21 @@ def _ann_recall_mean(spark, sf_dir: str, n_probes: int | None = None) -> dict:
                 r["vec_id"]
                 for r in S.pq_adc_rank_of(e, cb, pv, exclude=pid).collect()
             ]))
-        if cb64:
+        for key, book in (
+            ("ivfpq_residual_trained_nprobe_k64", cb64),
+            ("ivfpq_residual_trained_nprobe_k256", cb256),
+        ):
+            if not book:
+                continue
             ranked = None
             for cell in top_cells:
                 pres = [x - y for x, y in zip(pv, cent_by_id[cell])]
                 r = S.pq_adc_rank_bcast(
-                    resid.filter(F.col("cell") == F.lit(cell)), cb64, pres,
+                    resid.filter(F.col("cell") == F.lit(cell)), book, pres,
                     exclude=pid,
                 )
                 ranked = r if ranked is None else ranked.unionByName(r)
-            per_probe["ivfpq_residual_trained_nprobe_k64"].append(rec([
+            per_probe[key].append(rec([
                 r["vec_id"]
                 for r in ranked.orderBy("adc", "vec_id").limit(10).collect()
             ]))
@@ -263,6 +271,12 @@ def _ann_recall(spark, sf_dir: str, reg) -> dict[str, float]:
         ("ivfpq_residual_trained_nprobe_k64",
          lambda s, d: _sim.ivfpq_residual_trained(
              s, d, k=64, nprobe=_sim.NPROBE)),
+        # the codebook-size dial on the composition: k 64 -> 256 buys
+        # +0.2 recall at sf0.01 (0.4 -> 0.6) for 4x ADC table size —
+        # still 8 codes/vector on disk
+        ("ivfpq_residual_trained_nprobe_k256",
+         lambda s, d: _sim.ivfpq_residual_trained(
+             s, d, k=256, nprobe=_sim.NPROBE)),
     ]
     for name, fn in runs:
         ids = [r["vec_id"] for r in fn(spark, sf_dir).collect()[:10]]
