@@ -45,6 +45,8 @@ AUDIT = [
     # r8 additions
     "ivfpq_residual_probe", "ivfpq_residual_nprobe", "ivf_ann_nprobe",
     "ann_lsh_multiprobe",
+    # r9: materialized-index probes (partition-pruned scans)
+    "ivf_index_probe", "ivfpq_index_probe",
 ]
 # consolidated (driver-facing) merged entries worth auditing explicitly
 MERGED = [
