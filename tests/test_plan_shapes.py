@@ -42,6 +42,9 @@ BUDGETS = [
     ("skip_existing_items", 1, True),
     ("upsert_merge", 1, True),
     ("salted_join", 1, True),
+    # r9: the materialized-index exact probe's one shuffle is the
+    # final ranked sort, same as its on-the-fly twin
+    ("ivf_index_probe", 1, False),
 ]
 
 
@@ -54,7 +57,7 @@ def test_shuffle_budget_and_broadcast(spark, sf_dir, name, max_shuffles, needs_b
         assert "SortMergeJoin" not in plan, plan
 
 
-@pytest.mark.parametrize("name", ["minhash_signatures", "simhash", "ann_lsh_buckets", "quality_score", "pq_encode", "pq_ann_probe", "ivfpq_ann_probe"])
+@pytest.mark.parametrize("name", ["minhash_signatures", "simhash", "ann_lsh_buckets", "quality_score", "pq_encode", "pq_ann_probe", "ivfpq_ann_probe", "ivfpq_index_probe"])
 def test_map_side_only(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     assert _shuffles(plan) == 0, plan
