@@ -12,11 +12,19 @@ as a hive-partitioned parquet table:
   norm, and its residual PQ codes (vs its OWN cell centroid — the
   IndexIVFPQ residual convention), then writes
   ``(vec_id, norm, embedding, codes)`` with ``partitionBy("cell")``.
+  The quantizer state (coarse centroids + residual codebook) is
+  persisted beside the data as ``_ann_meta.json`` (underscore-prefixed
+  — invisible to parquet readers, travels with the index), so probes
+  and appends never re-derive it from the corpus.
+- :func:`append_ann_index` is the LIVE-INGEST path: a new batch is
+  coded against the PERSISTED quantizer (new vectors must never shift
+  existing cells/codes) and appended into its cell directories — one
+  map pass over the batch, the existing corpus untouched.
 - probe entries read the INDEX table; the cell filter lands in the
   scan's ``PartitionFilters``, so a probe LISTS AND READS only its
   nprobe cell directories (~nprobe/K of the corpus files — asserted
-  on ``inputFiles()`` in tests/test_ann_index.py, not claimed in
-  prose).
+  on the executed scan's ``numFiles`` metric in
+  tests/test_ann_index.py, not claimed in prose).
 - the ADC probe selects only ``(vec_id, codes)``: column pruning
   keeps the float embeddings unread — the scan's ``ReadSchema`` is
   codes-only, which is the "ranking reads 8-byte codes, never
@@ -25,7 +33,8 @@ as a hive-partitioned parquet table:
 Correctness: both probes are registered with the SAME DuckDB oracle
 as their on-the-fly twins (``ivf_ann_probe`` / ``ivfpq_residual_probe``
 — parity by construction: the build runs the identical assignment /
-residual / code kernels, and parquet round-trips doubles exactly).
+residual / code kernels, parquet round-trips doubles exactly, and the
+JSON meta round-trips the driver floats exactly).
 
 Reference: none (north-star §2.11 extension; the reference engine has
 no ANN surface at all).
@@ -34,9 +43,12 @@ no ANN surface at all).
 from __future__ import annotations
 
 import atexit
+import json
+import math
 import os
 import shutil
 import tempfile
+from collections import namedtuple
 from pathlib import Path
 
 import pyspark.sql.functions as F
@@ -55,6 +67,12 @@ from environmental_stac_generator_spark.tables import load
 # triggers a rebuild instead of serving stale cells.
 _INDEX_CACHE: dict[tuple[str, tuple], str] = {}
 _SCRATCH: list[str] = []
+
+META_NAME = "_ann_meta.json"
+
+# lightweight centroid rows for the shared similarity kernels (which
+# read .vec_id / .embedding off collected Rows)
+CentRow = namedtuple("CentRow", ["vec_id", "embedding"])
 
 
 @atexit.register
@@ -91,41 +109,14 @@ def _residual_codebook(cents, cb_rows) -> list[list[float]]:
     ]
 
 
-def build_ann_index(spark: SparkSession, sf_dir: str, out_dir: str) -> dict | None:
-    """ONE full-corpus map pass -> the inverted-file table.
-
-    Per row: coarse cell (argmax cosine over the N_CENTROIDS
-    bootstrap centroids — `_ivf_cells_of`, the bit-exact kernel the
-    on-the-fly probes use), the hoisted norm, and PQ_M residual codes
-    (vs the row's own cell centroid, shared fixed-sample residual
-    codebook). `repartition("cell")` routes each cell to one writer
-    task so the layout lands as ~one file per cell directory instead
-    of tasks x cells small files; `maxRecordsPerFile` re-splits
-    genuinely large cells at scale.
-
-    Returns {"cells": n, "codes": bool} or None on a corpus with no
-    centroid rows (nothing to index)."""
-    e = load(spark, sf_dir, "embeddings")
-    cents = sorted(
-        e.filter(F.col("vec_id") < S.N_CENTROIDS)
-        .select("vec_id", "embedding")
-        .collect(),
-        key=lambda r: r.vec_id,
-    )
-    if not cents:
-        return None
-    cb_rows = sorted(
-        e.filter(
-            (F.col("vec_id") >= S.N_CENTROIDS)
-            & (F.col("vec_id") < S.N_CENTROIDS + S.PQ_K)
-        )
-        .select("vec_id", "embedding")
-        .collect(),
-        key=lambda r: r.vec_id,
-    )
+def _coded_frame(e: DataFrame, cents, cbres: list[list[float]]) -> DataFrame:
+    """(vec_id, norm, embedding, codes, cell) for any (vec_id,
+    embedding) frame — the shared encode pass of build and append.
+    One map stage: cell assignment (`_ivf_cells_of`, the bit-exact
+    on-the-fly kernel), hoisted norm, residual vs the row's OWN
+    centroid via one literal cell->centroid map, PQ_M argmin codes."""
     cells = S._ivf_cells_of(e, cents)  # vec_id, embedding, _norm, cell
-    if cb_rows:
-        cbres = _residual_codebook(cents, cb_rows)
+    if cbres:
         dsub = S._pq_dsub(len(cbres[0]))
         cent_by_id = {
             int(r.vec_id): [float(v) for v in r.embedding] for r in cents
@@ -133,8 +124,6 @@ def build_ann_index(spark: SparkSession, sf_dir: str, out_dir: str) -> dict | No
         cmap = ", ".join(
             f"{cid}L, {S._vec_sql(vec)}" for cid, vec in cent_by_id.items()
         )
-        # residual vs the row's OWN centroid: one literal cell->centroid
-        # map lookup + zip_with, map-side
         res = cells.withColumn(
             "_res",
             F.expr(
@@ -155,17 +144,98 @@ def build_ann_index(spark: SparkSession, sf_dir: str, out_dir: str) -> dict | No
         # corpus too small for the offset codebook sample: index is
         # still probe-able exactly; the ADC probe degrades to empty
         coded = cells.withColumn("codes", F.lit(None).cast("array<int>"))
-    (
-        coded.select(
-            "vec_id", F.col("_norm").alias("norm"), "embedding", "codes", "cell"
+    return coded.select(
+        "vec_id", F.col("_norm").alias("norm"), "embedding", "codes", "cell"
+    )
+
+
+def build_ann_index(
+    spark: SparkSession, sf_dir: str, out_dir: str, cents=None
+) -> dict | None:
+    """ONE full-corpus map pass -> the inverted-file table.
+
+    ``cents`` defaults to the corpus bootstrap (first N_CENTROIDS
+    rows — what keeps the registered probes bit-exact against their
+    SQL oracles); a production index passes its own trained coarse
+    quantizer as [(cell_id, vector), ...] — e.g. k-means centroids,
+    K ~ sqrt(N) at scale — and every kernel is K-agnostic (the
+    broadcast-array assignment path takes over past K_LITERAL_MAX).
+
+    `repartition("cell")` routes each cell to one writer task so the
+    layout lands as ~one file per cell directory instead of tasks x
+    cells small files; `maxRecordsPerFile` re-splits genuinely large
+    cells at scale. The quantizer state is persisted as _ann_meta.json
+    so probes/appends use the INDEX's quantizer, never a re-derived
+    one.
+
+    Returns {"cells": n, "codes": bool} or None on a corpus with no
+    centroid rows (nothing to index)."""
+    e = load(spark, sf_dir, "embeddings")
+    if cents is None:
+        cents = sorted(
+            e.filter(F.col("vec_id") < S.N_CENTROIDS)
+            .select("vec_id", "embedding")
+            .collect(),
+            key=lambda r: r.vec_id,
         )
+    if not cents:
+        return None
+    cb_rows = sorted(
+        e.filter(
+            (F.col("vec_id") >= S.N_CENTROIDS)
+            & (F.col("vec_id") < S.N_CENTROIDS + S.PQ_K)
+        )
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    cbres = _residual_codebook(cents, cb_rows) if cb_rows else []
+    (
+        _coded_frame(e, cents, cbres)
         .repartition("cell")
         .write.mode("overwrite")
         .option("maxRecordsPerFile", 5_000_000)
         .partitionBy("cell")
         .parquet(out_dir)
     )
-    return {"cells": len(cents), "codes": bool(cb_rows)}
+    meta = {
+        "cents": [
+            [int(r.vec_id), [float(v) for v in r.embedding]] for r in cents
+        ],
+        "cbres": cbres,
+    }
+    (Path(out_dir) / META_NAME).write_text(json.dumps(meta))
+    return {"cells": len(cents), "codes": bool(cbres)}
+
+
+def load_meta(idx_dir: str) -> tuple[list, list[list[float]]]:
+    """(cents, cbres) from the index's persisted quantizer state.
+    JSON round-trips the driver doubles exactly, so kernels fed from
+    meta are bit-identical to kernels fed from the original collect."""
+    meta = json.loads((Path(idx_dir) / META_NAME).read_text())
+    cents = [CentRow(int(cid), vec) for cid, vec in meta["cents"]]
+    return cents, meta["cbres"]
+
+
+def append_ann_index(
+    spark: SparkSession, batch: DataFrame, idx_dir: str
+) -> None:
+    """Live-ingest: code a (vec_id, embedding) batch against the
+    index's PERSISTED quantizer and append it into its cell
+    directories. One map pass over the BATCH only — existing data is
+    never read or rewritten, and existing cells/codes cannot shift
+    (the quantizer is frozen at build time, the FAISS add()
+    contract). At 100 TB this is the streaming-sink shape: a
+    foreachBatch writer appending each micro-batch's coded rows."""
+    cents, cbres = load_meta(idx_dir)
+    (
+        _coded_frame(batch.select("vec_id", "embedding"), cents, cbres)
+        .repartition("cell")
+        .write.mode("append")
+        .option("maxRecordsPerFile", 5_000_000)
+        .partitionBy("cell")
+        .parquet(idx_dir)
+    )
 
 
 def index_dir_for(spark: SparkSession, sf_dir: str) -> str | None:
@@ -189,30 +259,40 @@ def _read_index(spark: SparkSession, idx_dir: str) -> DataFrame:
     return spark.read.parquet(idx_dir)
 
 
+def _probe_vector(e: DataFrame):
+    """(probe_vec, p_norm) for probe vec 0, or None — fetched from the
+    CORPUS (the probe is a query vector; the quantizer may not
+    contain it once custom centroids are in play)."""
+    row = e.filter(F.col("vec_id") == 0).select("embedding").head()
+    if row is None:
+        return None
+    vec = [float(v) for v in row[0]]
+    return vec, math.sqrt(S._py_dot(vec, vec))
+
+
 def index_probe_exact(
-    spark: SparkSession, sf_dir: str, nprobe: int = 1
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int = 1,
+    idx_dir: str | None = None,
 ) -> DataFrame:
     """Exact cosine ranking over the probe's ``nprobe`` nearest cells,
     read from the MATERIALIZED index: the ``cell isin(...)`` filter is
     on the partition column, so only those directories are listed and
     scanned (IVF-Flat semantics: the inverted lists store the float
     vectors for exact in-cell ranking; the stored norm skips the
-    norm recompute the on-the-fly path pays)."""
+    norm recompute the on-the-fly path pays). Routing runs on the
+    index's persisted quantizer — no corpus-side centroid collect."""
     e = load(spark, sf_dir, "embeddings")
     empty = spark.createDataFrame([], "vec_id bigint, cosine double")
-    idx_dir = index_dir_for(spark, sf_dir)
+    idx_dir = idx_dir if idx_dir is not None else index_dir_for(spark, sf_dir)
     if idx_dir is None:
         return empty
-    cents = sorted(
-        e.filter(F.col("vec_id") < S.N_CENTROIDS)
-        .select("vec_id", "embedding")
-        .collect(),
-        key=lambda r: r.vec_id,
-    )
-    probe = S._ivf_probe_cell(cents)
+    cents, _cbres = load_meta(idx_dir)
+    probe = _probe_vector(e)
     if probe is None:
         return empty
-    probe_vec, p_norm, _cell = probe
+    probe_vec, p_norm = probe
     top_cells = S._ivf_top_cells_py(probe_vec, cents, nprobe)
     cos = F.expr(S._dot_sql("embedding", S._vec_sql(probe_vec))) / (
         F.col("norm") * F.lit(p_norm)
@@ -229,7 +309,10 @@ def index_probe_exact(
 
 
 def index_probe_adc(
-    spark: SparkSession, sf_dir: str, nprobe: int = 1
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int = 1,
+    idx_dir: str | None = None,
 ) -> DataFrame:
     """Residual-ADC ranking over STORED codes: per probed cell, a
     driver-computed distance table (the probe's residual differs per
@@ -239,32 +322,16 @@ def index_probe_adc(
     filter prunes to the probed partitions."""
     e = load(spark, sf_dir, "embeddings")
     empty = spark.createDataFrame([], "vec_id bigint, adc double")
-    idx_dir = index_dir_for(spark, sf_dir)
+    idx_dir = idx_dir if idx_dir is not None else index_dir_for(spark, sf_dir)
     if idx_dir is None:
         return empty
-    cents = sorted(
-        e.filter(F.col("vec_id") < S.N_CENTROIDS)
-        .select("vec_id", "embedding")
-        .collect(),
-        key=lambda r: r.vec_id,
-    )
-    probe = S._ivf_probe_cell(cents)
+    cents, cbres = load_meta(idx_dir)
+    if not cbres:
+        return empty
+    probe = _probe_vector(e)
     if probe is None:
         return empty
-    cb_rows = sorted(
-        e.filter(
-            (F.col("vec_id") >= S.N_CENTROIDS)
-            & (F.col("vec_id") < S.N_CENTROIDS + S.PQ_K)
-        )
-        .select("vec_id", "embedding")
-        .collect(),
-        key=lambda r: r.vec_id,
-    )
-    if not cb_rows:
-        return empty
-    probe_vec, _p_norm, _cell = probe
-    cbres = _residual_codebook(cents, cb_rows)
-    S._assert_driver_dim(cbres)
+    probe_vec, _p_norm = probe
     dsub = S._pq_dsub(len(cbres[0]))
     cent_by_id = {int(r.vec_id): [float(v) for v in r.embedding] for r in cents}
     top_cells = S._ivf_top_cells_py(probe_vec, cents, nprobe)
@@ -360,7 +427,7 @@ def executed_scan_metrics(df: DataFrame) -> list[dict]:
 # stores what those kernels compute, so the materialized probe must
 # hash-match the same DuckDB derivation — any build/probe divergence
 # (stale cells, wrong residual convention, float drift through
-# parquet) flips the driver's hash.
+# parquet or the JSON meta) flips the driver's hash.
 
 @register(
     "ivf_index_probe",
@@ -369,8 +436,9 @@ def executed_scan_metrics(df: DataFrame) -> list[dict]:
     "(VERDICT r8 #1): identical ranking contract to ivf_ann_probe, "
     "but the corpus scan is replaced by a partition-pruned read of "
     "ONE cell directory (~1/K of the index files; PartitionFilters, "
-    "asserted on inputFiles() in tests). Build pays the full scan "
-    "once; probes after it never touch the other cells' files.",
+    "asserted on the executed scan's numFiles in tests). Build pays "
+    "the full scan once; probes after it never touch the other "
+    "cells' files, and routing uses the index's persisted quantizer.",
 )
 def ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index_probe_exact(spark, sf_dir, nprobe=1)

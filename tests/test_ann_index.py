@@ -106,6 +106,93 @@ def test_index_layout_one_file_per_cell(spark, idx_dir):
     assert len(files) == len(cells)
 
 
+def _synth_embeddings(spark, ids, shift=0):
+    return spark.createDataFrame([(i,) for i in ids], "id bigint").select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(1, 64), i -> cast(hash(id + {shift}, i) "
+            "% 1000 as float) / 1000.0f)"
+        ).alias("embedding"),
+    )
+
+
+def test_append_matches_onthefly_over_union(spark, tmp_path):
+    """Live-ingest contract: appending a batch coded against the
+    PERSISTED quantizer must make the index probe bit-identical to
+    the on-the-fly probe over the unioned corpus (whose quantizer
+    rows — vec_id < N_CENTROIDS + PQ_K — are unchanged by the new
+    higher-id batch)."""
+    base = _synth_embeddings(spark, range(0, 80))
+    batch = _synth_embeddings(spark, range(1000, 1020), shift=3)
+    corpus_a = str(tmp_path / "a")
+    corpus_ab = str(tmp_path / "ab")
+    base.coalesce(1).write.parquet(f"{corpus_a}/embeddings.parquet")
+    base.unionByName(batch).coalesce(1).write.parquet(
+        f"{corpus_ab}/embeddings.parquet"
+    )
+    idx = str(tmp_path / "idx")
+    assert AI.build_ann_index(spark, corpus_a, idx) is not None
+    before = set(spark.read.parquet(idx).inputFiles())
+    AI.append_ann_index(spark, batch, idx)
+    after = set(spark.read.parquet(idx).inputFiles())
+    # append-only: every pre-existing file is untouched
+    assert before <= after and len(after) > len(before)
+    # exact probe over the appended index == on-the-fly over the union
+    got = _rows(AI.index_probe_exact(spark, corpus_ab, nprobe=1, idx_dir=idx))
+    want = _rows(REG["ivf_ann_probe"].fn(spark, corpus_ab))
+    assert got == want
+    # appended rows actually participate (some batch id lands in some
+    # probed cell across nprobe=4)
+    got4 = _rows(AI.index_probe_exact(spark, corpus_ab, nprobe=4, idx_dir=idx))
+    want4 = _rows(REG["ivf_ann_nprobe"].fn(spark, corpus_ab))
+    assert got4 == want4
+    # ADC probe over stored codes == on-the-fly residual probe
+    got_adc = _rows(AI.index_probe_adc(spark, corpus_ab, idx_dir=idx))
+    want_adc = _rows(REG["ivfpq_residual_probe"].fn(spark, corpus_ab))
+    assert got_adc == want_adc
+
+
+def test_custom_coarse_quantizer(spark, tmp_path):
+    """A production index passes its own trained quantizer (K past
+    the literal budget exercises the broadcast-array assignment
+    kernel); the probe must match the on-the-fly kernels fed the same
+    centroid rows."""
+    corpus = str(tmp_path / "corpus")
+    e_df = _synth_embeddings(spark, range(0, 200))
+    e_df.coalesce(1).write.parquet(f"{corpus}/embeddings.parquet")
+    # 32 custom centroids (> K_LITERAL_MAX=16) from every 6th row,
+    # renumbered to cell ids 0..31
+    rows = sorted(e_df.collect(), key=lambda r: r.vec_id)
+    cents = [AI.CentRow(i, rows[i * 6].embedding) for i in range(32)]
+    idx = str(tmp_path / "idx32")
+    meta = AI.build_ann_index(spark, corpus, idx, cents=cents)
+    assert meta == {"cells": 32, "codes": True}
+    files = spark.read.parquet(idx).inputFiles()
+    assert len({f.split("cell=")[1].split("/")[0] for f in files}) > 16
+    got = _rows(AI.index_probe_exact(spark, corpus, nprobe=2, idx_dir=idx))
+    # expected via the trusted on-the-fly kernels over the same cents
+    import math
+
+    from environmental_stac_generator_spark.functions.rounding import rnd
+    from environmental_stac_generator_spark.tables import load
+
+    e = load(spark, corpus, "embeddings")
+    pv = [float(v) for v in rows[0].embedding]
+    p_norm = math.sqrt(S._py_dot(pv, pv))
+    top = S._ivf_top_cells_py(pv, cents, 2)
+    cos = F.expr(S._dot_sql("embedding", S._vec_sql(pv))) / (
+        F.col("_norm") * F.lit(p_norm)
+    )
+    want = _rows(
+        S._ivf_cells_of(e, cents)
+        .filter(F.col("cell").isin(top) & (F.col("vec_id") != 0))
+        .select("vec_id", rnd(cos, 5).alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+    )
+    assert got == want
+
+
 def test_index_rebuilds_on_corpus_change(spark, tmp_path):
     src = spark.range(0, 80).select(
         F.col("id").alias("vec_id"),
