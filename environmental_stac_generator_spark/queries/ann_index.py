@@ -238,6 +238,37 @@ def append_ann_index(
     )
 
 
+def ann_index_stream_writer(idx_dir: str):
+    """``foreachBatch`` sink: keep the inverted-file index FRESH under
+    streaming ingest — each micro-batch of (vec_id, embedding) rows is
+    coded against the persisted quantizer and appended into its cell
+    directories, one map pass per batch (the T1/T3 incremental shape
+    applied to the ANN family).
+
+    Idempotency: applied batch ids are recorded in _ann_batches.json
+    and replayed ids are skipped, so the COMMON restart case (a
+    committed batch re-offered by the source after recovery) cannot
+    double-insert. The record is written AFTER the append — a crash
+    in the window between the two can duplicate that one batch on
+    retry; closing that window needs a staged per-batch directory +
+    atomic rename commit, which this sink deliberately trades away
+    for plain parquet appends (same trade as Spark's own
+    non-transactional file sinks under foreachBatch)."""
+    applied_path = Path(idx_dir) / "_ann_batches.json"
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        applied: set[int] = set()
+        if applied_path.exists():
+            applied = set(json.loads(applied_path.read_text()))
+        if int(batch_id) in applied:
+            return
+        append_ann_index(batch.sparkSession, batch, idx_dir)
+        applied.add(int(batch_id))
+        applied_path.write_text(json.dumps(sorted(applied)))
+
+    return write
+
+
 def index_dir_for(spark: SparkSession, sf_dir: str) -> str | None:
     """The materialized index for ``sf_dir`` — built on first use,
     cached per corpus fingerprint for the life of the process."""

@@ -193,6 +193,62 @@ def test_custom_coarse_quantizer(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_ingest_matches_batch_build(spark, tmp_path):
+    """The foreachBatch ingest sink: an index seeded from the base
+    corpus and fed three streamed micro-batches must probe identically
+    to a one-shot batch build over the full corpus; replayed batch ids
+    must be skipped (idempotency)."""
+    base_ids, stream_ids = range(0, 80), range(1000, 1060)
+    base = _synth_embeddings(spark, base_ids)
+    full_corpus = str(tmp_path / "full")
+    base.unionByName(_synth_embeddings(spark, stream_ids, shift=5)).coalesce(
+        1
+    ).write.parquet(f"{full_corpus}/embeddings.parquet")
+    corpus_a = str(tmp_path / "a")
+    base.coalesce(1).write.parquet(f"{corpus_a}/embeddings.parquet")
+    idx = str(tmp_path / "idx_stream")
+    assert AI.build_ann_index(spark, corpus_a, idx) is not None
+    # three parquet files -> three micro-batches via maxFilesPerTrigger
+    src = tmp_path / "src"
+    for i, lo in enumerate(range(1000, 1060, 20)):
+        _synth_embeddings(spark, range(lo, lo + 20), shift=5).coalesce(
+            1
+        ).write.parquet(str(src / f"b{i}"))
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(AI.ann_index_stream_writer(idx))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n_after = spark.read.parquet(idx).count()
+    assert n_after == 80 + 60
+    # replaying an applied batch id is a no-op
+    AI.ann_index_stream_writer(idx)(
+        _synth_embeddings(spark, range(1000, 1020), shift=5), 0
+    )
+    assert spark.read.parquet(idx).count() == n_after
+    # streamed index == one-shot build over the full corpus, probe-wise
+    idx_full = str(tmp_path / "idx_full")
+    assert AI.build_ann_index(spark, full_corpus, idx_full) is not None
+    for nprobe in (1, 4):
+        assert _rows(
+            AI.index_probe_exact(spark, full_corpus, nprobe=nprobe, idx_dir=idx)
+        ) == _rows(
+            AI.index_probe_exact(
+                spark, full_corpus, nprobe=nprobe, idx_dir=idx_full
+            )
+        )
+    assert _rows(AI.index_probe_adc(spark, full_corpus, idx_dir=idx)) == _rows(
+        AI.index_probe_adc(spark, full_corpus, idx_dir=idx_full)
+    )
+
+
 def test_index_rebuilds_on_corpus_change(spark, tmp_path):
     src = spark.range(0, 80).select(
         F.col("id").alias("vec_id"),
