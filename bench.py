@@ -316,9 +316,10 @@ def _ann_index_block(spark, sf_dir: str) -> dict:
                 "files_total": total_files,
             }
 
-        return {
+        block = {
             "build_sec": build,
             "cells": meta["cells"],
+            "bootstrap_balance": AI.cell_balance(spark, idx),
             "probe_exact_nprobe4": _probe_row(
                 lambda: AI.index_probe_exact(spark, sf_dir, nprobe=S.NPROBE)
             ),
@@ -326,6 +327,43 @@ def _ann_index_block(spark, sf_dir: str) -> dict:
                 lambda: AI.index_probe_adc(spark, sf_dir, nprobe=S.NPROBE)
             ),
         }
+        # trained-quantizer twin at the same K: Lloyd cells flatten the
+        # inverted-list balance ratio — the probe-latency tail at
+        # 100 TB is the largest probed cell, so max/mean is the number
+        # the trained quantizer exists to shrink
+        e = S.load(spark, sf_dir, "embeddings")
+        tr_cents = AI.train_coarse_centroids(e, k=S.N_CENTROIDS)
+        tr_idx = f"{out}/trained"
+        if tr_cents and AI.build_ann_index(spark, sf_dir, tr_idx, cents=tr_cents):
+            probe = AI._probe_vector(e)
+            trained = {"balance": AI.cell_balance(spark, tr_idx)}
+            if probe is not None:
+                import pyspark.sql.functions as F
+
+                pv, p_norm = probe
+                cos = F.expr(S._dot_sql("embedding", S._vec_sql(pv))) / (
+                    F.sqrt(F.expr(S._dot_sql("embedding", "embedding")))
+                    * F.lit(p_norm)
+                )
+                truth = {
+                    r["vec_id"]
+                    for r in e.filter(F.col("vec_id") != 0)
+                    .select("vec_id", cos.alias("c"))
+                    .orderBy(F.desc("c"), "vec_id")
+                    .limit(10)
+                    .collect()
+                }
+                got = [
+                    r["vec_id"]
+                    for r in AI.index_probe_exact(
+                        spark, sf_dir, nprobe=S.NPROBE, idx_dir=tr_idx
+                    ).collect()
+                ]
+                trained["recall_at_10_nprobe4"] = round(
+                    len(set(got) & truth) / max(len(truth), 1), 3
+                )
+            block["trained_quantizer"] = trained
+        return block
     finally:
         _sh.rmtree(out, ignore_errors=True)
 

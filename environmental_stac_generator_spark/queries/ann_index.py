@@ -238,6 +238,89 @@ def append_ann_index(
     )
 
 
+def train_coarse_centroids(
+    e: DataFrame,
+    k: int | None = None,
+    sample_n: int = 4096,
+    iters: int = 10,
+) -> list[CentRow]:
+    """Lloyd-trained coarse quantizer on a bounded driver sample —
+    the production replacement for the first-N_CENTROIDS bootstrap.
+    FAISS trains its IVF quantizer for a reason: arbitrary corpus
+    rows as cells give unbalanced inverted lists, and a probe's scan
+    cost at 100 TB is the size of its LARGEST probed cell, so the
+    balance ratio (max/mean cell population) is the latency tail.
+
+    SPHERICAL k-means, because `_ivf_cells_of` routes by COSINE:
+    training under L2 while assigning under cosine optimizes the
+    wrong objective (empirically WORSE balance than the bootstrap on
+    a hot-direction corpus) — so rows are unit-normalized, assignment
+    is argmax dot against unit centroids, and updates renormalize the
+    mean direction.
+
+    ``k`` defaults to ~sqrt(sample) (the K ~ sqrt(N) sizing rule —
+    at real scale pass the corpus count's root). Deterministic: the
+    lowest ``sample_n`` vec_ids, first-k init, fixed iterations,
+    float64 — two trainings on the same corpus are identical. The
+    returned rows plug straight into ``build_ann_index(cents=...)``;
+    every downstream kernel is K-agnostic (broadcast-array assignment
+    past K_LITERAL_MAX)."""
+    import numpy as np
+
+    rows = (
+        e.select("vec_id", "embedding").orderBy("vec_id").limit(sample_n).collect()
+    )
+    if not rows:
+        return []
+    x = np.asarray([r.embedding for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1)
+    x = x[norms > 0] / norms[norms > 0, None]
+    if not len(x):
+        return []
+    if k is None:
+        k = max(1, int(math.isqrt(len(x))))
+    k = min(k, len(x))
+    # deterministic farthest-point init (greedy k-center on cosine):
+    # first-k init degenerates when the sample leads with near-
+    # duplicates — all centroids start in one direction and Lloyd
+    # can't pull them apart (measured: WORSE balance than bootstrap
+    # on a hot-direction corpus)
+    chosen = [0]
+    nearest_sim = x @ x[0]
+    for _ in range(1, k):
+        nxt = int(nearest_sim.argmin())
+        chosen.append(nxt)
+        nearest_sim = np.maximum(nearest_sim, x @ x[nxt])
+    cents = x[chosen].copy()
+    for _ in range(iters):
+        assign = (x @ cents.T).argmax(axis=1)
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                mean = members.mean(axis=0)
+                n = np.linalg.norm(mean)
+                if n > 0:
+                    cents[j] = mean / n
+    return [CentRow(j, [float(v) for v in cents[j]]) for j in range(k)]
+
+
+def cell_balance(spark: SparkSession, idx_dir: str) -> dict:
+    """max/mean inverted-list population — the probe-latency tail
+    metric a trained quantizer exists to flatten."""
+    sizes = [
+        int(r["n"])
+        for r in _read_index(spark, idx_dir)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    mean = sum(sizes) / len(sizes)
+    return {
+        "cells": len(sizes),
+        "max_over_mean": round(max(sizes) / mean, 3),
+    }
+
+
 def ann_index_stream_writer(idx_dir: str):
     """``foreachBatch`` sink: keep the inverted-file index FRESH under
     streaming ingest — each micro-batch of (vec_id, embedding) rows is

@@ -249,6 +249,37 @@ def test_streaming_ingest_matches_batch_build(spark, tmp_path):
     )
 
 
+def test_trained_coarse_quantizer(spark, tmp_path):
+    """Spherical-k-means coarse cells (training under COSINE, the
+    metric `_ivf_cells_of` routes by — L2 Lloyd optimizes the wrong
+    objective here): deterministic (two trainings identical), auto-K
+    ~ sqrt(sample), plugs into build_ann_index, and the trained
+    quantizer's inverted lists are at least as flat as the arbitrary
+    bootstrap rows' (max/mean — the probe-latency tail at scale).
+    All inputs and the trainer are deterministic, so the compared
+    numbers are exact, not flaky."""
+    corpus = str(tmp_path / "spread")
+    _synth_embeddings(spark, range(0, 200)).coalesce(1).write.parquet(
+        f"{corpus}/embeddings.parquet"
+    )
+    from environmental_stac_generator_spark.tables import load
+
+    e = load(spark, corpus, "embeddings")
+    t1 = AI.train_coarse_centroids(e, k=16)
+    t2 = AI.train_coarse_centroids(e, k=16)
+    assert t1 == t2, "training must be deterministic"
+    auto = AI.train_coarse_centroids(e)
+    assert len(auto) == 14  # isqrt(200)
+    boot_idx = str(tmp_path / "boot")
+    tr_idx = str(tmp_path / "trained")
+    assert AI.build_ann_index(spark, corpus, boot_idx) is not None
+    assert AI.build_ann_index(spark, corpus, tr_idx, cents=t1) is not None
+    boot = AI.cell_balance(spark, boot_idx)
+    trained = AI.cell_balance(spark, tr_idx)
+    assert trained["cells"] == boot["cells"] == 16
+    assert trained["max_over_mean"] <= boot["max_over_mean"], (boot, trained)
+
+
 def test_index_rebuilds_on_corpus_change(spark, tmp_path):
     src = spark.range(0, 80).select(
         F.col("id").alias("vec_id"),
