@@ -36,6 +36,16 @@ as their on-the-fly twins (``ivf_ann_probe`` / ``ivfpq_residual_probe``
 residual / code kernels, parquet round-trips doubles exactly, and the
 JSON meta round-trips the driver floats exactly).
 
+100 TB notes: with K ~ sqrt(N) cells (~1e5 at 1e10 vectors) the
+build's ``repartition("cell")`` is a wide but ordinary shuffle and
+``maxRecordsPerFile`` re-splits hot cells; the probes' partition
+pruning still pays one directory LISTING of the index root per fresh
+read (InMemoryFileIndex) — a production deployment registers the
+index as a catalog/metastore table so listing is a metadata lookup,
+which changes none of the plan shapes asserted here. The persisted
+quantizer grows as K x dim doubles (~50 MB JSON at 1e5 x 64) — still
+driver-side state, same class as a broadcast dimension.
+
 Reference: none (north-star §2.11 extension; the reference engine has
 no ANN surface at all).
 """
