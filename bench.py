@@ -136,107 +136,103 @@ def _ann_recall_mean(spark, sf_dir: str, n_probes: int | None = None) -> dict:
     cells = S._ivf_cells_of(e, cents).cache()
     buckets = S._lsh_bucketed(spark, sf_dir).cache()
     cent_by_id = {int(r.vec_id): [float(v) for v in r.embedding] for r in cents}
-    map_entries = ", ".join(
-        f"{cid}L, {S._vec_sql(vec)}" for cid, vec in cent_by_id.items()
-    )
-    resid = cells.withColumn(
-        "embedding",
-        F.expr(
-            f"zip_with(embedding, element_at(map({map_entries}), cell), "
-            "(x, y) -> cast(x as double) - y)"
-        ),
-    ).cache()
-    # ONE training per codebook size (probe-independent): the global
-    # residual distribution — k=64 is the named production row, k=256
-    # the codebook-size dial's upper rung
-    cb64 = S.pq_train_codebook(resid.select("vec_id", "embedding"), k=64)
-    cb256 = S.pq_train_codebook(resid.select("vec_id", "embedding"), k=256)
+    resid = S.residual_of(cells, cents, out="embedding").cache()
+    try:
+        # ONE training per codebook size (probe-independent): the global
+        # residual distribution — k=64 is the named production row, k=256
+        # the codebook-size dial's upper rung
+        cb64 = S.pq_train_codebook(resid.select("vec_id", "embedding"), k=64)
+        cb256 = S.pq_train_codebook(resid.select("vec_id", "embedding"), k=256)
 
-    def _bucket_of(vec) -> str:
-        return "".join(
-            "1" if S._py_dot(vec, p.embedding) >= 0 else "0" for p in planes
-        )
+        def _bucket_of(vec) -> str:
+            return "".join(
+                "1" if S._py_dot(vec, p.embedding) >= 0 else "0" for p in planes
+            )
 
-    def _top10(df, pid, score_col, desc):
-        order = F.desc(score_col) if desc else F.col(score_col)
-        return [
-            r["vec_id"]
-            for r in df.filter(F.col("vec_id") != pid)
-            .orderBy(order, "vec_id").limit(10).collect()
-        ]
-
-    paths = (
-        "lsh", "lsh_multiprobe", "ivf", "ivf_nprobe", "pq_adc",
-        "ivfpq_residual_trained_nprobe_k64",
-        "ivfpq_residual_trained_nprobe_k256",
-    )
-    per_probe: dict[str, list[float]] = {k: [] for k in paths}
-    for p in probes:
-        pid = int(p.vec_id)
-        pv = [float(v) for v in p.embedding]
-        p_norm = math.sqrt(S._py_dot(pv, pv))
-        cos = F.expr(S._dot_sql("embedding", S._vec_sql(pv))) / (
-            F.sqrt(F.expr(S._dot_sql("embedding", "embedding"))) * F.lit(p_norm)
-        )
-        truth = set(_top10(e.select("vec_id", cos.alias("c")), pid, "c", True))
-        if not truth:
-            continue
-
-        def rec(ids) -> float:
-            return len(set(ids) & truth) / len(truth)
-
-        pb = _bucket_of(pv)
-        ham = F.expr(S._hamming_terms("bucket", f"'{pb}'"))
-        bcos = cos  # same expression over the buckets frame
-        per_probe["lsh"].append(rec(_top10(
-            buckets.filter(F.col("bucket") == pb).select("vec_id", bcos.alias("c")),
-            pid, "c", True)))
-        per_probe["lsh_multiprobe"].append(rec(_top10(
-            buckets.filter(ham <= S.MULTIPROBE_R).select("vec_id", bcos.alias("c")),
-            pid, "c", True)))
-        top_cells = S._ivf_top_cells_py(pv, cents, S.NPROBE)
-        per_probe["ivf"].append(rec(_top10(
-            cells.filter(F.col("cell") == top_cells[0]).select("vec_id", cos.alias("c")),
-            pid, "c", True)))
-        per_probe["ivf_nprobe"].append(rec(_top10(
-            cells.filter(F.col("cell").isin(top_cells)).select("vec_id", cos.alias("c")),
-            pid, "c", True)))
-        if cb:
-            per_probe["pq_adc"].append(rec([
+        def _top10(df, pid, score_col, desc):
+            order = F.desc(score_col) if desc else F.col(score_col)
+            return [
                 r["vec_id"]
-                for r in S.pq_adc_rank_of(e, cb, pv, exclude=pid).collect()
-            ]))
-        for key, book in (
-            ("ivfpq_residual_trained_nprobe_k64", cb64),
-            ("ivfpq_residual_trained_nprobe_k256", cb256),
-        ):
-            if not book:
+                for r in df.filter(F.col("vec_id") != pid)
+                .orderBy(order, "vec_id").limit(10).collect()
+            ]
+
+        paths = (
+            "lsh", "lsh_multiprobe", "ivf", "ivf_nprobe", "pq_adc",
+            "ivfpq_residual_trained_nprobe_k64",
+            "ivfpq_residual_trained_nprobe_k256",
+        )
+        per_probe: dict[str, list[float]] = {k: [] for k in paths}
+        for p in probes:
+            pid = int(p.vec_id)
+            pv = [float(v) for v in p.embedding]
+            p_norm = math.sqrt(S._py_dot(pv, pv))
+            cos = F.expr(S._dot_sql("embedding", S._vec_sql(pv))) / (
+                F.sqrt(F.expr(S._dot_sql("embedding", "embedding"))) * F.lit(p_norm)
+            )
+            truth = set(_top10(e.select("vec_id", cos.alias("c")), pid, "c", True))
+            if not truth:
                 continue
-            ranked = None
-            for cell in top_cells:
-                pres = [x - y for x, y in zip(pv, cent_by_id[cell])]
-                r = S.pq_adc_rank_bcast(
-                    resid.filter(F.col("cell") == F.lit(cell)), book, pres,
-                    exclude=pid,
-                )
-                ranked = r if ranked is None else ranked.unionByName(r)
-            per_probe[key].append(rec([
-                r["vec_id"]
-                for r in ranked.orderBy("adc", "vec_id").limit(10).collect()
-            ]))
-    for df in (cells, buckets, resid):
-        df.unpersist()
-    return {
-        "n_probes": n_probes,
-        "paths": {
-            k: {
-                "mean": round(statistics.fmean(v), 4),
-                "sd": round(statistics.pstdev(v), 4),
-            }
-            for k, v in per_probe.items()
-            if v
-        },
-    }
+
+            def rec(ids) -> float:
+                return len(set(ids) & truth) / len(truth)
+
+            pb = _bucket_of(pv)
+            ham = F.expr(S._hamming_terms("bucket", f"'{pb}'"))
+            bcos = cos  # same expression over the buckets frame
+            per_probe["lsh"].append(rec(_top10(
+                buckets.filter(F.col("bucket") == pb).select("vec_id", bcos.alias("c")),
+                pid, "c", True)))
+            per_probe["lsh_multiprobe"].append(rec(_top10(
+                buckets.filter(ham <= S.MULTIPROBE_R).select("vec_id", bcos.alias("c")),
+                pid, "c", True)))
+            top_cells = S._ivf_top_cells_py(pv, cents, S.NPROBE)
+            per_probe["ivf"].append(rec(_top10(
+                cells.filter(F.col("cell") == top_cells[0]).select("vec_id", cos.alias("c")),
+                pid, "c", True)))
+            per_probe["ivf_nprobe"].append(rec(_top10(
+                cells.filter(F.col("cell").isin(top_cells)).select("vec_id", cos.alias("c")),
+                pid, "c", True)))
+            if cb:
+                per_probe["pq_adc"].append(rec([
+                    r["vec_id"]
+                    for r in S.pq_adc_rank_of(e, cb, pv, exclude=pid).collect()
+                ]))
+            for key, book in (
+                ("ivfpq_residual_trained_nprobe_k64", cb64),
+                ("ivfpq_residual_trained_nprobe_k256", cb256),
+            ):
+                if not book:
+                    continue
+                ranked = None
+                for cell in top_cells:
+                    pres = [x - y for x, y in zip(pv, cent_by_id[cell])]
+                    r = S.pq_adc_rank_bcast(
+                        resid.filter(F.col("cell") == F.lit(cell)), book, pres,
+                        exclude=pid,
+                    )
+                    ranked = r if ranked is None else ranked.unionByName(r)
+                per_probe[key].append(rec([
+                    r["vec_id"]
+                    for r in ranked.orderBy("adc", "vec_id").limit(10).collect()
+                ]))
+        return {
+            "n_probes": n_probes,
+            "paths": {
+                k: {
+                    "mean": round(statistics.fmean(v), 4),
+                    "sd": round(statistics.pstdev(v), 4),
+                }
+                for k, v in per_probe.items()
+                if v
+            },
+        }
+    finally:
+        # unpersist on EVERY exit: a thrown probe job must not
+        # leave three corpus-sized cache pins skewing the rest of
+        # the bench session (the r6 cache-pin lesson)
+        for df in (cells, buckets, resid):
+            df.unpersist()
 
 
 def _ann_recall(spark, sf_dir: str, reg) -> dict[str, float]:
@@ -289,83 +285,84 @@ def _ann_index_block(spark, sf_dir: str) -> dict:
     cost, then warm partition-pruned probe latency with the
     files-read fact from the EXECUTED scan — the ~nprobe/K I/O claim
     as a recorded number next to the timing it buys."""
-    import shutil as _sh
     import tempfile as _tf
 
     from environmental_stac_generator_spark.queries import ann_index as AI
     from environmental_stac_generator_spark.queries import similarity as S
 
+    # AI-managed scratch (atexit-swept): the timed build is ADOPTED as
+    # the probes' cached index — without register_index the probes'
+    # index_dir_for would silently pay a second identical full build
     out = _tf.mkdtemp(prefix="envstac_annidx_bench_")
-    try:
-        t0 = time.perf_counter()
-        meta = AI.build_ann_index(spark, sf_dir, f"{out}/index")
-        build = round(time.perf_counter() - t0, 3)
-        if meta is None:
-            return {"build_sec": None}
-        idx = AI.index_dir_for(spark, sf_dir)  # the probes' cached copy
-        total_files = len(spark.read.parquet(idx).inputFiles())
+    AI._SCRATCH.append(out)
+    t0 = time.perf_counter()
+    idx = f"{out}/index"
+    meta = AI.build_ann_index(spark, sf_dir, idx)
+    build = round(time.perf_counter() - t0, 3)
+    if meta is None:
+        return {"build_sec": None}
+    AI.register_index(sf_dir, idx)
+    total_files = len(spark.read.parquet(idx).inputFiles())
 
-        def _probe_row(fn) -> dict:
-            scans = AI.executed_scan_metrics(fn())  # warm + evidence
-            sec = _best_of(
-                lambda: fn().write.mode("overwrite").format("noop").save()
-            )
-            return {
-                "sec": sec,
-                "files_read": scans[0]["num_files"],
-                "files_total": total_files,
-            }
-
-        block = {
-            "build_sec": build,
-            "cells": meta["cells"],
-            "bootstrap_balance": AI.cell_balance(spark, idx),
-            "probe_exact_nprobe4": _probe_row(
-                lambda: AI.index_probe_exact(spark, sf_dir, nprobe=S.NPROBE)
-            ),
-            "probe_adc_nprobe4": _probe_row(
-                lambda: AI.index_probe_adc(spark, sf_dir, nprobe=S.NPROBE)
-            ),
+    def _probe_row(fn) -> dict:
+        scans = AI.executed_scan_metrics(fn())  # warm + evidence
+        sec = _best_of(
+            lambda: fn().write.mode("overwrite").format("noop").save()
+        )
+        return {
+            "sec": sec,
+            "files_read": scans[0]["num_files"],
+            "files_total": total_files,
         }
-        # trained-quantizer twin at the same K: Lloyd cells flatten the
-        # inverted-list balance ratio — the probe-latency tail at
-        # 100 TB is the largest probed cell, so max/mean is the number
-        # the trained quantizer exists to shrink
-        e = S.load(spark, sf_dir, "embeddings")
-        tr_cents = AI.train_coarse_centroids(e, k=S.N_CENTROIDS)
-        tr_idx = f"{out}/trained"
-        if tr_cents and AI.build_ann_index(spark, sf_dir, tr_idx, cents=tr_cents):
-            probe = AI._probe_vector(e)
-            trained = {"balance": AI.cell_balance(spark, tr_idx)}
-            if probe is not None:
-                import pyspark.sql.functions as F
 
-                pv, p_norm = probe
-                cos = F.expr(S._dot_sql("embedding", S._vec_sql(pv))) / (
-                    F.sqrt(F.expr(S._dot_sql("embedding", "embedding")))
-                    * F.lit(p_norm)
-                )
-                truth = {
-                    r["vec_id"]
-                    for r in e.filter(F.col("vec_id") != 0)
-                    .select("vec_id", cos.alias("c"))
-                    .orderBy(F.desc("c"), "vec_id")
-                    .limit(10)
-                    .collect()
-                }
-                got = [
-                    r["vec_id"]
-                    for r in AI.index_probe_exact(
-                        spark, sf_dir, nprobe=S.NPROBE, idx_dir=tr_idx
-                    ).collect()
-                ]
-                trained["recall_at_10_nprobe4"] = round(
-                    len(set(got) & truth) / max(len(truth), 1), 3
-                )
-            block["trained_quantizer"] = trained
-        return block
-    finally:
-        _sh.rmtree(out, ignore_errors=True)
+    block = {
+        "build_sec": build,
+        "cells": meta["cells"],
+        "bootstrap_balance": AI.cell_balance(spark, idx),
+        "probe_exact_nprobe4": _probe_row(
+            lambda: AI.index_probe_exact(spark, sf_dir, nprobe=S.NPROBE)
+        ),
+        "probe_adc_nprobe4": _probe_row(
+            lambda: AI.index_probe_adc(spark, sf_dir, nprobe=S.NPROBE)
+        ),
+    }
+    # trained-quantizer twin at the same K: Lloyd cells flatten the
+    # inverted-list balance ratio — the probe-latency tail at
+    # 100 TB is the largest probed cell, so max/mean is the number
+    # the trained quantizer exists to shrink
+    e = S.load(spark, sf_dir, "embeddings")
+    tr_cents = AI.train_coarse_centroids(e, k=S.N_CENTROIDS)
+    tr_idx = f"{out}/trained"
+    if tr_cents and AI.build_ann_index(spark, sf_dir, tr_idx, cents=tr_cents):
+        probe = AI._probe_vector(e)
+        trained = {"balance": AI.cell_balance(spark, tr_idx)}
+        if probe is not None:
+            import pyspark.sql.functions as F
+
+            pv, p_norm = probe
+            cos = F.expr(S._dot_sql("embedding", S._vec_sql(pv))) / (
+                F.sqrt(F.expr(S._dot_sql("embedding", "embedding")))
+                * F.lit(p_norm)
+            )
+            truth = {
+                r["vec_id"]
+                for r in e.filter(F.col("vec_id") != 0)
+                .select("vec_id", cos.alias("c"))
+                .orderBy(F.desc("c"), "vec_id")
+                .limit(10)
+                .collect()
+            }
+            got = [
+                r["vec_id"]
+                for r in AI.index_probe_exact(
+                    spark, sf_dir, nprobe=S.NPROBE, idx_dir=tr_idx
+                ).collect()
+            ]
+            trained["recall_at_10_nprobe4"] = round(
+                len(set(got) & truth) / max(len(truth), 1), 3
+            )
+        block["trained_quantizer"] = trained
+    return block
 
 
 def main() -> None:

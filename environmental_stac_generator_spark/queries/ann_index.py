@@ -128,19 +128,11 @@ def _coded_frame(e: DataFrame, cents, cbres: list[list[float]]) -> DataFrame:
     cells = S._ivf_cells_of(e, cents)  # vec_id, embedding, _norm, cell
     if cbres:
         dsub = S._pq_dsub(len(cbres[0]))
-        cent_by_id = {
-            int(r.vec_id): [float(v) for v in r.embedding] for r in cents
-        }
-        cmap = ", ".join(
-            f"{cid}L, {S._vec_sql(vec)}" for cid, vec in cent_by_id.items()
-        )
-        res = cells.withColumn(
-            "_res",
-            F.expr(
-                f"zip_with(embedding, element_at(map({cmap}), cell), "
-                "(x, y) -> cast(x as double) - y)"
-            ),
-        )
+        # shared residual kernel: literal map under K_LITERAL_MAX,
+        # broadcast centroid array beyond — the build stays K-agnostic
+        # like the assignment kernel (a trained K ~ sqrt(N) quantizer
+        # must not splice K*dim literals into the plan)
+        res = S.residual_of(cells, cents)
         coded = S._pq_with_subvectors(res, dsub, col="_res").withColumn(
             "codes",
             F.array(
@@ -178,9 +170,13 @@ def build_ann_index(
     so probes/appends use the INDEX's quantizer, never a re-derived
     one.
 
-    Returns {"cells": n, "codes": bool} or None on a corpus with no
-    centroid rows (nothing to index)."""
+    Returns {"cells": n, "codes": bool} or None on an empty corpus or
+    one with no centroid rows (nothing to index — the degrade-to-empty
+    contract; writing a data-less parquet dataset would crash every
+    later read with an unhelpful schema-inference error)."""
     e = load(spark, sf_dir, "embeddings")
+    if not e.head(1):
+        return None
     if cents is None:
         cents = sorted(
             e.filter(F.col("vec_id") < S.N_CENTROIDS)
@@ -298,9 +294,16 @@ def train_coarse_centroids(
     chosen = [0]
     nearest_sim = x @ x[0]
     for _ in range(1, k):
+        if nearest_sim.min() >= 1.0 - 1e-12:
+            # no new direction left (near-duplicate sample): stop
+            # instead of re-picking the same point — duplicate
+            # centroids would just be permanently empty cells (cosine
+            # ties route to the lowest id)
+            break
         nxt = int(nearest_sim.argmin())
         chosen.append(nxt)
         nearest_sim = np.maximum(nearest_sim, x @ x[nxt])
+    k = len(chosen)
     cents = x[chosen].copy()
     for _ in range(iters):
         assign = (x @ cents.T).argmax(axis=1)
@@ -324,6 +327,8 @@ def cell_balance(spark: SparkSession, idx_dir: str) -> dict:
         .agg(F.count("*").alias("n"))
         .collect()
     ]
+    if not sizes:
+        return {"cells": 0, "max_over_mean": None}
     mean = sum(sizes) / len(sizes)
     return {
         "cells": len(sizes),
@@ -360,6 +365,13 @@ def ann_index_stream_writer(idx_dir: str):
         applied_path.write_text(json.dumps(sorted(applied)))
 
     return write
+
+
+def register_index(sf_dir: str, idx_dir: str) -> None:
+    """Adopt an externally built index as the process-cached one for
+    ``sf_dir`` (bench times a fresh build and then probes it — without
+    adoption the probes would silently pay a second identical build)."""
+    _INDEX_CACHE[(str(Path(sf_dir).resolve()), _fingerprint(sf_dir))] = idx_dir
 
 
 def index_dir_for(spark: SparkSession, sf_dir: str) -> str | None:

@@ -1,9 +1,9 @@
 """Driver-facing consolidated registry: SURVEY §2 + §2.11 in ≤50 rows.
 
 The driver's CORRECTNESS check covers the first 50 ``queries()``
-entries, so the full fine-grained registry (95 queries — kept intact
-for tests, bench continuity, and debugging granularity; see
-``registry.load_full_registry``) is consolidated here into 50
+entries, so the full fine-grained registry (110 queries as of r9 —
+kept intact for tests, bench continuity, and debugging granularity;
+see ``registry.load_full_registry``) is consolidated here into 50
 driver-facing entries: 42 SQL-oracle-checked + 8 rows-only kernels.
 
 Two merge shapes, chosen so every absorbed query keeps bit-exact

@@ -668,6 +668,56 @@ def ivf_ann_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def residual_of(
+    df: DataFrame,
+    cents,
+    src: str = "embedding",
+    out: str = "_res",
+    kernel: str = "auto",
+) -> DataFrame:
+    """``df`` + ``out`` = ``src`` − centroid[cell], the per-row
+    own-cell residual shared by the residual-IVFPQ probes, the index
+    build, and the bench harness (one definition — a convention change
+    cannot silently diverge between them).
+
+    Under K_LITERAL_MAX the cell→centroid map is a literal (codegen'd,
+    bit-exact with the registered oracles); past it the centroid set
+    rides along as ONE broadcast array column and the lookup is a
+    filter over it — O(1) expression size in K, same per-row O(K) scan
+    class as the broadcast assignment kernel, and the same IEEE
+    subtraction (property-tested row-identical at K=16)."""
+    if kernel == "auto" and len(cents) <= K_LITERAL_MAX:
+        cmap = ", ".join(
+            f"{int(r.vec_id)}L, "
+            f"{_vec_sql([float(v) for v in r.embedding])}"
+            for r in cents
+        )
+        return df.withColumn(
+            out,
+            F.expr(
+                f"zip_with({src}, element_at(map({cmap}), cell), "
+                "(x, y) -> cast(x as double) - y)"
+            ),
+        )
+    rows = [
+        {"cid": int(r.vec_id), "vec": [float(v) for v in r.embedding]}
+        for r in cents
+    ]
+    return (
+        _with_centroid_array(
+            df, rows, "array<struct<cid:bigint,vec:array<double>>>", "_rcents"
+        )
+        .withColumn(
+            out,
+            F.expr(
+                f"zip_with({src}, filter(_rcents, c -> c.cid = cell)[0].vec, "
+                "(x, y) -> cast(x as double) - y)"
+            ),
+        )
+        .drop("_rcents")
+    )
+
+
 def _ivf_top_cells_py(vec, cents, n: int) -> list[int]:
     """Driver-side top-n cells by (cosine desc, id asc) — the same
     exact-sequential-double ranking as `_ivf_cell_py`, extended past
@@ -2050,16 +2100,7 @@ def ivfpq_residual_trained(
         return empty
     probe_vec, _p_norm, _probe_cell = probe
     cent_by_id = {int(r.vec_id): [float(v) for v in r.embedding] for r in cents}
-    map_entries = ", ".join(
-        f"{cid}L, {_vec_sql(vec)}" for cid, vec in cent_by_id.items()
-    )
-    resid = _ivf_cells_of(e, cents).withColumn(
-        "embedding",
-        F.expr(
-            f"zip_with(embedding, element_at(map({map_entries}), cell), "
-            "(x, y) -> cast(x as double) - y)"
-        ),
-    )
+    resid = residual_of(_ivf_cells_of(e, cents), cents, out="embedding")
     cb = pq_train_codebook(resid.select("vec_id", "embedding"), k=k)
     if not cb:
         return empty

@@ -280,6 +280,57 @@ def test_trained_coarse_quantizer(spark, tmp_path):
     assert trained["max_over_mean"] <= boot["max_over_mean"], (boot, trained)
 
 
+def test_residual_kernels_row_identical(spark, tmp_path):
+    """The shared residual kernel's broadcast-array path (the
+    K-agnostic form a trained K~sqrt(N) quantizer needs — splicing
+    K*dim literals into the plan would blow up codegen) must be
+    row-identical to the literal-map path at K=16."""
+    corpus = str(tmp_path / "c")
+    _synth_embeddings(spark, range(0, 120)).coalesce(1).write.parquet(
+        f"{corpus}/embeddings.parquet"
+    )
+    from environmental_stac_generator_spark.tables import load
+
+    e = load(spark, corpus, "embeddings")
+    cents = sorted(
+        e.filter(F.col("vec_id") < S.N_CENTROIDS)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    cells = S._ivf_cells_of(e, cents)
+    lit = S.residual_of(cells, cents).select("vec_id", "_res")
+    bc = S.residual_of(cells, cents, kernel="bcast").select("vec_id", "_res")
+    assert sorted(map(tuple, lit.collect())) == sorted(map(tuple, bc.collect()))
+
+
+def test_build_with_custom_cents_on_empty_corpus_degrades(spark, tmp_path):
+    """Custom cents must not bypass the degrade-to-empty contract: a
+    build over an empty corpus returns None instead of writing a
+    data-less dataset that crashes every later read."""
+    corpus = str(tmp_path / "empty")
+    _synth_embeddings(spark, range(0, 0)).coalesce(1).write.parquet(
+        f"{corpus}/embeddings.parquet"
+    )
+    cents = [AI.CentRow(i, [float(i)] * 64) for i in range(4)]
+    assert AI.build_ann_index(spark, corpus, str(tmp_path / "i"), cents=cents) is None
+
+
+def test_trainer_stops_on_duplicate_directions(spark, tmp_path):
+    """A near-duplicate sample has fewer distinct directions than k:
+    the farthest-point init must stop rather than emit duplicate
+    centroids whose cells would be permanently empty."""
+    corpus = str(tmp_path / "dups")
+    clones = _synth_embeddings(spark, range(0, 40)).withColumn(
+        "embedding", F.expr("transform(sequence(1, 64), i -> 0.5d)")
+    )
+    clones.coalesce(1).write.parquet(f"{corpus}/embeddings.parquet")
+    from environmental_stac_generator_spark.tables import load
+
+    t = AI.train_coarse_centroids(load(spark, corpus, "embeddings"), k=8)
+    assert len(t) == 1  # one direction in the sample -> one centroid
+
+
 def test_index_rebuilds_on_corpus_change(spark, tmp_path):
     src = spark.range(0, 80).select(
         F.col("id").alias("vec_id"),

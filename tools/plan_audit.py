@@ -117,10 +117,23 @@ def render_soak_block(soak_path: Path | None = None) -> str:
     import json
 
     soak_path = soak_path or latest_soak_path()
-    ns = json.loads(soak_path.read_text())["natural_scale"]
+    doc = json.loads(soak_path.read_text())
+    ns = doc["natural_scale"]
+    mach = doc.get("machine", {})
     viral, viral_win = ns["span_dedup_sec"], ns["span_dedup_window_sec"]
     unv_win = ns["span_dedup_unviral_window_sec"]
     unv_safe = ns["span_dedup_unviral_skewsafe_sec"]
+    ctx = ""
+    if mach:
+        ctx = (
+            f"\n- run context (from the artifact's `machine` block): "
+            f"calibration probe **{mach.get('probe_sec_start')} s → "
+            f"{mach.get('probe_sec_end')} s** across the run, steal "
+            f"**{mach.get('steal_pct')}%** — single-run timings on this "
+            "host carry that contention envelope; the gate BOUNDS "
+            "(deterministic) and plan CHOICES are the stable signal, "
+            "the twin timings the noisy one"
+        )
     return f"""{SOAK_BEGIN} generated by `python tools/plan_audit.py --render-soak`
 from {soak_path.name}; do NOT hand-edit — tests/test_plans_render.py
 fails on drift -->
@@ -128,13 +141,11 @@ fails on drift -->
 `natural_scale` block):
 - viral corpus: sampled largest-group bound **{ns["span_gate_bound_viral"]}**
   → skew-safe plan **{viral:.2f} s**; forced window twin
-  **{viral_win:.2f} s** (skew-safe premium **{viral / viral_win:.2f}x** —
-  the memory-safety price, paid exactly where the hot group is
-  unbounded)
+  **{viral_win:.2f} s** (skew-safe/window ratio **{viral / viral_win:.2f}x**)
 - unviral corpus: bound **{ns["span_gate_bound_unviral"]}** → window plan
   **{unv_win:.2f} s**; forced skew-safe twin **{unv_safe:.2f} s**
-  (window win **{unv_safe / unv_win:.2f}x**)
-- gate estimator cost **{ns["span_gate_sec"]:.2f} s**
+  (ratio **{unv_safe / unv_win:.2f}x**)
+- gate estimator cost **{ns["span_gate_sec"]:.2f} s**{ctx}
 {SOAK_END}"""
 
 

@@ -54,11 +54,16 @@ rec = {
 }
 # live-Postgres upsert throughput, when the lane ran against a real
 # server (VERDICT r7 #7) — written by test_psycopg_upsert_throughput
-# to THIS run's path; absent file == the test skipped this run
+# to THIS run's path; absent file == the test skipped this run. A
+# present-but-corrupt file (killed mid-dump, full disk) must not
+# abort the heredoc under set -e and lose the rest of the record —
+# note it and keep the pytest evidence.
 try:
     rec["pg_upsert_throughput"] = json.load(open(pg_path))
 except FileNotFoundError:
     pass
+except ValueError as exc:
+    rec["pg_upsert_throughput_error"] = f"unreadable report: {exc}"
 json.dump(rec, open("REALCODEC.json", "w"), indent=2)
 print("\nwrote REALCODEC.json:", json.dumps(rec))
 EOF
