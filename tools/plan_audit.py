@@ -124,8 +124,20 @@ def render_soak_block(soak_path: Path | None = None) -> str:
     unv_win = ns["span_dedup_unviral_window_sec"]
     unv_safe = ns["span_dedup_unviral_skewsafe_sec"]
     ctx = ""
+    if "span_dedup_samples" in ns:
+        sam = ns["span_dedup_samples"]
+        usam = ns.get("span_dedup_unviral_samples", {})
+        ctx += (
+            "\n- protocol: min of 2 INTERLEAVED samples per twin "
+            "(alternating plans, the ab_bench adjudication shape — "
+            "single-shot twin timings on this host flipped sign "
+            "between earlier soak runs); viral samples "
+            f"skew-safe {sam.get('skew_safe')} / window "
+            f"{sam.get('window')}, unviral window "
+            f"{usam.get('window')} / skew-safe {usam.get('skew_safe')}"
+        )
     if mach:
-        ctx = (
+        ctx += (
             f"\n- run context (from the artifact's `machine` block): "
             f"calibration probe **{mach.get('probe_sec_start')} s → "
             f"{mach.get('probe_sec_end')} s** across the run, steal "
