@@ -641,6 +641,8 @@ SOAK_MAP_SIDE = [
     "pq_encode", "ivfpq_ann_probe",
     # r8: the residual/nprobe probes stay map-side at 10x too
     "ivfpq_residual_probe", "ivfpq_residual_nprobe", "ivf_ann_nprobe",
+    # r9: the materialized ADC probe stays a zero-shuffle pruned scan
+    "ivfpq_index_probe",
 ]
 
 
