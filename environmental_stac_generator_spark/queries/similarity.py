@@ -685,8 +685,29 @@ def residual_of(
     rides along as ONE broadcast array column and the lookup is a
     filter over it — O(1) expression size in K, same per-row O(K) scan
     class as the broadcast assignment kernel, and the same IEEE
-    subtraction (property-tested row-identical at K=16)."""
-    if kernel == "auto" and len(cents) <= K_LITERAL_MAX:
+    subtraction (property-tested row-identical at K=16).
+
+    ``kernel``: ``"auto"`` picks by K; ``"literal"`` forces the
+    literal map (raises past K_LITERAL_MAX — splicing K×d doubles
+    into codegen is the exact failure the cap exists for);
+    ``"bcast"`` forces the broadcast path. Anything else raises
+    (ADVICE r9: an unvalidated value silently picked broadcast, so
+    the parameter could neither force the literal kernel nor reject
+    typos)."""
+    if kernel not in ("auto", "literal", "bcast"):
+        raise ValueError(
+            f"residual_of kernel={kernel!r}: expected 'auto', 'literal' "
+            "or 'bcast'"
+        )
+    if kernel == "literal" and len(cents) > K_LITERAL_MAX:
+        raise ValueError(
+            f"residual_of kernel='literal' with K={len(cents)} > "
+            f"K_LITERAL_MAX={K_LITERAL_MAX}: the literal map would "
+            "splice K*dim double literals into codegen; use 'bcast'"
+        )
+    if kernel == "literal" or (
+        kernel == "auto" and len(cents) <= K_LITERAL_MAX
+    ):
         cmap = ", ".join(
             f"{int(r.vec_id)}L, "
             f"{_vec_sql([float(v) for v in r.embedding])}"

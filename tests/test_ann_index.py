@@ -299,9 +299,21 @@ def test_residual_kernels_row_identical(spark, tmp_path):
         key=lambda r: r.vec_id,
     )
     cells = S._ivf_cells_of(e, cents)
-    lit = S.residual_of(cells, cents).select("vec_id", "_res")
+    lit = S.residual_of(cells, cents, kernel="literal").select("vec_id", "_res")
     bc = S.residual_of(cells, cents, kernel="bcast").select("vec_id", "_res")
     assert sorted(map(tuple, lit.collect())) == sorted(map(tuple, bc.collect()))
+
+
+def test_residual_kernel_param_validated():
+    """ADVICE r9: kernel must reject unknown values (a typo silently
+    selected the broadcast path) and 'literal' must actually force
+    the literal map — including refusing K past the codegen cap."""
+    cents16 = [AI.CentRow(i, [float(i)] * 64) for i in range(16)]
+    cents17 = [AI.CentRow(i, [float(i)] * 64) for i in range(17)]
+    with pytest.raises(ValueError, match="kernel"):
+        S.residual_of(None, cents16, kernel="broadcast")
+    with pytest.raises(ValueError, match="K_LITERAL_MAX"):
+        S.residual_of(None, cents17, kernel="literal")
 
 
 def test_build_with_custom_cents_on_empty_corpus_degrades(spark, tmp_path):
