@@ -421,23 +421,40 @@ def main() -> None:
     # are tracked per-row without shifting the round-over-round total
     total = round(sum(timings[n] for n in HEADLINE), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "ann_recall_at_10": _ann_recall(spark, sf_dir, reg),
-                "ann_recall_at_10_mean": _ann_recall_mean(spark, sf_dir),
-                "ann_index": _ann_index_block(spark, sf_dir),
-                "cog_pipeline": _cog_pipeline_throughput(spark),
-                "machine": _machine_report(calib_start, calib_end, steal0, steal1),
-            }
-        )
-    )
+    # Key ORDER is load-bearing (VERDICT r9 #2): the driver records
+    # the TAIL of stdout, and the r9 artifact lost its headline total
+    # and ~26 timing rows when the grown recall blocks pushed them out
+    # of the capture window. The auxiliary blocks therefore print
+    # FIRST and the headline metric/value/queries LAST, so truncation
+    # can only ever eat the blocks that are also persisted via
+    # _write_self_artifact below.
+    payload = {
+        "ann_recall_at_10": _ann_recall(spark, sf_dir, reg),
+        "ann_recall_at_10_mean": _ann_recall_mean(spark, sf_dir),
+        "ann_index": _ann_index_block(spark, sf_dir),
+        "cog_pipeline": _cog_pipeline_throughput(spark),
+        "machine": _machine_report(calib_start, calib_end, steal0, steal1),
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    _write_self_artifact(payload, "BENCH_SELF.json")
+    print(json.dumps(payload))
     spark.stop()
+
+
+def _write_self_artifact(payload: dict, name: str) -> None:
+    """Full copy of the bench/soak payload on disk, independent of the
+    driver's stdout tail-capture window (VERDICT r9 #2) — committed as
+    BENCH_SELF_r{N}.json so every row stays checkable even if stdout
+    truncates. Env SPARK_GRAFT_SELF_OUT overrides the directory."""
+    out_dir = Path(os.environ.get("SPARK_GRAFT_SELF_OUT", str(REPO)))
+    try:
+        (out_dir / name).write_text(json.dumps(payload, indent=1) + "\n")
+    except OSError as exc:  # never let evidence-writing kill the bench
+        print(f"self-artifact write failed: {exc}", file=sys.stderr)
 
 
 def _best_of(run) -> float:
@@ -1445,30 +1462,30 @@ def soak() -> None:
     calib_end = _calibration_probe(spark)
     steal1 = _steal_jiffies()
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "soak_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "forced_scale": forced,
-                "curate_chain": curate_chain,
-                "upsert_throughput": upsert,
-                "semdedup_mega_fallback": sem_mega,
-                "multimodal_streaming": mm_stream,
-                "ann_recall_at_10_10x": ann_recall_10x,
-                "ann_index_scale": ann_index_scale,
-                "natural_scale": natural,
-                "base_sf_dir": sf_dir,
-                "scale_factor": SOAK_FACTOR,
-                "doc_rows": doc_rows,
-                "plan_shape_failures": shape_failures,
-                "degraded_joins": degraded,
-                "machine": _machine_report(calib_start, calib_end, steal0, steal1),
-            }
-        )
-    )
+    # auxiliary blocks first, headline metric/value/queries last —
+    # same tail-capture ordering rationale as main()
+    payload = {
+        "forced_scale": forced,
+        "curate_chain": curate_chain,
+        "upsert_throughput": upsert,
+        "semdedup_mega_fallback": sem_mega,
+        "multimodal_streaming": mm_stream,
+        "ann_recall_at_10_10x": ann_recall_10x,
+        "ann_index_scale": ann_index_scale,
+        "natural_scale": natural,
+        "base_sf_dir": sf_dir,
+        "scale_factor": SOAK_FACTOR,
+        "doc_rows": doc_rows,
+        "plan_shape_failures": shape_failures,
+        "degraded_joins": degraded,
+        "machine": _machine_report(calib_start, calib_end, steal0, steal1),
+        "metric": "soak_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+    }
+    _write_self_artifact(payload, "SOAK_SELF.json")
+    print(json.dumps(payload))
     shutil.rmtree(soak_dir, ignore_errors=True)
     shutil.rmtree(nat_dir, ignore_errors=True)
     spark.stop()
