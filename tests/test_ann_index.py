@@ -372,3 +372,244 @@ def test_index_rebuilds_on_corpus_change(spark, tmp_path):
     # and the fresh index agrees with the on-the-fly kernel on the
     # fresh corpus
     assert second == _rows(REG["ivf_ann_probe"].fn(spark, corpus))
+
+
+class _CrashAt:
+    """os.replace wrapper raising at the Nth call — the fault
+    injector for the ingest/compaction crash-window tests."""
+
+    def __init__(self, real, n):
+        self.real, self.n, self.count = real, n, 0
+
+    def __call__(self, *a, **k):
+        self.count += 1
+        if self.count == self.n:
+            raise RuntimeError("injected crash")
+        return self.real(*a, **k)
+
+
+def _ingest_crash_roundtrip(spark, tmp_path, monkeypatch, crash_at):
+    """Shared body: seed an index, crash the stream writer at the
+    given os.replace call (1 = the ledger commit point itself,
+    2 = first file move after commit, 3 = mid-/post-move), then
+    replay the SAME batch id and assert exactly-once landing."""
+    corpus = str(tmp_path / "c")
+    _synth_embeddings(spark, range(0, 80)).coalesce(1).write.parquet(
+        f"{corpus}/embeddings.parquet"
+    )
+    idx = str(tmp_path / "idx")
+    assert AI.build_ann_index(spark, corpus, idx) is not None
+    batch = _synth_embeddings(spark, range(1000, 1030), shift=3)
+    w = AI.ann_index_stream_writer(idx)
+    crash = _CrashAt(AI.os.replace, crash_at)
+    monkeypatch.setattr(AI.os, "replace", crash)
+    with pytest.raises(RuntimeError, match="injected"):
+        w(batch, 7)
+    monkeypatch.setattr(AI.os, "replace", crash.real)
+    # the crashed batch either never became visible (pre-commit) or
+    # is recoverable (post-commit) — never partially double-visible
+    # after replay:
+    AI.ann_index_stream_writer(idx)(batch, 7)
+    assert spark.read.parquet(idx).count() == 80 + 30
+    ids = [
+        r["vec_id"]
+        for r in spark.read.parquet(idx)
+        .groupBy("vec_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .collect()
+    ]
+    assert ids == [], f"duplicated vec_ids after replay: {ids}"
+    # replaying again is a committed no-op
+    AI.ann_index_stream_writer(idx)(batch, 7)
+    assert spark.read.parquet(idx).count() == 80 + 30
+
+
+@pytest.mark.parametrize("crash_at", [1, 2, 3])
+def test_stream_writer_crash_windows_land_exactly_once(
+    spark, tmp_path, monkeypatch, crash_at
+):
+    """VERDICT r9 #5: the r9 sink documented a crash window between
+    parquet append and ledger record that duplicated the batch on
+    replay. The staged two-phase commit closes it — a crash at the
+    ledger commit point, at the first post-commit file move, or
+    mid-move must all land the batch exactly once after replay."""
+    _ingest_crash_roundtrip(spark, tmp_path, monkeypatch, crash_at)
+
+
+def test_stream_writer_reads_pre_r10_ledger(spark, tmp_path):
+    """The pre-r10 ledger was a bare list of committed ids; the 2PC
+    writer must still honor it (skip committed, append new)."""
+    import json as _json
+    from pathlib import Path as _P
+
+    corpus = str(tmp_path / "c")
+    _synth_embeddings(spark, range(0, 80)).coalesce(1).write.parquet(
+        f"{corpus}/embeddings.parquet"
+    )
+    idx = str(tmp_path / "idx")
+    assert AI.build_ann_index(spark, corpus, idx) is not None
+    (_P(idx) / "_ann_batches.json").write_text(_json.dumps([0, 1]))
+    w = AI.ann_index_stream_writer(idx)
+    w(_synth_embeddings(spark, range(1000, 1010), shift=3), 0)  # committed
+    assert spark.read.parquet(idx).count() == 80
+    w(_synth_embeddings(spark, range(1000, 1010), shift=3), 2)  # new
+    assert spark.read.parquet(idx).count() == 90
+
+
+def test_compact_restores_probe_numfiles(spark, tmp_path):
+    """VERDICT r9 #4: append growth is unbounded in files-per-cell;
+    after N appends + compact, the probe's EXECUTED numFiles must
+    return to ~nprobe, with bit-identical probe results and an
+    untouched quantizer."""
+    corpus = str(tmp_path / "c")
+    _synth_embeddings(spark, range(0, 120)).coalesce(1).write.parquet(
+        f"{corpus}/embeddings.parquet"
+    )
+    idx = str(tmp_path / "idx")
+    assert AI.build_ann_index(spark, corpus, idx) is not None
+    meta_before = (AI.Path(idx) / AI.META_NAME).read_text()
+    w = AI.ann_index_stream_writer(idx)
+    for i in range(3):
+        w(_synth_embeddings(spark, range(1000 + 40 * i, 1040 + 40 * i), shift=3), i)
+    inflated = AI.executed_scan_metrics(
+        AI.index_probe_exact(spark, corpus, nprobe=S.NPROBE, idx_dir=idx)
+    )[0]["num_files"]
+    assert inflated > S.NPROBE, "appends should inflate files-per-cell"
+    before_exact = _rows(AI.index_probe_exact(spark, corpus, nprobe=S.NPROBE, idx_dir=idx))
+    before_adc = _rows(AI.index_probe_adc(spark, corpus, nprobe=S.NPROBE, idx_dir=idx))
+    n_rows = spark.read.parquet(idx).count()
+    out = AI.compact_ann_index(spark, idx)
+    assert out["cells_compacted"] > 0
+    assert (AI.Path(idx) / AI.META_NAME).read_text() == meta_before
+    assert spark.read.parquet(idx).count() == n_rows
+    scans = AI.executed_scan_metrics(
+        AI.index_probe_exact(spark, corpus, nprobe=S.NPROBE, idx_dir=idx)
+    )
+    assert scans[0]["num_files"] == S.NPROBE, scans
+    assert _rows(AI.index_probe_exact(spark, corpus, nprobe=S.NPROBE, idx_dir=idx)) == before_exact
+    assert _rows(AI.index_probe_adc(spark, corpus, nprobe=S.NPROBE, idx_dir=idx)) == before_adc
+    # idempotent: a second pass finds nothing over-threshold
+    assert AI.compact_ann_index(spark, idx)["cells_compacted"] == 0
+
+
+def test_compact_crash_rolls_forward(spark, tmp_path, monkeypatch):
+    """A compaction interrupted between its manifest commit and the
+    apply must complete (roll forward) on the next call with no row
+    loss or duplication."""
+    corpus = str(tmp_path / "c")
+    _synth_embeddings(spark, range(0, 120)).coalesce(1).write.parquet(
+        f"{corpus}/embeddings.parquet"
+    )
+    idx = str(tmp_path / "idx")
+    assert AI.build_ann_index(spark, corpus, idx) is not None
+    w = AI.ann_index_stream_writer(idx)
+    for i in range(2):
+        w(_synth_embeddings(spark, range(1000 + 40 * i, 1040 + 40 * i), shift=3), i)
+    n_rows = spark.read.parquet(idx).count()
+    before = _rows(AI.index_probe_exact(spark, corpus, nprobe=S.NPROBE, idx_dir=idx))
+    # call 1 = first cell's manifest commit, call 2 = its add-move
+    crash = _CrashAt(AI.os.replace, 2)
+    monkeypatch.setattr(AI.os, "replace", crash)
+    with pytest.raises(RuntimeError, match="injected"):
+        AI.compact_ann_index(spark, idx)
+    monkeypatch.setattr(AI.os, "replace", crash.real)
+    assert (AI.Path(idx) / "_ann_compaction.json").exists()
+    AI.compact_ann_index(spark, idx)
+    assert not (AI.Path(idx) / "_ann_compaction.json").exists()
+    assert spark.read.parquet(idx).count() == n_rows
+    assert _rows(AI.index_probe_exact(spark, corpus, nprobe=S.NPROBE, idx_dir=idx)) == before
+    scans = AI.executed_scan_metrics(
+        AI.index_probe_exact(spark, corpus, nprobe=S.NPROBE, idx_dir=idx)
+    )
+    assert scans[0]["num_files"] == S.NPROBE, scans
+
+
+def test_probe_id_parameter(spark, tmp_path):
+    """The recall harness probes many ids against one shared index:
+    probe_id must route by THAT vector, exclude THAT id, and match
+    the trusted on-the-fly kernel fed the same probe."""
+    import math
+
+    from environmental_stac_generator_spark.functions.rounding import rnd
+    from environmental_stac_generator_spark.tables import load
+
+    corpus = str(tmp_path / "c")
+    _synth_embeddings(spark, range(0, 120)).coalesce(1).write.parquet(
+        f"{corpus}/embeddings.parquet"
+    )
+    idx = str(tmp_path / "idx")
+    assert AI.build_ann_index(spark, corpus, idx) is not None
+    e = load(spark, corpus, "embeddings")
+    cents, _cb, _rot = AI.load_meta(idx)
+    for pid in (3, 47):
+        got = _rows(
+            AI.index_probe_exact(spark, corpus, nprobe=2, idx_dir=idx, probe_id=pid)
+        )
+        pv = [float(v) for v in e.filter(F.col("vec_id") == pid).head().embedding]
+        p_norm = math.sqrt(S._py_dot(pv, pv))
+        top = S._ivf_top_cells_py(pv, cents, 2)
+        cos = F.expr(S._dot_sql("embedding", S._vec_sql(pv))) / (
+            F.col("_norm") * F.lit(p_norm)
+        )
+        want = _rows(
+            S._ivf_cells_of(e, cents)
+            .filter(F.col("cell").isin(top) & (F.col("vec_id") != pid))
+            .select("vec_id", rnd(cos, 5).alias("cosine"))
+            .orderBy(F.desc("cosine"), "vec_id")
+            .limit(10)
+        )
+        assert got == want
+        assert all(v != pid for v, _ in got)
+
+
+def test_opq_index_matches_onthefly_composition(spark, tmp_path):
+    """An index built with (rotation, rotated-space trained codebook)
+    must ADC-rank bit-identically to the on-the-fly OPQ composition
+    (rotate residuals, rank per probed cell, re-rank the union) —
+    stored codes ARE that kernel, persisted."""
+    import numpy as np
+
+    from environmental_stac_generator_spark.tables import load
+
+    corpus = str(tmp_path / "c")
+    _synth_embeddings(spark, range(0, 200)).coalesce(1).write.parquet(
+        f"{corpus}/embeddings.parquet"
+    )
+    e = load(spark, corpus, "embeddings")
+    cents = sorted(
+        e.filter(F.col("vec_id") < S.N_CENTROIDS)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    resid = S.residual_of(S._ivf_cells_of(e, cents), cents, out="embedding")
+    rot, cb = S.opq_train_rotation(
+        resid.select("vec_id", "embedding"), k=64, sample_n=200
+    )
+    rm = np.asarray(rot)
+    assert np.allclose(rm @ rm.T, np.eye(len(rot)), atol=1e-9)
+    idx = str(tmp_path / "idx")
+    assert AI.build_ann_index(spark, corpus, idx, codebook=cb, rotation=rot) == {
+        "cells": 16,
+        "codes": True,
+    }
+    got = _rows(AI.index_probe_adc(spark, corpus, nprobe=S.NPROBE, idx_dir=idx))
+    rot_resid = S.rotate_vectors(resid, rot, src="embedding")
+    pv = [float(v) for v in e.filter(F.col("vec_id") == 0).head().embedding]
+    cent_by_id = {int(r.vec_id): [float(v) for v in r.embedding] for r in cents}
+    out = None
+    for cell in S._ivf_top_cells_py(pv, cents, S.NPROBE):
+        pres = [
+            float(x)
+            for x in np.asarray(
+                [x - y for x, y in zip(pv, cent_by_id[cell])]
+            )
+            @ rm
+        ]
+        rk = S.pq_adc_rank_bcast(
+            rot_resid.filter(F.col("cell") == F.lit(cell)), cb, pres
+        )
+        out = rk if out is None else out.unionByName(rk)
+    want = _rows(out.orderBy("adc", "vec_id").limit(10))
+    assert got == want
