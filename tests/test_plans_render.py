@@ -57,3 +57,17 @@ def test_no_hand_transcribed_span_numbers_outside_block():
         "span_dedup_unviral_skewsafe_sec",
     ):
         assert f"{ns[key]:.2f} s" not in outside, key
+
+
+def test_plans_ann_block_matches_committed_artifact():
+    """r10 extension of the same mechanism: the materialized-index
+    numbers (files-read pruning facts, trained-K build/recall) are
+    rendered from the committed SOAK artifact, never transcribed."""
+    pa = _plan_audit()
+    text = (REPO / "PLANS.md").read_text()
+    start = text.index(pa.ANN_BEGIN)
+    end = text.index(pa.ANN_END) + len(pa.ANN_END)
+    assert text[start:end] == pa.render_ann_block(), (
+        "PLANS.md ann-index block drifted from the committed artifact — "
+        "run `python tools/plan_audit.py --render-soak`"
+    )
