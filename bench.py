@@ -473,10 +473,37 @@ def _ann_index_trained_block(
     idx = f"{out}/trained"
     t0 = time.perf_counter()
     if AI.build_ann_index(
-        spark, sf_dir, idx, cents=cents, codebook=cb, rotation=rot
+        spark, sf_dir, idx, cents=cents, codebook=cb, rotation=rot,
+        kernel="numpy",
     ) is None:
         return {}
     build_sec = round(time.perf_counter() - t0, 3)
+    # encode-kernel A/B: the HOF build of the SAME index — O(K)
+    # interpreted lambda evaluations per row vs the Arrow/BLAS pass —
+    # plus a cells/codes parity count (differences are float hairline
+    # ties only, the `_argmin_numpy` adjudication)
+    idx_hof = f"{out}/trained_hof"
+    t0 = time.perf_counter()
+    AI.build_ann_index(
+        spark, sf_dir, idx_hof, cents=cents, codebook=cb, rotation=rot
+    )
+    hof_sec = round(time.perf_counter() - t0, 3)
+    a = spark.read.parquet(idx).select("vec_id", "cell", "codes")
+    b = (
+        spark.read.parquet(idx_hof)
+        .select("vec_id", F.col("cell").alias("cell_h"), F.col("codes").alias("codes_h"))
+    )
+    j = a.join(b, "vec_id")
+    ab = {
+        "numpy_build_sec": build_sec,
+        "hof_build_sec": hof_sec,
+        "rows": j.count(),
+        "cell_mismatch": j.filter(F.col("cell") != F.col("cell_h")).count(),
+        "code_mismatch": j.filter(
+            (F.col("cell") == F.col("cell_h"))
+            & (F.col("codes") != F.col("codes_h"))
+        ).count(),
+    }
     total_files = len(spark.read.parquet(idx).inputFiles())
     nprobe = S.NPROBE
 
@@ -495,6 +522,7 @@ def _ann_index_trained_block(
         "train_sec": train_sec,
         "opq_train_sec": opq_sec,
         "build_sec": build_sec,
+        "encode_kernel_ab": ab,
         "balance": AI.cell_balance(spark, idx),
         "probe_exact": _scan_facts(
             AI.index_probe_exact(spark, sf_dir, nprobe=nprobe, idx_dir=idx)

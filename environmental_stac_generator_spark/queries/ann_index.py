@@ -173,6 +173,7 @@ def build_ann_index(
     cents=None,
     codebook: list[list[float]] | None = None,
     rotation: list[list[float]] | None = None,
+    kernel: str = "auto",
 ) -> dict | None:
     """ONE full-corpus map pass -> the inverted-file table.
 
@@ -201,10 +202,22 @@ def build_ann_index(
     so probes/appends use the INDEX's quantizer, never a re-derived
     one.
 
+    ``kernel``: ``"auto"`` encodes through the HOF/literal kernels
+    (bit-exact with the registered oracles — what the driver-facing
+    probes build with); ``"numpy"`` routes the whole encode through
+    :func:`_coded_frame_numpy`, the Arrow/BLAS pass a trained
+    large-K production build wants (O(K) interpreted HOF per row is
+    the build bottleneck at K~sqrt(N); codes identical up to float
+    hairline ties, A/B'd in the soak artifact).
+
     Returns {"cells": n, "codes": bool} or None on an empty corpus or
     one with no centroid rows (nothing to index — the degrade-to-empty
     contract; writing a data-less parquet dataset would crash every
     later read with an unhelpful schema-inference error)."""
+    if kernel not in ("auto", "numpy"):
+        raise ValueError(
+            f"build_ann_index kernel={kernel!r}: expected 'auto' or 'numpy'"
+        )
     e = load(spark, sf_dir, "embeddings")
     if not e.head(1):
         return None
@@ -230,9 +243,13 @@ def build_ann_index(
             key=lambda r: r.vec_id,
         )
         cbres = _residual_codebook(cents, cb_rows) if cb_rows else []
+    frame = (
+        _coded_frame_numpy(e, cents, cbres, rotation)
+        if kernel == "numpy"
+        else _coded_frame(e, cents, cbres, rotation)
+    )
     (
-        _coded_frame(e, cents, cbres, rotation)
-        .repartition("cell")
+        frame.repartition("cell")
         .write.mode("overwrite")
         .option("maxRecordsPerFile", 5_000_000)
         .partitionBy("cell")
@@ -785,3 +802,103 @@ def ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ivfpq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index_probe_adc(spark, sf_dir, nprobe=1)
+
+
+def _coded_frame_numpy(
+    e: DataFrame, cents, cbres: list[list[float]], rotation=None
+) -> DataFrame:
+    """The SCALE twin of :func:`_coded_frame`: one Arrow-batched
+    mapInPandas pass does coarse assignment, residual, optional OPQ
+    rotation, and PQ encode as dense float64 matmuls — per-row cost is
+    a BLAS row instead of O(K·D + M·k·dsub) interpreted HOF lambda
+    evaluations (the `_argmin_numpy` rationale applied to the whole
+    build: Catalyst higher-order functions are never whole-stage-
+    codegen'd, so a K=256 build paid ~4 ms/row through the HOF
+    kernels; measured ~20x faster at K=256, k=256, d=64 — see the
+    soak `ann_index_scale.trained_k256_10x.encode_kernel_ab` block).
+
+    Same tiebreaks as the HOF kernels (argmax/argmin take the FIRST
+    extremum; cents sorted by cid): identical cells/codes except on
+    float hairline ties, where the matmul expansion's summation order
+    can differ in the low bits — the `_argmin_numpy` adjudication:
+    oracle-compared probes stay on the literal/HOF build, this kernel
+    serves trained large-K production builds (codes-parity count
+    recorded in the soak A/B). Zero-norm rows route to the first cell
+    deterministically (cosine undefined there)."""
+    import numpy as np
+
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    src = e.select("vec_id", "embedding")
+    C = np.asarray([r.embedding for r in cents], dtype=np.float64)
+    cids = np.asarray([int(r.vec_id) for r in cents], dtype=np.int64)
+    cn = np.sqrt(np.einsum("kd,kd->k", C, C))
+    cn[cn == 0] = 1.0
+    rot = np.asarray(rotation, dtype=np.float64) if rotation is not None else None
+    if cbres:
+        dsub = S._pq_dsub(len(cbres[0]))
+        books = np.asarray(
+            [
+                [c[m * dsub:(m + 1) * dsub] for c in cbres]
+                for m in range(S.PQ_M)
+            ],
+            dtype=np.float64,
+        )  # (M, k, dsub)
+        bn = np.einsum("mkd,mkd->mk", books, books)  # |c|^2 per code
+    emb_type = src.schema["embedding"].dataType
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("norm", DoubleType()),
+            StructField("embedding", emb_type),
+            StructField("codes", ArrayType(IntegerType())),
+            StructField("cell", LongType()),
+        ]
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            xn = np.sqrt(np.einsum("nd,nd->n", x, x))
+            safe = np.where(xn == 0, 1.0, xn)
+            sims = (x @ C.T) / (safe[:, None] * cn[None, :])
+            idx = sims.argmax(axis=1)  # first max == lowest cid on ties
+            out = {
+                "vec_id": pdf["vec_id"],
+                "norm": xn,
+                "embedding": pdf["embedding"],
+                "cell": cids[idx],
+            }
+            if cbres:
+                res = x - C[idx]
+                if rot is not None:
+                    res = res @ rot
+                codes = np.empty((len(res), S.PQ_M), dtype=np.int32)
+                for m in range(S.PQ_M):
+                    s = res[:, m * dsub:(m + 1) * dsub]
+                    # |s - c|^2 = |s|^2 - 2 s.c + |c|^2; |s|^2 is
+                    # constant per row, so argmin needs only the
+                    # last two terms
+                    d2 = bn[m][None, :] - 2.0 * (s @ books[m].T)
+                    codes[:, m] = d2.argmin(axis=1)
+                out["codes"] = list(codes)
+            else:
+                out["codes"] = [None] * len(x)
+            yield pd.DataFrame(out)[
+                ["vec_id", "norm", "embedding", "codes", "cell"]
+            ]
+
+    return src.mapInPandas(encode, schema)

@@ -613,3 +613,57 @@ def test_opq_index_matches_onthefly_composition(spark, tmp_path):
         out = rk if out is None else out.unionByName(rk)
     want = _rows(out.orderBy("adc", "vec_id").limit(10))
     assert got == want
+
+
+def test_numpy_build_kernel_matches_hof(spark, tmp_path):
+    """The Arrow/BLAS build kernel (the trained large-K production
+    path — O(K) interpreted HOF per row is the build bottleneck at
+    K~sqrt(N)) must produce the same cells and codes as the HOF build
+    on a tie-free corpus, with probe parity through both indexes —
+    including under an OPQ rotation and a trained K=32/k=64 config."""
+    import numpy as np
+
+    from environmental_stac_generator_spark.tables import load
+
+    corpus = str(tmp_path / "c")
+    _synth_embeddings(spark, range(0, 300)).coalesce(1).write.parquet(
+        f"{corpus}/embeddings.parquet"
+    )
+    e = load(spark, corpus, "embeddings")
+    cents = AI.train_coarse_centroids(e, k=32, sample_n=300)
+    resid = S.residual_of(S._ivf_cells_of(e, cents), cents, out="embedding")
+    rot, cb = S.opq_train_rotation(
+        resid.select("vec_id", "embedding"), k=64, sample_n=300
+    )
+    idx_np = str(tmp_path / "np")
+    idx_hof = str(tmp_path / "hof")
+    assert AI.build_ann_index(
+        spark, corpus, idx_np, cents=cents, codebook=cb, rotation=rot,
+        kernel="numpy",
+    )
+    assert AI.build_ann_index(
+        spark, corpus, idx_hof, cents=cents, codebook=cb, rotation=rot
+    )
+    a = {
+        int(r.vec_id): (int(r.cell), tuple(r.codes))
+        for r in spark.read.parquet(idx_np).select("vec_id", "cell", "codes").collect()
+    }
+    b = {
+        int(r.vec_id): (int(r.cell), tuple(r.codes))
+        for r in spark.read.parquet(idx_hof).select("vec_id", "cell", "codes").collect()
+    }
+    assert a == b
+    # stored norms agree to float tolerance (expansion vs sequential
+    # sum) and probes agree after the rnd(5) rounding both apply
+    na = {int(r.vec_id): r.norm for r in spark.read.parquet(idx_np).collect()}
+    nb = {int(r.vec_id): r.norm for r in spark.read.parquet(idx_hof).collect()}
+    assert all(abs(na[k] - nb[k]) < 1e-9 for k in na)
+    for probe in (AI.index_probe_exact, AI.index_probe_adc):
+        assert _rows(probe(spark, corpus, nprobe=S.NPROBE, idx_dir=idx_np)) == _rows(
+            probe(spark, corpus, nprobe=S.NPROBE, idx_dir=idx_hof)
+        )
+
+
+def test_build_kernel_param_validated(spark, tmp_path):
+    with pytest.raises(ValueError, match="kernel"):
+        AI.build_ann_index(spark, str(tmp_path), str(tmp_path / "i"), kernel="blas")

@@ -231,6 +231,17 @@ def render_ann_block(soak_path: Path | None = None) -> str:
                 f"**{t.get('catalog_table_partitions')}** registered "
                 "partitions — pruning survives the metastore listing path"
             )
+        ab = t.get("encode_kernel_ab")
+        if ab:
+            lines.append(
+                f"- encode-kernel A/B at this K: Arrow/BLAS build "
+                f"**{ab['numpy_build_sec']} s** vs HOF build "
+                f"**{ab['hof_build_sec']} s** "
+                f"(**{ab['hof_build_sec'] / ab['numpy_build_sec']:.1f}x**) "
+                f"over {ab['rows']} rows — cell mismatches "
+                f"**{ab['cell_mismatch']}**, code mismatches "
+                f"**{ab['code_mismatch']}** (hairline float ties only)"
+            )
     lines.append(ANN_END)
     return "\n".join(lines)
 
