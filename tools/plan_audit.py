@@ -221,7 +221,12 @@ def render_ann_block(soak_path: Path | None = None) -> str:
                 f"**{r['same_cells_exact_ceiling_mean']} ± "
                 f"{r['same_cells_exact_ceiling_sd']}** — the gap is pure "
                 "code-quantization loss; the routing loss is the "
-                "ceiling's distance from 1"
+                "ceiling's distance from 1. (Caveat: the 10× soak corpus "
+                "is 10 noisy replicas per base vector, so each probe's "
+                "true neighbors are near-copies sharing its cell and "
+                "codes — recall here reflects the replica regime; the "
+                "uniform-corpus quality number is the sf0.1 bench "
+                "ladder.)"
             )
         if cat:
             lines.append(
