@@ -607,6 +607,20 @@ def _ann_index_trained_block(
             block["catalog_table_partitions"] = spark.sql(
                 f"SHOW PARTITIONS {tbl}"
             ).count()
+            # fresh-call probe latency THROUGH the catalog: the path
+            # read re-lists all K partition dirs per call (what
+            # dominates probe_adc_sec at large K); the catalog route
+            # lists only the pruned partitions — the production probe
+            # latency the module doc promises
+            block["catalog_table_probe_adc_sec"] = _best_of(
+                lambda: AI.index_probe_adc(
+                    spark, sf_dir, nprobe=nprobe, idx_dir=idx,
+                    relation=spark.table(tbl),
+                )
+                .write.mode("overwrite")
+                .format("noop")
+                .save()
+            )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     return block

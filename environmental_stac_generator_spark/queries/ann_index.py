@@ -645,6 +645,7 @@ def index_probe_adc(
     nprobe: int = 1,
     idx_dir: str | None = None,
     probe_id: int = 0,
+    relation: DataFrame | None = None,
 ) -> DataFrame:
     """Residual-ADC ranking over STORED codes: per probed cell, a
     driver-computed distance table (the probe's residual differs per
@@ -653,7 +654,12 @@ def index_probe_adc(
     embeddings are never read (codes-only ReadSchema), and the cell
     filter prunes to the probed partitions. An OPQ index (rotation in
     meta) rotates each per-cell probe residual with the persisted R
-    before building its table — the codes live in rotated space."""
+    before building its table — the codes live in rotated space.
+    ``relation`` substitutes the index relation (e.g. a registered
+    catalog table via ``spark.table``) for the path read: a fresh
+    path read re-lists ALL K partition directories to build its
+    InMemoryFileIndex, which dominates fresh-probe latency at large
+    K, while the catalog route lists only the pruned partitions."""
     e = load(spark, sf_dir, "embeddings")
     empty = spark.createDataFrame([], "vec_id bigint, adc double")
     idx_dir = idx_dir if idx_dir is not None else index_dir_for(spark, sf_dir)
@@ -702,6 +708,37 @@ def index_probe_adc(
             ]
             for m in range(S.PQ_M)
         ]
+    if len(cbres) > S.K_LITERAL_MAX:
+        # trained large-k codebook: the tables are PQ_M x k doubles
+        # per probed cell — spliced as literals they bloat plan
+        # compile/codegen (~8k literals at k=256/nprobe=4); as ONE
+        # broadcast row, RE-EXECUTING the built probe drops 1.2 s ->
+        # 0.08 s. A fresh probe CALL at large K stays ~1 s because the
+        # path read re-lists all K partition dirs — that part is the
+        # catalog-table route's job (see ``relation``). Values
+        # identical (same driver-computed doubles, same rnd); the
+        # k<=16 literal form stays for the registered oracle-checked
+        # probes.
+        trows = [{"tcell": int(c), "tab": tables[c]} for c in top_cells]
+        tdf = spark.createDataFrame(
+            [(trows,)],
+            "_tabs array<struct<tcell:bigint,tab:array<array<double>>>>",
+        )
+        adc_bc = " + ".join(
+            f"element_at(element_at(filter(_tabs, t -> t.tcell = cell)"
+            f"[0].tab, {m + 1}), element_at(codes, {m + 1}) + 1)"
+            for m in range(S.PQ_M)
+        )
+        rel = relation if relation is not None else _read_index(spark, idx_dir)
+        return (
+            rel
+            .filter(F.col("cell").isin(top_cells) & (F.col("vec_id") != probe_id))
+            .select("vec_id", "codes", "cell")
+            .crossJoin(F.broadcast(tdf))
+            .select("vec_id", rnd(F.expr(adc_bc), 5).alias("adc"))
+            .orderBy("adc", "vec_id")
+            .limit(10)
+        )
     if nprobe == 1:
         cell = top_cells[0]
         adc = " + ".join(
@@ -718,8 +755,9 @@ def index_probe_adc(
             + f"), cast(cell as bigint)), element_at(codes, {m + 1}) + 1)"
             for m in range(S.PQ_M)
         )
+    rel = relation if relation is not None else _read_index(spark, idx_dir)
     return (
-        _read_index(spark, idx_dir)
+        rel
         .filter(F.col("cell").isin(top_cells) & (F.col("vec_id") != probe_id))
         .select("vec_id", "codes", "cell")
         .select("vec_id", rnd(F.expr(adc), 5).alias("adc"))

@@ -667,3 +667,84 @@ def test_numpy_build_kernel_matches_hof(spark, tmp_path):
 def test_build_kernel_param_validated(spark, tmp_path):
     with pytest.raises(ValueError, match="kernel"):
         AI.build_ann_index(spark, str(tmp_path), str(tmp_path / "i"), kernel="blas")
+
+
+def test_adc_probe_bcast_tables_match_literal_form(spark, tmp_path):
+    """Past K_LITERAL_MAX codebook entries the ADC probe carries its
+    per-cell distance tables as ONE broadcast row instead of ~PQ_M·k·
+    nprobe spliced literals (measured 16x warm-probe win at k=256).
+    Values must be identical to the on-the-fly broadcast-kernel
+    composition — same driver doubles, same rounding — and the scan
+    must stay codes-only and partition-pruned."""
+    import numpy as np
+
+    from environmental_stac_generator_spark.tables import load
+
+    corpus = str(tmp_path / "c")
+    _synth_embeddings(spark, range(0, 300)).coalesce(1).write.parquet(
+        f"{corpus}/embeddings.parquet"
+    )
+    e = load(spark, corpus, "embeddings")
+    cents = sorted(
+        e.filter(F.col("vec_id") < S.N_CENTROIDS)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    resid = S.residual_of(S._ivf_cells_of(e, cents), cents, out="embedding")
+    cb = S.pq_train_codebook(resid.select("vec_id", "embedding"), k=64)
+    idx = str(tmp_path / "idx")
+    assert AI.build_ann_index(spark, corpus, idx, codebook=cb, kernel="numpy")
+    got = _rows(AI.index_probe_adc(spark, corpus, nprobe=S.NPROBE, idx_dir=idx))
+    # expected: the on-the-fly composition through pq_adc_rank_bcast
+    pv = [float(v) for v in e.filter(F.col("vec_id") == 0).head().embedding]
+    cent_by_id = {int(r.vec_id): [float(v) for v in r.embedding] for r in cents}
+    out = None
+    for cell in S._ivf_top_cells_py(pv, cents, S.NPROBE):
+        pres = [float(x) - y for x, y in zip(pv, cent_by_id[cell])]
+        rk = S.pq_adc_rank_bcast(
+            resid.filter(F.col("cell") == F.lit(cell)), cb, pres
+        )
+        out = rk if out is None else out.unionByName(rk)
+    want = _rows(out.orderBy("adc", "vec_id").limit(10))
+    assert got == want
+    scans = AI.executed_scan_metrics(
+        AI.index_probe_adc(spark, corpus, nprobe=S.NPROBE, idx_dir=idx)
+    )
+    assert len(scans) == 1
+    assert scans[0]["num_files"] == S.NPROBE
+    read_schema = scans[0]["scan"].split("ReadSchema:")[1]
+    assert "codes" in read_schema and "embedding" not in read_schema
+
+
+def test_adc_probe_via_catalog_relation(spark, tmp_path):
+    """`relation=` substitutes a registered catalog table for the
+    path read (production: the metastore lists only the pruned
+    partitions instead of all K dirs). Results must be identical and
+    the executed scan still pruned."""
+    corpus = str(tmp_path / "c")
+    _synth_embeddings(spark, range(0, 300)).coalesce(1).write.parquet(
+        f"{corpus}/embeddings.parquet"
+    )
+    idx = str(tmp_path / "idx")
+    assert AI.build_ann_index(spark, corpus, idx) is not None
+    tbl = "ann_idx_reltest"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    try:
+        spark.sql(f"CREATE TABLE {tbl} USING parquet LOCATION '{idx}'")
+        spark.catalog.recoverPartitions(tbl)
+        via_path = _rows(AI.index_probe_adc(spark, corpus, nprobe=S.NPROBE, idx_dir=idx))
+        df = AI.index_probe_adc(
+            spark, corpus, nprobe=S.NPROBE, idx_dir=idx,
+            relation=spark.table(tbl),
+        )
+        assert _rows(df) == via_path
+        scans = AI.executed_scan_metrics(
+            AI.index_probe_adc(
+                spark, corpus, nprobe=S.NPROBE, idx_dir=idx,
+                relation=spark.table(tbl),
+            )
+        )
+        assert scans[0]["num_files"] == S.NPROBE, scans
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")

@@ -229,12 +229,22 @@ def render_ann_block(soak_path: Path | None = None) -> str:
                 "ladder.)"
             )
         if cat:
+            cat_sec = t.get("catalog_table_probe_adc_sec")
+            lat = (
+                f", fresh-call ADC probe **{cat_sec} s** vs "
+                f"**{t.get('probe_adc_sec')} s** via the path read "
+                "(which re-lists all K partition dirs per call — the "
+                "catalog lists only the pruned ones)"
+                if cat_sec is not None
+                else ""
+            )
             lines.append(
                 f"- catalog-table (metastore) route: same probe through "
                 f"`CREATE TABLE ... LOCATION` + `recoverPartitions` reads "
                 f"**{cat['files_read']}/{cat['files_total']}** files of "
                 f"**{t.get('catalog_table_partitions')}** registered "
-                "partitions — pruning survives the metastore listing path"
+                f"partitions — pruning survives the metastore listing "
+                f"path{lat}"
             )
         ab = t.get("encode_kernel_ab")
         if ab:
