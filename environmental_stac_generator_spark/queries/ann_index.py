@@ -512,8 +512,20 @@ def compact_ann_index(
     maintainer (no simultaneous appends; readers between a
     manifest's add and delete steps could double- or under-count —
     the same non-transactional window as Spark's own file sinks;
-    table formats with snapshot isolation are the 100 TB answer)."""
+    table formats with snapshot isolation are the 100 TB answer).
+
+    The single-maintainer contract is enforced mechanically, not just
+    documented (ADVICE r10): the call REFUSES to run while the ingest
+    ledger has pending batches or ``_staging/`` holds batch dirs —
+    either means a stream writer is (or crashed) mid-commit, and a
+    file it lands between our cell listing and the cell read would be
+    folded into the compacted output while surviving the delete list
+    (permanent duplicates). Recovery: let the stream replay finish
+    (pending entries roll forward; pre-commit staging garbage is
+    deleted and restaged), or remove ``_staging`` yourself if the
+    writer is known dead before its commit point."""
     root = Path(idx_dir)
+    _refuse_if_ingest_active(root)
     pending = root / "_ann_compaction.json"
     if pending.exists():  # finish an interrupted apply first
         _apply_compaction(root, json.loads(pending.read_text()))
@@ -539,6 +551,31 @@ def compact_ann_index(
         _apply_compaction(root, manifest)
         compacted += 1
     return {"cells_compacted": compacted}
+
+
+def _refuse_if_ingest_active(root: Path) -> None:
+    """Mechanical guard for compaction's single-maintainer contract:
+    raise while the streaming sink could be mid-commit (pending ledger
+    entries, or staged batch dirs that are either an in-flight write
+    or pre-commit crash garbage a replay will delete)."""
+    ledger = root / "_ann_batches.json"
+    pending: dict = {}
+    if ledger.exists():
+        obj = json.loads(ledger.read_text())
+        if isinstance(obj, dict):
+            pending = obj.get("pending", {})
+    staging = root / "_staging"
+    staged = (
+        sorted(p.name for p in staging.iterdir()) if staging.is_dir() else []
+    )
+    if pending or staged:
+        raise RuntimeError(
+            "compact_ann_index: ingest in progress or interrupted "
+            f"(pending batches: {sorted(pending)}, staged dirs: "
+            f"{staged}); replay the stream to completion (or remove "
+            "_staging if the writer is known dead pre-commit) before "
+            "compacting"
+        )
 
 
 def _apply_compaction(root: Path, manifest: dict) -> None:

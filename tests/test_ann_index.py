@@ -525,6 +525,38 @@ def test_compact_crash_rolls_forward(spark, tmp_path, monkeypatch):
     assert scans[0]["num_files"] == S.NPROBE, scans
 
 
+def test_compact_refuses_while_ingest_pending_or_staged(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r10: the single-maintainer contract is now mechanical —
+    compaction must refuse while the ingest ledger has pending batches
+    or _staging holds batch dirs (an in-flight or crashed-mid-commit
+    writer), and run normally once the replay completes."""
+    corpus = str(tmp_path / "c")
+    _synth_embeddings(spark, range(0, 80)).coalesce(1).write.parquet(
+        f"{corpus}/embeddings.parquet"
+    )
+    idx = str(tmp_path / "idx")
+    assert AI.build_ann_index(spark, corpus, idx) is not None
+    batch = _synth_embeddings(spark, range(1000, 1020), shift=3)
+    # crash the writer AT the ledger commit point: pending entry stays
+    crash = _CrashAt(AI.os.replace, 1)
+    monkeypatch.setattr(AI.os, "replace", crash)
+    with pytest.raises(RuntimeError, match="injected"):
+        AI.ann_index_stream_writer(idx)(batch, 5)
+    monkeypatch.setattr(AI.os, "replace", crash.real)
+    with pytest.raises(RuntimeError, match="ingest in progress"):
+        AI.compact_ann_index(spark, idx)
+    # bare staging garbage (no ledger at all) also refuses
+    (AI.Path(idx) / "_ann_batches.json").unlink(missing_ok=True)
+    with pytest.raises(RuntimeError, match="ingest in progress"):
+        AI.compact_ann_index(spark, idx)
+    # replaying the batch completes the commit and clears the guard
+    AI.ann_index_stream_writer(idx)(batch, 5)
+    assert spark.read.parquet(idx).count() == 80 + 20
+    AI.compact_ann_index(spark, idx)  # runs clean now
+
+
 def test_probe_id_parameter(spark, tmp_path):
     """The recall harness probes many ids against one shared index:
     probe_id must route by THAT vector, exclude THAT id, and match

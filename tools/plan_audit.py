@@ -247,7 +247,9 @@ def render_ann_block(soak_path: Path | None = None) -> str:
                 f"path{lat}"
             )
         ab = t.get("encode_kernel_ab")
-        if ab:
+        # a sub-ms numpy build on a tiny corpus rounds to 0.0 — render
+        # n/a instead of dividing by it (ADVICE r10)
+        if ab and ab.get("numpy_build_sec"):
             lines.append(
                 f"- encode-kernel A/B at this K: Arrow/BLAS build "
                 f"**{ab['numpy_build_sec']} s** vs HOF build "
