@@ -683,6 +683,7 @@ def index_probe_adc(
     idx_dir: str | None = None,
     probe_id: int = 0,
     relation: DataFrame | None = None,
+    limit_n: int = 10,
 ) -> DataFrame:
     """Residual-ADC ranking over STORED codes: per probed cell, a
     driver-computed distance table (the probe's residual differs per
@@ -774,7 +775,7 @@ def index_probe_adc(
             .crossJoin(F.broadcast(tdf))
             .select("vec_id", rnd(F.expr(adc_bc), 5).alias("adc"))
             .orderBy("adc", "vec_id")
-            .limit(10)
+            .limit(limit_n)
         )
     if nprobe == 1:
         cell = top_cells[0]
@@ -799,6 +800,72 @@ def index_probe_adc(
         .select("vec_id", "codes", "cell")
         .select("vec_id", rnd(F.expr(adc), 5).alias("adc"))
         .orderBy("adc", "vec_id")
+        .limit(limit_n)
+    )
+
+
+# FAISS IndexRefineFlat-style second stage: how many ADC candidates
+# the exact re-rank rescoring reads back. Small relative to the probed
+# cells' population (the point is R float rows, not a full re-scan)
+# but several times the final top-10 so quantization-rank errors
+# inside the candidate pool are repaired.
+REFINE_R = 32
+
+
+def index_probe_refine(
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int = 1,
+    refine_r: int = REFINE_R,
+    idx_dir: str | None = None,
+    probe_id: int = 0,
+    relation: DataFrame | None = None,
+) -> DataFrame:
+    """Exact re-rank (refine) stage over the ADC probe — the standard
+    FAISS recall lever (IndexRefineFlat) on top of the materialized
+    index (VERDICT r10 #1): stage 1 takes the top-``refine_r``
+    candidates by the SAME rounded-ADC + vec_id order the served
+    probe uses; stage 2 re-scores exactly those rows by exact cosine
+    against the probe vector, reading the float ``embedding`` column
+    the index already persists per row — and ONLY within the probed
+    ``cell`` partitions, so the refine read keeps the pruned-scan
+    shape (both the ``cell isin`` partition filter and a pushed
+    ``vec_id isin`` row filter land on the scan; asserted on the
+    executed plan in tests). Cost: R float rows from partitions the
+    probe already touched — the ADC stage still never reads floats.
+
+    The candidate handoff is a driver round-trip of ``refine_r``
+    ids (the FAISS refine contract; same bounded-collect class as
+    the probe routing itself). Ranking ties: exact cosine rounded to
+    5 dp, then vec_id — identical on the DuckDB oracle side."""
+    e = load(spark, sf_dir, "embeddings")
+    empty = spark.createDataFrame([], "vec_id bigint, cosine double")
+    idx_dir = idx_dir if idx_dir is not None else index_dir_for(spark, sf_dir)
+    if idx_dir is None:
+        return empty
+    cents, cbres, _rot = load_meta(idx_dir)
+    if not cbres:
+        return empty
+    probe = _probe_vector(e, probe_id)
+    if probe is None:
+        return empty
+    probe_vec, p_norm = probe
+    cand = index_probe_adc(
+        spark, sf_dir, nprobe=nprobe, idx_dir=idx_dir, probe_id=probe_id,
+        relation=relation, limit_n=refine_r,
+    )
+    ids = [int(r["vec_id"]) for r in cand.collect()]
+    if not ids:
+        return empty
+    top_cells = S._ivf_top_cells_py(probe_vec, cents, nprobe)
+    cos = F.expr(S._dot_sql("embedding", S._vec_sql(probe_vec))) / (
+        F.col("norm") * F.lit(p_norm)
+    )
+    rel = relation if relation is not None else _read_index(spark, idx_dir)
+    return (
+        rel.filter(F.col("cell").isin(top_cells) & F.col("vec_id").isin(ids))
+        .select("vec_id", rnd(cos, 5).alias("cosine"))
+        .orderBy(F.desc("cosine"), "vec_id")
         .limit(10)
     )
 
@@ -877,6 +944,25 @@ def ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ivfpq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return index_probe_adc(spark, sf_dir, nprobe=1)
+
+
+@register(
+    "ivfpq_index_refine",
+    S._ivfpq_refine_duck(S.EMB_DIM, S.PQ_DSUB, REFINE_R),
+    doc=f"Exact re-rank (refine) stage over the nprobe={S.NPROBE} "
+    f"index-served ADC probe: the top-{REFINE_R} ADC candidates are "
+    "re-scored by exact cosine against the floats the index already "
+    "persists — read back ONLY from the probed cell partitions (the "
+    "pruned-scan shape survives; the ADC stage itself still reads "
+    "codes only). The standard FAISS IndexRefineFlat lever: ADC "
+    "compresses 32x and mis-ranks within the candidate pool; R exact "
+    "float reads repair the pool's internal order at a cost "
+    "proportional to R, not to the cell population.",
+)
+def ivfpq_index_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return index_probe_refine(
+        spark, sf_dir, nprobe=S.NPROBE, refine_r=REFINE_R
+    )
 
 
 def _coded_frame_numpy(

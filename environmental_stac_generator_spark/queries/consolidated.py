@@ -422,6 +422,8 @@ def build(full: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
                          {"a": "vec_id", "metric": "cosine"}),
                         ("ivfpq_index", "ivfpq_index_probe",
                          {"a": "vec_id", "metric": "adc"}),
+                        ("ivfpq_refine", "ivfpq_index_refine",
+                         {"a": "vec_id", "metric": "cosine"}),
                     ],
                     doc="Quantized ANN: IVF cell-probe ranking (single- "
                     "and nprobe=4 multi-cell) + product-quantization "
@@ -433,7 +435,10 @@ def build(full: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
                     "ivf_ann_nprobe — r8; ivf_index_probe, "
                     "ivfpq_index_probe — r9: the same probes against the "
                     "MATERIALIZED partitionBy(cell) index, partition-"
-                    "pruned reads instead of full-corpus cell recompute).",
+                    "pruned reads instead of full-corpus cell recompute; "
+                    "ivfpq_index_refine — r11: exact re-rank of the "
+                    "top-R ADC candidates against the persisted floats, "
+                    "read only from the probed partitions).",
                 ),
             ),
             keep("kmeans_clusters"),

@@ -1923,12 +1923,12 @@ def ivfpq_residual_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_residual_nprobe_duck(dim: int, dsub: int) -> str:
-    """Residual-IVFPQ with nprobe cells — the full FAISS IndexIVFPQ
-    query shape: members of every probed cell are coded against the
-    SHARED residual codebook, and each cell gets its OWN probe
-    distance table (the probe's residual differs per cell). Same
-    exact-IEEE derivation discipline as the single-cell oracle."""
+def _ivfpq_nprobe_adc_cte(dim: int, dsub: int) -> str:
+    """The shared CTE chain of the nprobe residual-ADC oracles, up to
+    and including the ``adc`` relation (vec_id, adc_raw over the
+    probed cells' members) — `_ivfpq_residual_nprobe_duck` ranks it
+    directly; `_ivfpq_refine_duck` re-ranks its top-R by exact
+    cosine. One text, so the two oracles cannot drift."""
     adc_terms = " + ".join(
         f"MAX(CASE WHEN b.m = {m} THEN t.dist END)" for m in range(PQ_M)
     )
@@ -1995,10 +1995,56 @@ def _ivfpq_residual_nprobe_duck(dim: int, dsub: int) -> str:
       FROM best b
       JOIN t ON t.cell = b.cell AND t.m = b.m AND t.k = b.code
       GROUP BY b.vec_id
-    )
+    )"""
+
+
+def _ivfpq_residual_nprobe_duck(dim: int, dsub: int) -> str:
+    """Residual-IVFPQ with nprobe cells — the full FAISS IndexIVFPQ
+    query shape: members of every probed cell are coded against the
+    SHARED residual codebook, and each cell gets its OWN probe
+    distance table (the probe's residual differs per cell). Same
+    exact-IEEE derivation discipline as the single-cell oracle."""
+    return (
+        _ivfpq_nprobe_adc_cte(dim, dsub)
+        + """
     SELECT vec_id, floor(adc_raw * 100000.0 + 0.5) / 100000.0 AS adc
     FROM adc ORDER BY adc, vec_id LIMIT 10
     """
+    )
+
+
+def _ivfpq_refine_duck(dim: int, dsub: int, refine_r: int) -> str:
+    """The refine (exact re-rank) oracle: the nprobe ADC ranking's
+    top-``refine_r`` candidates — ranked by the SAME 5-dp-rounded ADC
+    + vec_id order as the served probe — are re-scored by exact
+    cosine against the probe vector and the top-10 returned. The
+    re-rank reads the candidates' float embeddings (the ``cells``
+    CTE), which is exactly what the index-served refine stage does
+    inside its already-pruned partitions."""
+    return (
+        _ivfpq_nprobe_adc_cte(dim, dsub)
+        + f""",
+    topr AS (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               row_number() OVER (
+                 ORDER BY floor(adc_raw * 100000.0 + 0.5) / 100000.0,
+                          vec_id
+               ) AS rr
+        FROM adc
+      ) ranked WHERE rr <= {refine_r}
+    ),
+    pvec AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = 0
+    )
+    SELECT c.vec_id,
+           floor(list_cosine_similarity(c.emb, p.p) * 100000.0 + 0.5)
+             / 100000.0 AS cosine
+    FROM cells c JOIN topr USING (vec_id) CROSS JOIN pvec p
+    ORDER BY cosine DESC, c.vec_id
+    LIMIT 10
+    """
+    )
 
 
 @register(

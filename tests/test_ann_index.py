@@ -98,6 +98,69 @@ def test_adc_probe_reads_codes_not_floats(spark, sf_dir, idx_dir):
     assert scan["num_files"] == S.NPROBE, scan
 
 
+def test_refine_matches_driver_rerank_of_adc_topr(spark, sf_dir, idx_dir):
+    """The refine ranking contract (VERDICT r10 #1): the served
+    result must equal an exact-cosine re-rank of the ADC top-R
+    candidate ids, computed independently on the driver from the raw
+    corpus (sequential-double dot — bit-identical arithmetic)."""
+    import math
+
+    from environmental_stac_generator_spark.tables import load
+
+    cand = [
+        int(r["vec_id"])
+        for r in AI.index_probe_adc(
+            spark, sf_dir, nprobe=S.NPROBE, limit_n=AI.REFINE_R
+        ).collect()
+    ]
+    assert 0 < len(cand) <= AI.REFINE_R
+    e = {
+        int(r["vec_id"]): [float(v) for v in r["embedding"]]
+        for r in load(spark, sf_dir, "embeddings").collect()
+    }
+    pv = e[0]
+    p_norm = math.sqrt(S._py_dot(pv, pv))
+
+    def _cos5(vid):
+        v = e[vid]
+        c = S._py_dot(v, pv) / (math.sqrt(S._py_dot(v, v)) * p_norm)
+        return math.floor(c * 100000.0 + 0.5) / 100000.0
+
+    expected = sorted(((-_cos5(i), i) for i in cand))[:10]
+    got = _rows(REG["ivfpq_index_refine"].fn(spark, sf_dir))
+    assert [(i, -nc) for nc, i in expected] == got
+
+
+def test_refine_equals_exact_when_r_covers_probed_cells(spark, sf_dir, idx_dir):
+    """With R at least the probed cells' population, refine degrades
+    to the exact nprobe ranking — every member is in the candidate
+    pool, so the re-rank IS the exact in-cell ranking."""
+    n = spark.read.parquet(idx_dir).count()
+    assert _rows(
+        AI.index_probe_refine(spark, sf_dir, nprobe=S.NPROBE, refine_r=n + 10)
+    ) == _rows(AI.index_probe_exact(spark, sf_dir, nprobe=S.NPROBE))
+
+
+def test_refine_read_stays_inside_probed_partitions(spark, sf_dir, idx_dir):
+    """The refine stage reads floats, but ONLY from the already-
+    probed cell partitions: the executed refine scan is still
+    partition-pruned to nprobe files, carries the cell
+    PartitionFilter, pushes the vec_id candidate filter, and (unlike
+    the ADC stage) reads the embedding column — that is its job."""
+    scans = AI.executed_scan_metrics(
+        AI.index_probe_refine(spark, sf_dir, nprobe=S.NPROBE)
+    )
+    assert len(scans) == 1, scans
+    scan = scans[0]
+    assert scan["num_files"] == S.NPROBE, scan
+    assert "PartitionFilters: [" in scan["scan"]
+    assert "cell" in scan["scan"].split("PartitionFilters")[1].split("]")[0]
+    read_schema = scan["scan"].split("ReadSchema:")[1]
+    assert "embedding" in read_schema
+    pushed = scan["scan"].split("PushedFilters:")[1].split("]")[0]
+    assert "vec_id" in pushed, scan["scan"]
+
+
 def test_index_layout_one_file_per_cell(spark, idx_dir):
     # repartition("cell") before partitionBy: ~one file per cell dir,
     # not one per (cell x input task) — the small-files guard
