@@ -2339,7 +2339,11 @@ def opq_train_rotation(
     budget as every other trainer). Non-parametric OPQ: eigenvalue-
     allocation init, then ``outer`` rounds of {one Lloyd refinement
     per subspace in rotated space; re-encode; orthogonal Procrustes
-    solve R = UVᵀ of SVD(XᵀX̂)}. Deterministic end-to-end: frozen
+    solve R = UVᵀ of SVD(XᵀX̂)}, then ONE closing Lloyd pass in the
+    returned rotation's space so the (R, codebook) pair is
+    self-consistent (the loop ends on a rotation solve, so without
+    the closing pass the book was trained against the previous
+    rotation — ADVICE r10 #1). Deterministic end-to-end: frozen
     sample order, first-k init, fixed iteration counts, float64.
 
     The returned codebook lives in ROTATED space, flat [k][dim]
@@ -2372,23 +2376,19 @@ def opq_train_rotation(
     def _sub(arr, m):
         return arr[:, m * dsub:(m + 1) * dsub]
 
+    # both inner loops run on the `_nearest_code` matmul expansion —
+    # the (n, k, dsub) broadcast-difference cube this replaced was the
+    # 53 s at k=256 the r10 soak recorded (VERDICT r11 #2); same
+    # first-minimum tiebreak, hairline float ties only, ladder
+    # re-measured in the same commit (BENCH_SELF_r12.json)
     def _encode(xr, books):
-        return [
-            ((_sub(xr, m)[:, None, :] - books[m][None, :, :]) ** 2)
-            .sum(axis=2)
-            .argmin(axis=1)
-            for m in range(PQ_M)
-        ]
+        return [_nearest_code(_sub(xr, m), books[m]) for m in range(PQ_M)]
 
     def _lloyd(xr, books, iters):
         for m in range(PQ_M):
             s = _sub(xr, m)
             for _ in range(iters):
-                assign = (
-                    ((s[:, None, :] - books[m][None, :, :]) ** 2)
-                    .sum(axis=2)
-                    .argmin(axis=1)
-                )
+                assign = _nearest_code(s, books[m])
                 for j in range(k):
                     members = s[assign == j]
                     if len(members):
@@ -2408,6 +2408,13 @@ def opq_train_rotation(
         )
         u, _s, vt = np.linalg.svd(x.T @ xhat)
         rot = u @ vt
+    # final half-step consistency (ADVICE r10 #1): the loop above ends
+    # on a rotation solve, so `books` was last refined in the PREVIOUS
+    # rotation's space — one closing Lloyd pass in the returned
+    # rotation's space makes the (R, codebook) pair self-consistent
+    # (the codebook callers use is trained against exactly the x·R
+    # they will encode).
+    books = _lloyd(x @ rot, books, 1)
     cb = [
         [float(v) for m in range(PQ_M) for v in books[m][j]] for j in range(k)
     ]
