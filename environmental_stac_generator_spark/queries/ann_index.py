@@ -79,6 +79,11 @@ _INDEX_CACHE: dict[tuple[str, tuple], str] = {}
 _SCRATCH: list[str] = []
 
 META_NAME = "_ann_meta.json"
+# Exclusive maintenance lock (ADVICE r11 #1): compaction holds it for
+# its whole run; the stream writer refuses while it exists. Mutual
+# exclusion is a two-sided handshake, not check-then-act — see
+# _refuse_if_maintenance for the ordering argument.
+MAINT_LOCK = "_maintenance.lock"
 
 # lightweight centroid rows for the shared similarity kernels (which
 # read .vec_id / .embedding off collected Rows)
@@ -278,6 +283,49 @@ def _atomic_write_json(path: Path, obj) -> None:
     os.replace(tmp, path)
 
 
+def _acquire_maintenance_lock(root: Path) -> None:
+    """Take the index's exclusive maintenance lock via O_CREAT|O_EXCL
+    — atomic on every filesystem that matters, so two maintainers can
+    never both hold it. A stale lock (maintainer died mid-run) blocks
+    writers until removed by an operator who knows the maintainer is
+    dead — the same recovery contract as _staging garbage."""
+    try:
+        fd = os.open(root / MAINT_LOCK, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise RuntimeError(
+            f"another maintainer holds {MAINT_LOCK} for {root}; remove "
+            "it only if that maintainer is known dead"
+        ) from None
+    os.close(fd)
+
+
+def _release_maintenance_lock(root: Path) -> None:
+    (root / MAINT_LOCK).unlink(missing_ok=True)
+
+
+def _refuse_if_maintenance(root: Path, cleanup: Path | None = None) -> None:
+    """Stream-writer side of the mutual-exclusion handshake: raise if
+    the maintenance lock exists, deleting ``cleanup`` (the writer's
+    just-created staging marker) first so the aborted attempt leaves
+    nothing behind.
+
+    Why this is not check-then-act (the ADVICE r11 TOCTOU): the
+    writer creates its ``_staging/<bid>`` marker BEFORE this re-check,
+    and compaction acquires the lock BEFORE its ingest-active scan.
+    Whichever atomic filesystem op lands first, the other side sees
+    it: writer-marker first → compaction's scan finds the staging dir
+    and refuses; lock first → this re-check finds the lock and the
+    writer aborts (marker removed). There is no interleaving where
+    both proceed."""
+    if (root / MAINT_LOCK).exists():
+        if cleanup is not None:
+            shutil.rmtree(cleanup, ignore_errors=True)
+        raise RuntimeError(
+            f"index maintenance in progress ({MAINT_LOCK} present); "
+            "retry the batch after compaction finishes"
+        )
+
+
 def load_meta(idx_dir: str) -> tuple[list, list[list[float]], list | None]:
     """(cents, cbres, rotation) from the index's persisted quantizer
     state. JSON round-trips the driver doubles exactly, so kernels fed
@@ -463,12 +511,23 @@ def ann_index_stream_writer(idx_dir: str):
         bid = str(int(batch_id))
         if int(bid) in led["committed"]:
             return
+        _refuse_if_maintenance(Path(idx_dir))
         if bid in led["pending"]:
             _finalize(led, bid)  # roll a crashed finalize forward
             return
         stage = Path(idx_dir) / "_staging" / bid
         shutil.rmtree(stage, ignore_errors=True)  # pre-commit garbage
+        # handshake ordering (see _refuse_if_maintenance): the staging
+        # marker lands BEFORE the lock re-check, so a compactor that
+        # acquired the lock after the check above either sees this
+        # marker and refuses, or its lock is seen here and this batch
+        # aborts clean — never both proceeding.
+        stage.mkdir(parents=True)
+        _refuse_if_maintenance(Path(idx_dir), cleanup=stage)
         cents, cbres, rotation = load_meta(idx_dir)
+        # the coded batch lands in a SUBDIR of the marker so Spark's
+        # overwrite (which deletes its target first) never makes the
+        # marker itself blink out mid-write
         (
             _coded_frame(
                 batch.select("vec_id", "embedding"), cents, cbres, rotation
@@ -477,14 +536,14 @@ def ann_index_stream_writer(idx_dir: str):
             .write.mode("overwrite")
             .option("maxRecordsPerFile", 5_000_000)
             .partitionBy("cell")
-            .parquet(str(stage))
+            .parquet(str(stage / "data"))
         )
         moves = [
             [
                 str(f.relative_to(idx_dir)),
                 f"{cell_dir.name}/b{bid}-{f.name}",
             ]
-            for cell_dir in sorted(stage.glob("cell=*"))
+            for cell_dir in sorted((stage / "data").glob("cell=*"))
             for f in _part_files(cell_dir)
         ]
         led["pending"][bid] = moves
@@ -507,49 +566,60 @@ def compact_ann_index(
     Crash-safe by roll-forward: each cell's rewrite lands in
     ``_compacting/`` (invisible to readers), then a manifest naming
     the exact adds/deletes is committed atomically, then applied;
-    an interrupted apply is completed at the next call before any new
-    work. NOT concurrent-safe: run it as the index's single
-    maintainer (no simultaneous appends; readers between a
-    manifest's add and delete steps could double- or under-count —
+    an interrupted apply is completed at the next call — BEFORE the
+    ingest guard (ADVICE r11 #2: a committed manifest only touches
+    the files it names, so applying it is safe regardless of ingest
+    state, and leaving it half-applied keeps the reader double-count
+    window open for as long as ingest stays pending). Readers between
+    a manifest's add and delete steps could double- or under-count —
     the same non-transactional window as Spark's own file sinks;
-    table formats with snapshot isolation are the 100 TB answer).
+    table formats with snapshot isolation are the 100 TB answer.
 
-    The single-maintainer contract is enforced mechanically, not just
-    documented (ADVICE r10): the call REFUSES to run while the ingest
-    ledger has pending batches or ``_staging/`` holds batch dirs —
-    either means a stream writer is (or crashed) mid-commit, and a
-    file it lands between our cell listing and the cell read would be
-    folded into the compacted output while surviving the delete list
-    (permanent duplicates). Recovery: let the stream replay finish
-    (pending entries roll forward; pre-commit staging garbage is
-    deleted and restaged), or remove ``_staging`` yourself if the
-    writer is known dead before its commit point."""
+    The single-maintainer contract is enforced mechanically
+    (ADVICE r10/r11): the run holds the exclusive ``_maintenance.lock``
+    (O_CREAT|O_EXCL) for its whole duration and, under that lock,
+    REFUSES while the ingest ledger has pending batches or
+    ``_staging/`` holds entries — either means a stream writer is (or
+    crashed) mid-commit, and a file it lands between our cell listing
+    and the cell read would be folded into the compacted output while
+    surviving the delete list (permanent duplicates). The writer
+    re-checks the lock AFTER creating its staging marker, so the
+    check here is one side of a race-free handshake, not
+    check-then-act (see ``_refuse_if_maintenance``). Recovery: let
+    the stream replay finish (pending entries roll forward;
+    pre-commit staging garbage is deleted and restaged), or remove
+    ``_staging`` yourself if the writer is known dead before its
+    commit point."""
     root = Path(idx_dir)
-    _refuse_if_ingest_active(root)
     pending = root / "_ann_compaction.json"
     if pending.exists():  # finish an interrupted apply first
         _apply_compaction(root, json.loads(pending.read_text()))
-    compacted = 0
-    for cell_dir in sorted(root.glob("cell=*")):
-        old = [f.name for f in _part_files(cell_dir)]
-        if len(old) <= max_files_per_cell:
-            continue
-        tmp = root / "_compacting" / cell_dir.name
-        shutil.rmtree(tmp, ignore_errors=True)
-        (
-            spark.read.parquet(str(cell_dir))
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(str(tmp))
-        )
-        manifest = {
-            "cell": cell_dir.name,
-            "adds": [f.name for f in _part_files(tmp)],
-            "deletes": old,
-        }
-        _atomic_write_json(pending, manifest)  # commit point
-        _apply_compaction(root, manifest)
-        compacted += 1
+    _acquire_maintenance_lock(root)
+    try:
+        _refuse_if_ingest_active(root)
+        compacted = 0
+        for cell_dir in sorted(root.glob("cell=*")):
+            old = [f.name for f in _part_files(cell_dir)]
+            if len(old) <= max_files_per_cell:
+                continue
+            tmp = root / "_compacting" / cell_dir.name
+            shutil.rmtree(tmp, ignore_errors=True)
+            (
+                spark.read.parquet(str(cell_dir))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(str(tmp))
+            )
+            manifest = {
+                "cell": cell_dir.name,
+                "adds": [f.name for f in _part_files(tmp)],
+                "deletes": old,
+            }
+            _atomic_write_json(pending, manifest)  # commit point
+            _apply_compaction(root, manifest)
+            compacted += 1
+    finally:
+        _release_maintenance_lock(root)
     return {"cells_compacted": compacted}
 
 
@@ -557,7 +627,11 @@ def _refuse_if_ingest_active(root: Path) -> None:
     """Mechanical guard for compaction's single-maintainer contract:
     raise while the streaming sink could be mid-commit (pending ledger
     entries, or staged batch dirs that are either an in-flight write
-    or pre-commit crash garbage a replay will delete)."""
+    or pre-commit crash garbage a replay will delete). Runs UNDER the
+    maintenance lock: a writer that passes its own lock check before
+    the lock lands has already created its staging marker, which this
+    scan sees — the two-sided handshake that closes the r11 TOCTOU
+    window (see ``_refuse_if_maintenance``)."""
     ledger = root / "_ann_batches.json"
     pending: dict = {}
     if ledger.exists():

@@ -602,12 +602,17 @@ def test_compact_refuses_while_ingest_pending_or_staged(
     idx = str(tmp_path / "idx")
     assert AI.build_ann_index(spark, corpus, idx) is not None
     batch = _synth_embeddings(spark, range(1000, 1020), shift=3)
-    # crash the writer AT the ledger commit point: pending entry stays
+    # crash the writer AT the atomic ledger commit (os.replace call 1
+    # is the temp->ledger rename itself): NO pending entry lands, the
+    # guard trips on the staged batch dir alone (ADVICE r11 #3)
     crash = _CrashAt(AI.os.replace, 1)
     monkeypatch.setattr(AI.os, "replace", crash)
     with pytest.raises(RuntimeError, match="injected"):
         AI.ann_index_stream_writer(idx)(batch, 5)
     monkeypatch.setattr(AI.os, "replace", crash.real)
+    led = AI.json.loads((AI.Path(idx) / "_ann_batches.json").read_text()) \
+        if (AI.Path(idx) / "_ann_batches.json").exists() else {}
+    assert not led.get("pending")  # the commit itself was the crash
     with pytest.raises(RuntimeError, match="ingest in progress"):
         AI.compact_ann_index(spark, idx)
     # bare staging garbage (no ledger at all) also refuses
@@ -618,6 +623,79 @@ def test_compact_refuses_while_ingest_pending_or_staged(
     AI.ann_index_stream_writer(idx)(batch, 5)
     assert spark.read.parquet(idx).count() == 80 + 20
     AI.compact_ann_index(spark, idx)  # runs clean now
+    assert not (AI.Path(idx) / AI.MAINT_LOCK).exists()  # lock released
+    # crash the writer just AFTER the commit (os.replace call 2 = the
+    # first staged-file move): a REAL pending ledger entry stays, and
+    # the guard must trip on the pending branch with no staging left
+    # ambiguity (ADVICE r11 #3 — the branch the old test never hit)
+    batch2 = _synth_embeddings(spark, range(2000, 2020), shift=3)
+    crash2 = _CrashAt(AI.os.replace, 2)
+    monkeypatch.setattr(AI.os, "replace", crash2)
+    with pytest.raises(RuntimeError, match="injected"):
+        AI.ann_index_stream_writer(idx)(batch2, 6)
+    monkeypatch.setattr(AI.os, "replace", crash2.real)
+    led = AI.json.loads((AI.Path(idx) / "_ann_batches.json").read_text())
+    assert "6" in led["pending"]  # the commit landed before the crash
+    with pytest.raises(RuntimeError, match="ingest in progress"):
+        AI.compact_ann_index(spark, idx)
+    AI.ann_index_stream_writer(idx)(batch2, 6)  # replay rolls forward
+    AI.compact_ann_index(spark, idx)  # clean again
+
+
+def test_maintenance_lock_mutual_exclusion(spark, tmp_path, monkeypatch):
+    """ADVICE r11 #1: the check-then-act window is closed by a
+    two-sided handshake — the stream writer refuses while the
+    maintenance lock exists (including when the lock lands AFTER the
+    writer's initial check but before its staging write), a second
+    maintainer cannot acquire the held lock, and the lock never
+    outlives a compaction (success or refusal)."""
+    corpus = str(tmp_path / "c")
+    _synth_embeddings(spark, range(0, 80)).coalesce(1).write.parquet(
+        f"{corpus}/embeddings.parquet"
+    )
+    idx = str(tmp_path / "idx")
+    assert AI.build_ann_index(spark, corpus, idx) is not None
+    root = AI.Path(idx)
+    batch = _synth_embeddings(spark, range(1000, 1020), shift=3)
+    # maintainer holds the lock -> writer refuses up front
+    AI._acquire_maintenance_lock(root)
+    with pytest.raises(RuntimeError, match="maintenance in progress"):
+        AI.ann_index_stream_writer(idx)(batch, 1)
+    # a second maintainer cannot acquire it
+    with pytest.raises(RuntimeError, match="another maintainer"):
+        AI._acquire_maintenance_lock(root)
+    AI._release_maintenance_lock(root)
+    # the TOCTOU interleaving itself: the lock lands AFTER the
+    # writer's up-front check — simulate by acquiring it from inside
+    # the first post-check filesystem op (the staging-marker mkdir),
+    # exactly where a concurrent compactor could slot in. The writer's
+    # re-check must abort the batch and remove its marker.
+    real_mkdir = AI.Path.mkdir
+
+    def _mkdir_then_lock(self, *a, **k):
+        real_mkdir(self, *a, **k)
+        # mkdir(parents=True) re-enters for the target after creating
+        # the parent — acquire once, not per re-entry
+        if (self.name == "1" and self.parent.name == "_staging"
+                and not (root / AI.MAINT_LOCK).exists()):
+            AI._acquire_maintenance_lock(root)
+
+    monkeypatch.setattr(AI.Path, "mkdir", _mkdir_then_lock)
+    with pytest.raises(RuntimeError, match="maintenance in progress"):
+        AI.ann_index_stream_writer(idx)(batch, 1)
+    monkeypatch.setattr(AI.Path, "mkdir", real_mkdir)
+    assert not (root / "_staging" / "1").exists()  # marker cleaned up
+    AI._release_maintenance_lock(root)
+    # nothing landed: the aborted batch replays cleanly afterwards
+    AI.ann_index_stream_writer(idx)(batch, 1)
+    assert spark.read.parquet(idx).count() == 80 + 20
+    assert not (root / AI.MAINT_LOCK).exists()
+    # a refused compaction (ingest pending) also releases the lock
+    (root / "_staging" / "garbage").mkdir(parents=True)
+    with pytest.raises(RuntimeError, match="ingest in progress"):
+        AI.compact_ann_index(spark, idx)
+    assert not (root / AI.MAINT_LOCK).exists()
+    AI.shutil.rmtree(root / "_staging")
 
 
 def test_probe_id_parameter(spark, tmp_path):

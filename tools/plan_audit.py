@@ -247,14 +247,20 @@ def render_ann_block(soak_path: Path | None = None) -> str:
                 f"path{lat}"
             )
         ab = t.get("encode_kernel_ab")
-        # a sub-ms numpy build on a tiny corpus rounds to 0.0 — render
-        # n/a instead of dividing by it (ADVICE r10)
-        if ab and ab.get("numpy_build_sec"):
+        if ab:
+            # a sub-ms numpy build on a tiny corpus rounds to 0.0 —
+            # emit an explicit n/a line instead of dividing by it
+            # (ADVICE r10/r11: the section must not silently vanish)
+            ratio = (
+                f"(**{ab['hof_build_sec'] / ab['numpy_build_sec']:.1f}x**)"
+                if ab.get("numpy_build_sec")
+                else "(ratio n/a: sub-ms BLAS build at this corpus size)"
+            )
             lines.append(
                 f"- encode-kernel A/B at this K: Arrow/BLAS build "
                 f"**{ab['numpy_build_sec']} s** vs HOF build "
                 f"**{ab['hof_build_sec']} s** "
-                f"(**{ab['hof_build_sec'] / ab['numpy_build_sec']:.1f}x**) "
+                f"{ratio} "
                 f"over {ab['rows']} rows — cell mismatches "
                 f"**{ab['cell_mismatch']}**, code mismatches "
                 f"**{ab['code_mismatch']}** (hairline float ties only)"
