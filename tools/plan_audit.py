@@ -210,9 +210,31 @@ def render_ann_block(soak_path: Path | None = None) -> str:
             f"probes read **{t['probe_adc']['files_read']}/"
             f"{t['probe_adc']['files_total']}** files (**{frac:.1%}** of "
             f"the index — the K~sqrt(N) prune regime), warm ADC probe "
-            f"**{t['probe_adc_sec']} s**"
+            # pre-r12 artifacts carry the old key names (fresh-path
+            # was the unlabeled headline then)
+            f"**{t.get('probe_adc_sec_catalog', t.get('catalog_table_probe_adc_sec'))} s**"
+            f" (catalog route — the headline; fresh-path "
+            f"**{t.get('probe_adc_sec_fresh_listing', t.get('probe_adc_sec'))} s**"
+            f" pays an all-K dir listing per call no catalog deployment "
+            f"pays)"
         )
+        if t.get("probe_refine_sec_catalog") is not None:
+            lines.append(
+                f"- refine stage at this K (catalog route): ADC probe + "
+                f"bounded candidate handoff + pruned float re-read in "
+                f"**{t['probe_refine_sec_catalog']} s** warm"
+            )
         if r:
+            ref = r.get("refine_at_r", {})
+            ref_txt = (
+                "; refine recall@10 at R = "
+                + ", ".join(
+                    f"{k}: **{v['mean']} ± {v['sd']}**"
+                    for k, v in sorted(ref.items(), key=lambda kv: int(kv[0]))
+                )
+                if ref
+                else ""
+            )
             lines.append(
                 f"- trained-K recall@10 (nprobe={r['nprobe']}, "
                 f"{r['n_probes']} probes): index-served ADC "
@@ -221,30 +243,21 @@ def render_ann_block(soak_path: Path | None = None) -> str:
                 f"**{r['same_cells_exact_ceiling_mean']} ± "
                 f"{r['same_cells_exact_ceiling_sd']}** — the gap is pure "
                 "code-quantization loss; the routing loss is the "
-                "ceiling's distance from 1. (Caveat: the 10× soak corpus "
-                "is 10 noisy replicas per base vector, so each probe's "
-                "true neighbors are near-copies sharing its cell and "
-                "codes — recall here reflects the replica regime; the "
-                "uniform-corpus quality number is the sf0.1 bench "
-                "ladder.)"
+                f"ceiling's distance from 1{ref_txt}. (Caveat: the 10× "
+                "soak corpus is 10 noisy replicas per base vector, so "
+                "each probe's true neighbors are near-copies sharing its "
+                "cell and codes — recall here reflects the replica "
+                "regime; the uniform-corpus quality number is the sf0.1 "
+                "bench ladder.)"
             )
         if cat:
-            cat_sec = t.get("catalog_table_probe_adc_sec")
-            lat = (
-                f", fresh-call ADC probe **{cat_sec} s** vs "
-                f"**{t.get('probe_adc_sec')} s** via the path read "
-                "(which re-lists all K partition dirs per call — the "
-                "catalog lists only the pruned ones)"
-                if cat_sec is not None
-                else ""
-            )
             lines.append(
                 f"- catalog-table (metastore) route: same probe through "
                 f"`CREATE TABLE ... LOCATION` + `recoverPartitions` reads "
                 f"**{cat['files_read']}/{cat['files_total']}** files of "
                 f"**{t.get('catalog_table_partitions')}** registered "
                 f"partitions — pruning survives the metastore listing "
-                f"path{lat}"
+                f"path"
             )
         ab = t.get("encode_kernel_ab")
         if ab:
