@@ -651,6 +651,48 @@ def _ann_index_trained_block(
                 .format("noop")
                 .save()
             )
+            # the trained-K balance TAIL as latency facts (VERDICT
+            # r10 #3 / r11 #4): a max/mean summary can't show what a
+            # probe actually pays, so record the probed cells' own
+            # populations, the worst-case nprobe-largest-cells bound,
+            # and the per-probed-cell pruned codes-scan latency
+            # spread (ADC compute is per-row uniform, so scan+rank
+            # time tracks rows)
+            sizes = sorted(
+                int(r["n"])
+                for r in rel.groupBy("cell")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            )
+            by_cell = {
+                int(r["cell"]): int(r["n"])
+                for r in rel.groupBy("cell")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            probed_rows = {str(c): by_cell.get(int(c), 0) for c in top}
+            worst = sum(sizes[-nprobe:])
+            block["balance_tail"] = {
+                "cell_rows_max": sizes[-1],
+                "cell_rows_p99": sizes[min(len(sizes) - 1, int(0.99 * len(sizes)))],
+                "cell_rows_mean": round(sum(sizes) / len(sizes), 1),
+                "probed_cell_rows": probed_rows,
+                "probed_rows_sum": sum(probed_rows.values()),
+                "worst_nprobe_rows_sum": worst,
+                "worst_over_probed": round(
+                    worst / max(sum(probed_rows.values()), 1), 3
+                ),
+                "per_probed_cell_scan_sec": {
+                    str(c): _best_of(
+                        lambda c=c: rel.filter(F.col("cell") == int(c))
+                        .select("vec_id", "codes")
+                        .write.mode("overwrite")
+                        .format("noop")
+                        .save()
+                    )
+                    for c in top
+                },
+            }
         # recall of the served index vs the same-cells exact ceiling,
         # plus the refine R-dial on THIS trained config — refine
         # recall@10 at R is |truth ∩ ADC-top-R|/10 (the pool identity;
@@ -719,6 +761,216 @@ def _ann_index_trained_block(
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     return block
+
+
+def _compaction_ingest_block(
+    spark, soak_dir: str, n_batches: int = 8, batch_rows: int = 400
+) -> tuple[dict, list[str]]:
+    """Compaction + 2PC ingest under a REAL multi-batch stream at the
+    10x corpus (VERDICT r10 #5 / r11 #3): N micro-batches through a
+    Structured Streaming query with the exactly-once foreachBatch
+    sink inflate the per-cell file counts and the probe's executed
+    numFiles; compaction restores both, with probe latency recorded
+    before / inflated / after. The r11/r12 single-maintainer guard is
+    exercised in the loop: the guard fires against an in-flight
+    batch's staging marker AND against a crashed-mid-commit pending
+    ledger entry (fault-injected at the first post-commit file move),
+    the stream writer refuses under the maintenance lock, the crashed
+    batch's ledger replay is timed, and the final index is checked
+    duplicate-free (exactly-once across the crash).
+
+    Returns (block, failures) — failures feed plan_shape_failures so
+    a guard that does not fire fails the soak run."""
+    import tempfile as _tf
+
+    import pyspark.sql.functions as F
+
+    from environmental_stac_generator_spark.queries import ann_index as AI
+    from environmental_stac_generator_spark.queries import similarity as S
+    from environmental_stac_generator_spark.tables import load
+
+    failures: list[str] = []
+    out = _tf.mkdtemp(prefix="envstac_compact_soak_")
+    AI._SCRATCH.append(out)
+    idx = f"{out}/index"
+    if AI.build_ann_index(spark, soak_dir, idx) is None:
+        return {}, ["compaction block: index build returned None"]
+    e = load(spark, soak_dir, "embeddings")
+    corpus_n = e.count()
+    base = int(
+        e.agg(F.max("vec_id").alias("m")).head()["m"]
+    ) + 1
+
+    def _files_per_cell() -> dict:
+        sizes = [
+            len(AI._part_files(d))
+            for d in sorted(AI.Path(idx).glob("cell=*"))
+        ]
+        return {
+            "cells": len(sizes),
+            "max": max(sizes),
+            "mean": round(sum(sizes) / len(sizes), 3),
+        }
+
+    def _probe_sec() -> float:
+        return _best_of(
+            lambda: AI.index_probe_adc(spark, soak_dir, nprobe=S.NPROBE, idx_dir=idx)
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+
+    def _probe_files() -> int:
+        return AI.executed_scan_metrics(
+            AI.index_probe_adc(spark, soak_dir, nprobe=S.NPROBE, idx_dir=idx)
+        )[0]["num_files"]
+
+    block: dict = {
+        "corpus_rows": corpus_n,
+        "n_batches": n_batches,
+        "batch_rows": batch_rows,
+        "files_per_cell_fresh": _files_per_cell(),
+        "probe_adc_sec_fresh": _probe_sec(),
+        "probe_files_fresh": _probe_files(),
+    }
+
+    # one parquet FILE per micro-batch: maxFilesPerTrigger=1 +
+    # availableNow makes the file-source stream deliver exactly
+    # n_batches micro-batches through the 2PC sink
+    src = AI.Path(out) / "stream_src"
+    src.mkdir()
+    sample = e.orderBy("vec_id").limit(batch_rows).select("vec_id", "embedding")
+    for i in range(n_batches):
+        bdir = AI.Path(out) / f"_mk{i}"
+        (
+            sample.select(
+                (F.col("vec_id") + base + i * batch_rows).alias("vec_id"),
+                "embedding",
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(bdir))
+        )
+        part = next(p for p in bdir.glob("*.parquet"))
+        AI.os.replace(part, src / f"batch-{i}.parquet")
+    t0 = time.perf_counter()
+    q = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(AI.ann_index_stream_writer(idx))
+        .option("checkpointLocation", f"{out}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    block["stream_ingest_sec"] = round(time.perf_counter() - t0, 3)
+    led = json.loads((AI.Path(idx) / "_ann_batches.json").read_text())
+    block["batches_committed"] = len(led["committed"])
+    if len(led["committed"]) != n_batches:
+        failures.append(
+            f"compaction block: {len(led['committed'])} committed "
+            f"batches, expected {n_batches}"
+        )
+    block["files_per_cell_inflated"] = _files_per_cell()
+    block["probe_adc_sec_inflated"] = _probe_sec()
+    block["probe_files_inflated"] = _probe_files()
+
+    # guard 1: an in-flight batch (staging marker present) refuses
+    # compaction — and the lock never survives the refusal
+    marker = AI.Path(idx) / "_staging" / "999"
+    marker.mkdir(parents=True)
+    try:
+        AI.compact_ann_index(spark, idx)
+        failures.append("compaction block: guard missed staging marker")
+        block["guard_fired_inflight"] = False
+    except RuntimeError:
+        block["guard_fired_inflight"] = True
+    AI.shutil.rmtree(marker.parent)
+    block["lock_released_after_refusal"] = not (
+        AI.Path(idx) / AI.MAINT_LOCK
+    ).exists()
+
+    # guard 2: a crash at the first post-commit file move leaves a
+    # REAL pending ledger entry; compaction must refuse until the
+    # stream's replay rolls it forward (replay timed)
+    crash_batch = sample.select(
+        (F.col("vec_id") + base + n_batches * batch_rows).alias("vec_id"),
+        "embedding",
+    )
+    w = AI.ann_index_stream_writer(idx)
+    real_replace = AI.os.replace
+    calls = {"n": 0}
+
+    def _crashing_replace(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash (soak fault injection)")
+        return real_replace(*a, **k)
+
+    AI.os.replace = _crashing_replace
+    try:
+        w(crash_batch, n_batches)
+        failures.append("compaction block: fault injection did not fire")
+    except RuntimeError:
+        pass
+    finally:
+        AI.os.replace = real_replace
+    led = json.loads((AI.Path(idx) / "_ann_batches.json").read_text())
+    block["pending_after_crash"] = sorted(led["pending"])
+    try:
+        AI.compact_ann_index(spark, idx)
+        failures.append("compaction block: guard missed pending ledger entry")
+        block["guard_fired_pending"] = False
+    except RuntimeError:
+        block["guard_fired_pending"] = True
+    t0 = time.perf_counter()
+    w(crash_batch, n_batches)  # the stream's replay path
+    block["ledger_replay_sec"] = round(time.perf_counter() - t0, 3)
+
+    # guard 3: the writer side of the handshake — a batch must refuse
+    # while the maintenance lock is held
+    AI._acquire_maintenance_lock(AI.Path(idx))
+    try:
+        w(crash_batch.select(F.col("vec_id") + 10_000_000, "embedding"), 99)
+        failures.append("compaction block: writer ignored maintenance lock")
+        block["writer_refused_under_lock"] = False
+    except RuntimeError:
+        block["writer_refused_under_lock"] = True
+    finally:
+        AI._release_maintenance_lock(AI.Path(idx))
+
+    t0 = time.perf_counter()
+    block["compact"] = AI.compact_ann_index(spark, idx)
+    block["compact_sec"] = round(time.perf_counter() - t0, 3)
+    block["files_per_cell_compacted"] = _files_per_cell()
+    block["probe_adc_sec_compacted"] = _probe_sec()
+    block["probe_files_compacted"] = _probe_files()
+    if block["probe_files_compacted"] > block["probe_files_fresh"]:
+        failures.append(
+            "compaction block: compaction did not restore probe numFiles"
+        )
+
+    # exactly-once across the whole sequence: every ingested id lands
+    # exactly once (the crashed batch included, via replay)
+    total = spark.read.parquet(idx).count()
+    expected = corpus_n + (n_batches + 1) * batch_rows
+    dups = (
+        spark.read.parquet(idx)
+        .groupBy("vec_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    block["rows_total"] = total
+    block["rows_expected"] = expected
+    block["duplicate_vec_ids"] = dups
+    if total != expected or dups:
+        failures.append(
+            f"compaction block: exactly-once violated "
+            f"(rows {total} vs {expected}, dups {dups})"
+        )
+    return block, failures
 
 
 def main() -> None:
@@ -1815,6 +2067,12 @@ def soak() -> None:
         "trained_k256_10x": _ann_index_trained_block(spark, soak_dir, k=256),
     }
 
+    # compaction + 2PC exactly-once under a real multi-batch stream at
+    # 10x, with the single-maintainer guard exercised in the loop
+    # (VERDICT r10 #5 / r11 #3)
+    compaction_ingest, ci_failures = _compaction_ingest_block(spark, soak_dir)
+    shape_failures.extend(ci_failures)
+
     # the natural-regime block: gates must flip on footer stats alone
     # (VERDICT r6 #1), mega-bucket fallback provably executes (#3)
     natural, nat_failures, nat_dir = _natural_scale_block(spark, sf_dir, reg)
@@ -1833,6 +2091,7 @@ def soak() -> None:
         "multimodal_streaming": mm_stream,
         "ann_recall_at_10_10x": ann_recall_10x,
         "ann_index_scale": ann_index_scale,
+        "ann_compaction_ingest": compaction_ingest,
         "natural_scale": natural,
         "base_sf_dir": sf_dir,
         "scale_factor": SOAK_FACTOR,

@@ -823,14 +823,15 @@ def index_probe_adc(
     if len(cbres) > S.K_LITERAL_MAX:
         # trained large-k codebook: the tables are PQ_M x k doubles
         # per probed cell — spliced as literals they bloat plan
-        # compile/codegen (~8k literals at k=256/nprobe=4); as ONE
-        # broadcast row, RE-EXECUTING the built probe drops 1.2 s ->
-        # 0.08 s. A fresh probe CALL at large K stays ~1 s because the
-        # path read re-lists all K partition dirs — that part is the
-        # catalog-table route's job (see ``relation``). Values
-        # identical (same driver-computed doubles, same rnd); the
-        # k<=16 literal form stays for the registered oracle-checked
-        # probes.
+        # compile/codegen (~8k literals at k=256/nprobe=4), so they
+        # enter the plan as ONE broadcast row instead. A fresh probe
+        # CALL at large K is dominated by the path read re-listing
+        # all K partition dirs — that part is the catalog-table
+        # route's job (see ``relation``; the committed numbers are
+        # the SOAK_SELF trained-K block's probe_adc_sec_catalog vs
+        # probe_adc_sec_fresh_listing rows). Values identical (same
+        # driver-computed doubles, same rnd); the k<=16 literal form
+        # stays for the registered oracle-checked probes.
         trows = [{"tcell": int(c), "tab": tables[c]} for c in top_cells]
         tdf = spark.createDataFrame(
             [(trows,)],
