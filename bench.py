@@ -283,7 +283,7 @@ def _ann_recall_mean(spark, sf_dir: str, n_probes: int | None = None) -> dict:
                     pres = [x - y for x, y in zip(pv, cent_by_id[cell])]
                     r = S.pq_adc_rank_bcast(
                         resid.filter(F.col("cell") == F.lit(cell)), book, pres,
-                        exclude=pid,
+                        exclude=pid, limit_n=pool_n,
                     )
                     ranked = r if ranked is None else ranked.unionByName(r)
                 _pool_rows(key, [
@@ -303,7 +303,7 @@ def _ann_recall_mean(spark, sf_dir: str, n_probes: int | None = None) -> dict:
                     ]
                     r = S.pq_adc_rank_bcast(
                         rframe.filter(F.col("cell") == F.lit(cell)), cbr, pres,
-                        exclude=pid,
+                        exclude=pid, limit_n=pool_n,
                     )
                     ranked = r if ranked is None else ranked.unionByName(r)
                 _pool_rows(f"ivfpq_residual_opq_nprobe_k{kk}", [

@@ -1600,6 +1600,7 @@ def pq_adc_rank_bcast(
     probe: list[float],
     col: str = "embedding",
     exclude: int = 0,
+    limit_n: int = 10,
 ) -> DataFrame:
     """ADC ranking for codebooks past the literal-expression budget
     (K > K_LITERAL_MAX would make the generated argmin text O(K·dsub)
@@ -1608,7 +1609,14 @@ def pq_adc_rank_bcast(
     expression is O(PQ_M) — argmin over the broadcast array via a
     (d, k)-struct array_min (same lowest-code tiebreak as the literal
     kernel; property-tested equal at K=16). Per-row work: K sqdists +
-    one table lookup per subspace."""
+    one table lookup per subspace.
+
+    ``limit_n``: per-call top-N (default 10). Per-cell top-10s cover a
+    global top-10 over a union of cells, but a REFINE pool deeper than
+    10 needs each cell's top-R — a per-cell 10-cap silently truncated
+    the r12 refine curves' candidate pools to 10·nprobe rows (caught
+    because the executed index-refine row, whose pool is a true global
+    top-R, scored far above the capped on-the-fly twin)."""
     dsub = _pq_dsub(len(cb[0]))
 
     def _sq(a, b) -> float:
@@ -1642,7 +1650,7 @@ def pq_adc_rank_bcast(
     return (
         base.select("vec_id", rnd(F.expr(adc), 5).alias("adc"))
         .orderBy("adc", "vec_id")
-        .limit(10)
+        .limit(limit_n)
     )
 
 
