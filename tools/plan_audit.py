@@ -259,6 +259,24 @@ def render_ann_block(soak_path: Path | None = None) -> str:
                 f"partitions — pruning survives the metastore listing "
                 f"path"
             )
+        bt = t.get("balance_tail")
+        if bt:
+            scans = bt.get("per_probed_cell_scan_sec", {})
+            spread = (
+                f", per-probed-cell pruned-scan latency "
+                f"**{min(scans.values())}–{max(scans.values())} s**"
+                if scans
+                else ""
+            )
+            lines.append(
+                f"- balance tail at this K: probed cells hold "
+                f"**{bt['probed_rows_sum']}** rows vs a worst-case "
+                f"nprobe-largest-cells bound of "
+                f"**{bt['worst_nprobe_rows_sum']}** "
+                f"(**{bt['worst_over_probed']}×**); cell populations "
+                f"max/p99/mean **{bt['cell_rows_max']}/"
+                f"{bt['cell_rows_p99']}/{bt['cell_rows_mean']}**{spread}"
+            )
         ab = t.get("encode_kernel_ab")
         if ab:
             # a sub-ms numpy build on a tiny corpus rounds to 0.0 —
@@ -278,6 +296,29 @@ def render_ann_block(soak_path: Path | None = None) -> str:
                 f"**{ab['cell_mismatch']}**, code mismatches "
                 f"**{ab['code_mismatch']}** (hairline float ties only)"
             )
+    ci = doc.get("ann_compaction_ingest") or {}
+    if ci.get("probe_adc_sec_fresh") is not None:
+        lines.append(
+            f"- compaction + 2PC ingest at 10x ({ci['n_batches']} "
+            f"stream micro-batches of {ci['batch_rows']} rows): "
+            f"files/cell max **{ci['files_per_cell_fresh']['max']} → "
+            f"{ci['files_per_cell_inflated']['max']} → "
+            f"{ci['files_per_cell_compacted']['max']}** "
+            f"(fresh → ingested → compacted), ADC probe "
+            f"**{ci['probe_adc_sec_fresh']} → "
+            f"{ci['probe_adc_sec_inflated']} → "
+            f"{ci['probe_adc_sec_compacted']} s** with executed "
+            f"numFiles **{ci['probe_files_fresh']} → "
+            f"{ci['probe_files_inflated']} → "
+            f"{ci['probe_files_compacted']}**; guards fired: in-flight "
+            f"staging **{ci.get('guard_fired_inflight')}**, pending "
+            f"ledger **{ci.get('guard_fired_pending')}**, writer under "
+            f"maintenance lock **{ci.get('writer_refused_under_lock')}**; "
+            f"ledger replay **{ci.get('ledger_replay_sec')} s**; "
+            f"exactly-once: **{ci.get('rows_total')}/"
+            f"{ci.get('rows_expected')}** rows, "
+            f"**{ci.get('duplicate_vec_ids')}** duplicate ids"
+        )
     lines.append(ANN_END)
     return "\n".join(lines)
 
