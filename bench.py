@@ -854,8 +854,12 @@ def _compaction_ingest_block(
         part = next(p for p in bdir.glob("*.parquet"))
         AI.os.replace(part, src / f"batch-{i}.parquet")
     t0 = time.perf_counter()
+    # schema comes from the batch files themselves: the 10x soak
+    # corpus stores embedding as double (pandas round-trip in the
+    # synthesizer) while the base corpora store float32 — a hardcoded
+    # float schema fails the stream read on the soak corpus
     q = (
-        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        spark.readStream.schema(spark.read.parquet(str(src)).schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(str(src))
         .writeStream.foreachBatch(AI.ann_index_stream_writer(idx))
@@ -2069,9 +2073,16 @@ def soak() -> None:
 
     # compaction + 2PC exactly-once under a real multi-batch stream at
     # 10x, with the single-maintainer guard exercised in the loop
-    # (VERDICT r10 #5 / r11 #3)
-    compaction_ingest, ci_failures = _compaction_ingest_block(spark, soak_dir)
-    shape_failures.extend(ci_failures)
+    # (VERDICT r10 #5 / r11 #3). An exception here must not take the
+    # whole soak artifact down with it — record it as a failure.
+    try:
+        compaction_ingest, ci_failures = _compaction_ingest_block(
+            spark, soak_dir
+        )
+        shape_failures.extend(ci_failures)
+    except Exception as exc:  # noqa: BLE001 — recorded, soak exits 1
+        compaction_ingest = {"error": str(exc)[:500]}
+        shape_failures.append(f"compaction block raised: {exc}"[:300])
 
     # the natural-regime block: gates must flip on footer stats alone
     # (VERDICT r6 #1), mega-bucket fallback provably executes (#3)
