@@ -529,9 +529,17 @@ def _ann_index_trained_block(
     train_sec = round(time.perf_counter() - t0, 3)
     if len(cents) < 8:
         return {}
-    resid = S.residual_of(S._ivf_cells_of(e, cents), cents, out="embedding")
+    # trainer input via the driver-side sample kernel: composing it
+    # from residual_of(_ivf_cells_of(...)) made the trainer's bounded
+    # TakeOrdered pay the K-wide assignment+residual expression chain
+    # over the corpus (~25 s of the r12 soak's 29.65 s opq_train_sec,
+    # SOAK_r12.json) — sample materialization and the numpy trainer
+    # core are now separately recorded facts
     t0 = time.perf_counter()
-    rot, cb = S.opq_train_rotation(resid.select("vec_id", "embedding"), k=256)
+    sample = S.trainer_residual_sample(e, cents, sample_n=4096)
+    opq_sample_sec = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    rot, cb = S.opq_train_rotation(sample, k=256)
     opq_sec = round(time.perf_counter() - t0, 3)
     out = _tf.mkdtemp(prefix="envstac_annidx_trained_")
     AI._SCRATCH.append(out)
@@ -585,6 +593,7 @@ def _ann_index_trained_block(
         "cells_requested": k,
         "cells_trained": len(cents),
         "train_sec": train_sec,
+        "opq_sample_sec": opq_sample_sec,
         "opq_train_sec": opq_sec,
         "build_sec": build_sec,
         "encode_kernel_ab": ab,

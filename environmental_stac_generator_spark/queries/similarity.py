@@ -2261,6 +2261,70 @@ def pq_train_codebook(
     ]
 
 
+def trainer_residual_sample(
+    e: DataFrame, cents, sample_n: int = 4096
+) -> DataFrame:
+    """The trainers' bounded residual sample as a LOCAL DataFrame —
+    the fast path for feeding :func:`pq_train_codebook` /
+    :func:`opq_train_rotation` at large K.
+
+    The trainers take a (vec_id, embedding=residual) frame and collect
+    the lowest ``sample_n`` vec_ids. Composing that from
+    ``residual_of(_ivf_cells_of(e, cents), cents)`` makes the
+    trainer's TakeOrdered pay the full K-wide assignment + residual
+    expression chain just to materialize a driver-bounded sample
+    (measured ~25 s of the r12 soak's 29.65 s `opq_train_sec` at
+    K=256 on the 10x corpus — SOAK_r12.json). This helper instead
+    collects the RAW sample rows (a TakeOrdered over the pushed
+    (vec_id, embedding) scan) and computes own-cell assignment +
+    residual driver-side as one numpy matmul — the
+    `_coded_frame_numpy` kernel class applied to the trainer input:
+    same first-extremum tiebreak over cid-sorted centroids, zero-norm
+    rows to the first cell, elementwise float64 subtraction bit-equal
+    to `residual_of`'s `cast(x as double) - y`; cells can differ from
+    the HOF chain only on float hairline ties (the `_argmin_numpy`
+    adjudication — parity pinned in tests/test_similarity_pq.py).
+
+    Scale note: this moves NO new data to the driver — the trainers
+    already collect exactly these ``sample_n`` rows; it only moves
+    WHERE the residual arithmetic for those rows runs. The returned
+    frame is a local (createDataFrame) relation, so the trainer's
+    internal orderBy/limit/collect is a driver round-trip, not a
+    cluster job."""
+    import numpy as np
+
+    rows = (
+        e.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(sample_n)
+        .collect()
+    )
+    schema = "vec_id bigint, embedding array<double>"
+    if not rows or not cents:
+        return e.sparkSession.createDataFrame(
+            [(int(r.vec_id), [float(v) for v in r.embedding]) for r in rows],
+            schema,
+        )
+    x = np.asarray([r.embedding for r in rows], dtype=np.float64)
+    c = np.asarray(
+        [r.embedding for r in sorted(cents, key=lambda r: int(r.vec_id))],
+        dtype=np.float64,
+    )
+    xn = np.sqrt(np.einsum("nd,nd->n", x, x))
+    xn[xn == 0] = 1.0
+    cn = np.sqrt(np.einsum("kd,kd->k", c, c))
+    cn[cn == 0] = 1.0
+    cell_idx = np.argmax((x @ c.T) / (xn[:, None] * cn[None, :]), axis=1)
+    res = x - c[cell_idx]
+    return e.sparkSession.createDataFrame(
+        [
+            (int(r.vec_id), [float(v) for v in res[i]])
+            for i, r in enumerate(rows)
+        ],
+        schema,
+    )
+
+
 # ---------------------------------------------------------------------------
 # OPQ — Optimized Product Quantization (Ge et al., CVPR 2013)
 #

@@ -205,7 +205,16 @@ def render_ann_block(soak_path: Path | None = None) -> str:
             f"- trained K={t['cells_trained']} (of {t['cells_requested']} "
             f"requested) on the 10x corpus ({t['corpus_rows']} rows): "
             f"spherical-k-means **{t['train_sec']} s** + OPQ "
-            f"**{t['opq_train_sec']} s** + build **{t['build_sec']} s**; "
+            # r12.5 split: sample materialization (driver numpy
+            # kernel) vs trainer core; pre-split artifacts fold both
+            # into opq_train_sec
+            + (
+                f"sample **{t['opq_sample_sec']} s** + OPQ train "
+                f"**{t['opq_train_sec']} s**"
+                if t.get("opq_sample_sec") is not None
+                else f"**{t['opq_train_sec']} s**"
+            )
+            + f" + build **{t['build_sec']} s**; "
             f"cell balance max/mean **{t['balance']['max_over_mean']}**; "
             f"probes read **{t['probe_adc']['files_read']}/"
             f"{t['probe_adc']['files_total']}** files (**{frac:.1%}** of "
