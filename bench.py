@@ -211,14 +211,22 @@ def _ann_recall_mean(spark, sf_dir: str, n_probes: int | None = None) -> dict:
             "ivfpq_residual_opq_nprobe_k64": (32,),
             # the production 0.322 config gets the full R dial
             "ivfpq_residual_opq_nprobe_k256": (10, 32, 64, 128),
+            # r12.5: the OTHER recall dial — routing width. nprobe=8
+            # (of the 16 bootstrap cells; 16/16 is trivially the
+            # exact scan) on the production config, with the R dial
+            # repeated so recall = f(nprobe, R) is a measured
+            # surface, not two independent curves
+            "ivfpq_residual_opq_nprobe8_k256": (32, 128),
         }
         pool_n = max(max(rs) for rs in refine_curve.values())
         paths = (
-            "lsh", "lsh_multiprobe", "ivf", "ivf_nprobe", "pq_adc",
+            "lsh", "lsh_multiprobe", "ivf", "ivf_nprobe", "ivf_nprobe8",
+            "pq_adc",
             "ivfpq_residual_trained_nprobe_k64",
             "ivfpq_residual_trained_nprobe_k256",
             "ivfpq_residual_opq_nprobe_k64",
             "ivfpq_residual_opq_nprobe_k256",
+            "ivfpq_residual_opq_nprobe8_k256",
             "ivfpq_index_served_nprobe_k64",
             # r12: the EXECUTED refine operator on the served index
             "ivfpq_index_refine_nprobe_k64",
@@ -259,6 +267,12 @@ def _ann_recall_mean(spark, sf_dir: str, n_probes: int | None = None) -> dict:
             per_probe["ivf_nprobe"].append(rec(_top10(
                 cells.filter(F.col("cell").isin(top_cells)).select("vec_id", cos.alias("c")),
                 pid, "c", True)))
+            # routing-width dial: the exact-in-cells ceiling at
+            # nprobe=8 — what widening the probe alone buys
+            top_cells8 = S._ivf_top_cells_py(pv, cents, 8)
+            per_probe["ivf_nprobe8"].append(rec(_top10(
+                cells.filter(F.col("cell").isin(top_cells8)).select("vec_id", cos.alias("c")),
+                pid, "c", True)))
             if cb:
                 per_probe["pq_adc"].append(rec([
                     r["vec_id"]
@@ -291,9 +305,9 @@ def _ann_recall_mean(spark, sf_dir: str, n_probes: int | None = None) -> dict:
                     for r in ranked.orderBy("adc", "vec_id")
                     .limit(pool_n).collect()
                 ])
-            for kk, (rot_m, cbr, rframe) in opq.items():
+            def _opq_pool(probe_cells, rot_m, cbr, rframe) -> list:
                 ranked = None
-                for cell in top_cells:
+                for cell in probe_cells:
                     pres = [
                         float(x)
                         for x in np.asarray(
@@ -306,11 +320,26 @@ def _ann_recall_mean(spark, sf_dir: str, n_probes: int | None = None) -> dict:
                         exclude=pid, limit_n=pool_n,
                     )
                     ranked = r if ranked is None else ranked.unionByName(r)
-                _pool_rows(f"ivfpq_residual_opq_nprobe_k{kk}", [
+                return [
                     r["vec_id"]
                     for r in ranked.orderBy("adc", "vec_id")
                     .limit(pool_n).collect()
-                ])
+                ]
+
+            for kk, (rot_m, cbr, rframe) in opq.items():
+                _pool_rows(
+                    f"ivfpq_residual_opq_nprobe_k{kk}",
+                    _opq_pool(top_cells, rot_m, cbr, rframe),
+                )
+            if 256 in opq:
+                # the nprobe dial on the production config: same
+                # codes, 8 probed cells — its refine rows complete
+                # the (nprobe, R) surface
+                rot_m, cbr, rframe = opq[256]
+                _pool_rows(
+                    "ivfpq_residual_opq_nprobe8_k256",
+                    _opq_pool(top_cells8, rot_m, cbr, rframe),
+                )
             if idx64 is not None:
                 adc_pool = [
                     r["vec_id"]
