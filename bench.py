@@ -522,7 +522,8 @@ def _ann_index_block(spark, sf_dir: str) -> dict:
 
 
 def _ann_index_trained_block(
-    spark, sf_dir: str, k: int = 256, n_probes: int = 32
+    spark, sf_dir: str, k: int = 256, n_probes: int = 32,
+    encode_ab: bool = True,
 ) -> dict:
     """The K~sqrt(N) regime as executed evidence (VERDICT r9 #1):
     every r9 build was K=16 cells, so the demonstrated prune ratio
@@ -583,29 +584,33 @@ def _ann_index_trained_block(
     # encode-kernel A/B: the HOF build of the SAME index — O(K)
     # interpreted lambda evaluations per row vs the Arrow/BLAS pass —
     # plus a cells/codes parity count (differences are float hairline
-    # ties only, the `_argmin_numpy` adjudication)
-    idx_hof = f"{out}/trained_hof"
-    t0 = time.perf_counter()
-    AI.build_ann_index(
-        spark, sf_dir, idx_hof, cents=cents, codebook=cb, rotation=rot
-    )
-    hof_sec = round(time.perf_counter() - t0, 3)
-    a = spark.read.parquet(idx).select("vec_id", "cell", "codes")
-    b = (
-        spark.read.parquet(idx_hof)
-        .select("vec_id", F.col("cell").alias("cell_h"), F.col("codes").alias("codes_h"))
-    )
-    j = a.join(b, "vec_id")
-    ab = {
-        "numpy_build_sec": build_sec,
-        "hof_build_sec": hof_sec,
-        "rows": j.count(),
-        "cell_mismatch": j.filter(F.col("cell") != F.col("cell_h")).count(),
-        "code_mismatch": j.filter(
-            (F.col("cell") == F.col("cell_h"))
-            & (F.col("codes") != F.col("codes_h"))
-        ).count(),
-    }
+    # ties only, the `_argmin_numpy` adjudication). Skippable: the
+    # ~85 s interpreted build is evidence, not product, and one
+    # corpus regime per soak carries it.
+    ab = None
+    if encode_ab:
+        idx_hof = f"{out}/trained_hof"
+        t0 = time.perf_counter()
+        AI.build_ann_index(
+            spark, sf_dir, idx_hof, cents=cents, codebook=cb, rotation=rot
+        )
+        hof_sec = round(time.perf_counter() - t0, 3)
+        a = spark.read.parquet(idx).select("vec_id", "cell", "codes")
+        b = (
+            spark.read.parquet(idx_hof)
+            .select("vec_id", F.col("cell").alias("cell_h"), F.col("codes").alias("codes_h"))
+        )
+        j = a.join(b, "vec_id")
+        ab = {
+            "numpy_build_sec": build_sec,
+            "hof_build_sec": hof_sec,
+            "rows": j.count(),
+            "cell_mismatch": j.filter(F.col("cell") != F.col("cell_h")).count(),
+            "code_mismatch": j.filter(
+                (F.col("cell") == F.col("cell_h"))
+                & (F.col("codes") != F.col("codes_h"))
+            ).count(),
+        }
     total_files = len(spark.read.parquet(idx).inputFiles())
     nprobe = S.NPROBE
 
@@ -1354,6 +1359,38 @@ def _synthesize_soak_dir(src: str, factor: int) -> tuple[str, int]:
         ereps.append(e)
     pd.concat(ereps, ignore_index=True).to_parquet(base / "embeddings.parquet")
     return str(base), len(docs) * factor
+
+
+def _synthesize_uniform_embeddings_dir(src: str, factor: int) -> str:
+    """Fresh-seed embeddings at ``factor``× the base corpus size —
+    the UNIFORM regime twin of the replica-based 10x fixture. The
+    base corpus is isotropic unit-sphere gaussian
+    (tools/make_testdata.py), so the honest scale-up is the same
+    generative process at N×rows with a new seed: no probe has
+    near-copy neighbors, which is exactly the structure the replica
+    fixture's recall caveat flags. Deterministic (default_rng(77),
+    disjoint from the corpus seed 42 and the noise seed 1234)."""
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    base = Path(tempfile.mkdtemp(prefix="envstac_uni_"))
+    emb = pq.read_table(f"{src}/embeddings.parquet").to_pandas()
+    n = len(emb) * factor
+    dim = len(emb["embedding"].iloc[0])
+    rng = np.random.default_rng(77)
+    x = rng.normal(size=(n, dim)).astype("float32")
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype="int64"),
+            "embedding": [row for row in x],
+            "label": (np.arange(n) % 10).astype("int32"),
+        }
+    ).to_parquet(base / "embeddings.parquet")
+    return str(base)
 
 
 # --- natural-regime scale block (VERDICT r6 #1/#3/#5) -------------------
@@ -2108,6 +2145,20 @@ def soak() -> None:
         # and the catalog-table (metastore) probe route
         "trained_k256_10x": _ann_index_trained_block(spark, soak_dir, k=256),
     }
+    # the uniform-regime twin (r12.5): the replica fixture's recall
+    # numbers carry a documented caveat (each probe's true neighbors
+    # are near-copies sharing its cell/codes), so the same full
+    # lifecycle runs once more on a fresh-seed isotropic corpus at
+    # the same 10x size — no near-copy structure, the honest
+    # K~sqrt(N) recall regime. encode_ab off: the ~85 s interpreted
+    # A/B build is already carried by the replica block.
+    uni_dir = _synthesize_uniform_embeddings_dir(sf_dir, SOAK_FACTOR)
+    try:
+        ann_index_scale["trained_k256_uniform10x"] = _ann_index_trained_block(
+            spark, uni_dir, k=256, encode_ab=False
+        )
+    finally:
+        shutil.rmtree(uni_dir, ignore_errors=True)
 
     # compaction + 2PC exactly-once under a real multi-batch stream at
     # 10x, with the single-maintainer guard exercised in the loop

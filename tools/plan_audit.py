@@ -259,6 +259,32 @@ def render_ann_block(soak_path: Path | None = None) -> str:
                 "regime; the uniform-corpus quality number is the sf0.1 "
                 "bench ladder.)"
             )
+        u = scale.get("trained_k256_uniform10x") or {}
+        ur = u.get("recall_at_10")
+        if ur:
+            uref = ur.get("refine_at_r", {})
+            uref_txt = (
+                "; refine recall@10 at R = "
+                + ", ".join(
+                    f"{k_}: **{v['mean']} ± {v['sd']}**"
+                    for k_, v in sorted(
+                        uref.items(), key=lambda kv: int(kv[0])
+                    )
+                )
+                if uref
+                else ""
+            )
+            lines.append(
+                f"- uniform-regime twin (fresh-seed isotropic corpus, "
+                f"same 10x size: {u['corpus_rows']} rows, "
+                f"K={u['cells_trained']}): index-served ADC "
+                f"**{ur['index_adc_mean']} ± {ur['index_adc_sd']}** vs "
+                f"the same-cells exact ceiling "
+                f"**{ur['same_cells_exact_ceiling_mean']} ± "
+                f"{ur['same_cells_exact_ceiling_sd']}**{uref_txt} — the "
+                "no-near-copy regime the caveat above flags, same full "
+                "lifecycle at K~sqrt(N)"
+            )
         if cat:
             lines.append(
                 f"- catalog-table (metastore) route: same probe through "
