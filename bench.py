@@ -744,6 +744,14 @@ def _ann_index_trained_block(
         refine_rs = (10, 32, 64, 128)
         adc_rec, ceil_rec = [], []
         refine_rec: dict[int, list[float]] = {r_: [] for r_ in refine_rs}
+        # the routing dial at this K: exact-in-cells ceilings at
+        # widened nprobe — what probing w of K partitions (w/K of the
+        # index's files) allows BEFORE any code quality enters. On a
+        # structureless corpus this is the whole recall story (the
+        # refine curve meets the nprobe=4 ceiling), so the widened
+        # ceilings quantify what each I/O step buys back.
+        widen_ws = (8, 16, 32)
+        widen_rec: dict[int, list[float]] = {w: [] for w in widen_ws}
         for p in probes:
             pid = int(p.vec_id)
             pv = [float(v) for v in p.embedding]
@@ -781,6 +789,15 @@ def _ann_index_trained_block(
                     len(set(pool[:r_]) & truth) / len(truth)
                 )
             ceil_rec.append(len(ceil & truth) / len(truth))
+            for w in widen_ws:
+                got = {
+                    r["vec_id"]
+                    for r in AI.index_probe_exact(
+                        spark, sf_dir, nprobe=w, idx_dir=idx,
+                        probe_id=pid,
+                    ).collect()[:10]
+                }
+                widen_rec[w].append(len(got & truth) / len(truth))
         if adc_rec:
             block["recall_at_10"] = {
                 "n_probes": len(adc_rec),
@@ -800,6 +817,14 @@ def _ann_index_trained_block(
                 "same_cells_exact_ceiling_sd": round(
                     statistics.pstdev(ceil_rec), 4
                 ),
+                "ceiling_at_nprobe": {
+                    str(w): {
+                        "mean": round(statistics.fmean(v), 4),
+                        "sd": round(statistics.pstdev(v), 4),
+                        "files_frac": round(w / max(len(cents), 1), 4),
+                    }
+                    for w, v in widen_rec.items()
+                },
             }
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")

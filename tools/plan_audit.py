@@ -259,6 +259,19 @@ def render_ann_block(soak_path: Path | None = None) -> str:
                 "regime; the uniform-corpus quality number is the sf0.1 "
                 "bench ladder.)"
             )
+        wc = (r or {}).get("ceiling_at_nprobe")
+        if wc:
+            lines.append(
+                "- routing dial at this K (exact-in-cells ceiling vs "
+                "I/O): "
+                + "; ".join(
+                    f"nprobe={w_} (**{v['files_frac']:.1%}** of files) "
+                    f"→ **{v['mean']} ± {v['sd']}**"
+                    for w_, v in sorted(
+                        wc.items(), key=lambda kv: int(kv[0])
+                    )
+                )
+            )
         u = scale.get("trained_k256_uniform10x") or {}
         ur = u.get("recall_at_10")
         if ur:
@@ -274,6 +287,19 @@ def render_ann_block(soak_path: Path | None = None) -> str:
                 if uref
                 else ""
             )
+            uwc = ur.get("ceiling_at_nprobe") or {}
+            uwc_txt = (
+                "; widened ceilings: "
+                + "; ".join(
+                    f"nprobe={w_} (**{v['files_frac']:.1%}** of files) "
+                    f"→ **{v['mean']} ± {v['sd']}**"
+                    for w_, v in sorted(
+                        uwc.items(), key=lambda kv: int(kv[0])
+                    )
+                )
+                if uwc
+                else ""
+            )
             lines.append(
                 f"- uniform-regime twin (fresh-seed isotropic corpus, "
                 f"same 10x size: {u['corpus_rows']} rows, "
@@ -281,9 +307,9 @@ def render_ann_block(soak_path: Path | None = None) -> str:
                 f"**{ur['index_adc_mean']} ± {ur['index_adc_sd']}** vs "
                 f"the same-cells exact ceiling "
                 f"**{ur['same_cells_exact_ceiling_mean']} ± "
-                f"{ur['same_cells_exact_ceiling_sd']}**{uref_txt} — the "
-                "no-near-copy regime the caveat above flags, same full "
-                "lifecycle at K~sqrt(N)"
+                f"{ur['same_cells_exact_ceiling_sd']}**{uref_txt}"
+                f"{uwc_txt} — the no-near-copy regime the caveat above "
+                "flags, same full lifecycle at K~sqrt(N)"
             )
         if cat:
             lines.append(
