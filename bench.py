@@ -562,9 +562,9 @@ def _ann_index_trained_block(
     # trainer input via the driver-side sample kernel: composing it
     # from residual_of(_ivf_cells_of(...)) made the trainer's bounded
     # TakeOrdered pay the K-wide assignment+residual expression chain
-    # over the corpus (~25 s of the r12 soak's 29.65 s opq_train_sec,
-    # SOAK_r12.json) — sample materialization and the numpy trainer
-    # core are now separately recorded facts
+    # over the corpus (the 53.4 → 29.65 → ~2.5 s chain; COVERAGE.md
+    # "trainer" narration with host probes) — sample materialization
+    # and the numpy trainer core are separately recorded facts below
     t0 = time.perf_counter()
     sample = S.trainer_residual_sample(e, cents, sample_n=4096)
     opq_sample_sec = round(time.perf_counter() - t0, 3)

@@ -38,13 +38,16 @@ JSON meta round-trips the driver floats exactly).
 
 100 TB notes: with K ~ sqrt(N) cells (~1e5 at 1e10 vectors) the
 build's ``repartition("cell")`` is a wide but ordinary shuffle and
-``maxRecordsPerFile`` re-splits hot cells; the probes' partition
-pruning still pays one directory LISTING of the index root per fresh
-read (InMemoryFileIndex) — a production deployment registers the
-index as a catalog/metastore table so listing is a metadata lookup,
-which changes none of the plan shapes asserted here. The persisted
-quantizer grows as K x dim doubles (~50 MB JSON at 1e5 x 64) — still
-driver-side state, same class as a broadcast dimension.
+``maxRecordsPerFile`` re-splits hot cells; probes resolve their file
+set from the EPOCH MANIFEST (``_current.json`` — see CURRENT_NAME),
+so a fresh probe lists zero directories (the r12-era per-probe
+InMemoryFileIndex listing of all K partition dirs is gone by
+construction) and reads a snapshot-isolated file set through any
+concurrent compaction. A metastore catalog table remains an
+equivalent deployment route (every probe takes ``relation=``), with
+the same plan shapes. The persisted quantizer grows as K x dim
+doubles (~50 MB JSON at 1e5 x 64) — still driver-side state, same
+class as a broadcast dimension.
 
 Reference: none (north-star §2.11 extension; the reference engine has
 no ANN surface at all).
@@ -57,8 +60,10 @@ import json
 import math
 import os
 import shutil
+import socket
 import tempfile
 from collections import namedtuple
+from datetime import datetime, timezone
 from pathlib import Path
 
 import pyspark.sql.functions as F
@@ -82,8 +87,25 @@ META_NAME = "_ann_meta.json"
 # Exclusive maintenance lock (ADVICE r11 #1): compaction holds it for
 # its whole run; the stream writer refuses while it exists. Mutual
 # exclusion is a two-sided handshake, not check-then-act — see
-# _refuse_if_maintenance for the ordering argument.
+# _refuse_if_maintenance for the ordering argument. The lock carries
+# owner metadata (pid/host/acquire time, VERDICT r12 #4) so an
+# operator deciding whether the holder is dead has evidence; see
+# release_stale_maintenance_lock for the recovery contract.
 MAINT_LOCK = "_maintenance.lock"
+# Epoch manifest (VERDICT r12 #1 — reader snapshot isolation): ONE
+# atomically-replaced JSON naming the index's exact live data files
+# per cell directory. Every reader of the index resolves its file set
+# from this manifest instead of a directory listing, so a compaction
+# apply (which briefly has BOTH the compacted file and the files it
+# replaces on disk) can never double- or under-count a concurrent
+# reader: the manifest flips from the delete-list to the add-list in
+# one os.replace, and at every crash point it names exactly one copy
+# of every row. This is the table-format snapshot-isolation idea
+# (Iceberg/Delta manifests) reduced to the index's single-writer
+# contract. Bonus: resolving files from the manifest removes the
+# per-probe InMemoryFileIndex listing of all K partition dirs that
+# dominated fresh-probe latency at large K (ADVICE r12 #1).
+CURRENT_NAME = "_current.json"
 
 # lightweight centroid rows for the shared similarity kernels (which
 # read .vec_id / .embedding off collected Rows)
@@ -269,6 +291,8 @@ def build_ann_index(
     if rotation is not None:
         meta["rotation"] = [[float(v) for v in row] for row in rotation]
     _atomic_write_json(Path(out_dir) / META_NAME, meta)
+    # first epoch: the build's file set becomes the readers' snapshot
+    _commit_current(Path(out_dir), _listing_manifest(Path(out_dir)))
     return {"cells": len(cents), "codes": bool(cbres)}
 
 
@@ -286,17 +310,114 @@ def _atomic_write_json(path: Path, obj) -> None:
 def _acquire_maintenance_lock(root: Path) -> None:
     """Take the index's exclusive maintenance lock via O_CREAT|O_EXCL
     — atomic on every filesystem that matters, so two maintainers can
-    never both hold it. A stale lock (maintainer died mid-run) blocks
-    writers until removed by an operator who knows the maintainer is
-    dead — the same recovery contract as _staging garbage."""
+    never both hold it. The lock body records owner pid/host and the
+    ISO acquire time (VERDICT r12 #4): a stale lock (maintainer died
+    mid-run) blocks writers until removed, and the metadata is what an
+    operator adjudicates staleness against — via
+    :func:`release_stale_maintenance_lock`, which refuses while the
+    recorded owner is still alive. Exclusivity comes from the O_EXCL
+    create alone; the metadata write after it is advisory (a reader
+    racing the write sees an empty lock and reports "no metadata")."""
     try:
         fd = os.open(root / MAINT_LOCK, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError:
         raise RuntimeError(
-            f"another maintainer holds {MAINT_LOCK} for {root}; remove "
-            "it only if that maintainer is known dead"
+            f"another maintainer holds {MAINT_LOCK} for {root} "
+            f"[{_lock_info_str(root)}]; remove it only if that "
+            "maintainer is known dead (release_stale_maintenance_lock)"
         ) from None
-    os.close(fd)
+    try:
+        os.write(
+            fd,
+            json.dumps(
+                {
+                    "pid": os.getpid(),
+                    "host": socket.gethostname(),
+                    "acquired_utc": datetime.now(timezone.utc).isoformat(
+                        timespec="seconds"
+                    ),
+                }
+            ).encode(),
+        )
+    finally:
+        os.close(fd)
+
+
+def maintenance_lock_info(root: Path) -> dict | None:
+    """The lock's owner metadata, or ``{}`` for a lock without any
+    (pre-r13 format, or the owner crashed between the O_EXCL create
+    and its metadata write), or ``None`` if no lock exists."""
+    p = Path(root) / MAINT_LOCK
+    try:
+        body = p.read_text()
+    except FileNotFoundError:
+        return None
+    try:
+        obj = json.loads(body)
+        return obj if isinstance(obj, dict) else {}
+    except ValueError:
+        return {}
+
+
+def _lock_info_str(root: Path) -> str:
+    info = maintenance_lock_info(root)
+    if not info:
+        return "no owner metadata (pre-r13 lock or owner mid-acquire)"
+    return (
+        f"owner pid {info.get('pid')} on {info.get('host')}, "
+        f"acquired {info.get('acquired_utc')}"
+    )
+
+
+def release_stale_maintenance_lock(
+    root: Path, max_age_sec: float | None = None, force: bool = False
+) -> dict:
+    """Operator recovery for a dead maintainer's lock — the documented
+    staleness contract (VERDICT r12 #4). Removes the lock ONLY when
+    there is evidence the owner is gone:
+
+    - the recorded pid no longer exists on THIS host (the common
+      single-host recovery), or
+    - ``max_age_sec`` is given and the recorded acquire time is older
+      (the cross-host lease bound: N x the expected compaction time),
+      or
+    - ``force=True`` (the operator asserts out-of-band knowledge —
+      required for a lock with no metadata, where liveness cannot be
+      checked).
+
+    Refuses (raises RuntimeError) otherwise: a same-host lock whose
+    pid is alive is NOT stale, whatever its age. Returns the removed
+    lock's metadata."""
+    root = Path(root)
+    info = maintenance_lock_info(root)
+    if info is None:
+        raise RuntimeError(f"no {MAINT_LOCK} present under {root}")
+    if not force:
+        reason = None
+        if info and info.get("host") == socket.gethostname():
+            try:
+                os.kill(int(info["pid"]), 0)
+            except (ProcessLookupError, ValueError):
+                reason = f"pid {info.get('pid')} is dead on this host"
+            except PermissionError:
+                pass  # exists, owned by someone else: alive
+        if reason is None and max_age_sec is not None and info.get("acquired_utc"):
+            try:
+                acquired = datetime.fromisoformat(info["acquired_utc"])
+                age = (datetime.now(timezone.utc) - acquired).total_seconds()
+                if age > max_age_sec:
+                    reason = f"lock age {age:.0f}s exceeds {max_age_sec:.0f}s"
+            except ValueError:
+                pass
+        if reason is None:
+            raise RuntimeError(
+                f"refusing to release {MAINT_LOCK} [{_lock_info_str(root)}]: "
+                "owner not provably dead (pid alive or unverifiable and no "
+                "max_age_sec bound exceeded); pass force=True only with "
+                "out-of-band knowledge the maintainer is gone"
+            )
+    _release_maintenance_lock(root)
+    return info
 
 
 def _release_maintenance_lock(root: Path) -> None:
@@ -321,8 +442,9 @@ def _refuse_if_maintenance(root: Path, cleanup: Path | None = None) -> None:
         if cleanup is not None:
             shutil.rmtree(cleanup, ignore_errors=True)
         raise RuntimeError(
-            f"index maintenance in progress ({MAINT_LOCK} present); "
-            "retry the batch after compaction finishes"
+            f"index maintenance in progress ({MAINT_LOCK} present, "
+            f"{_lock_info_str(root)}); retry the batch after compaction "
+            "finishes"
         )
 
 
@@ -346,7 +468,17 @@ def append_ann_index(
     never read or rewritten, and existing cells/codes cannot shift
     (the quantizer is frozen at build time, the FAISS add()
     contract). At 100 TB this is the streaming-sink shape: a
-    foreachBatch writer appending each micro-batch's coded rows."""
+    foreachBatch writer appending each micro-batch's coded rows.
+
+    Refuses under the maintenance lock (an append landing
+    mid-compaction could be folded into a compacted file AND survive
+    as itself) — advisory for this batch API: unlike the streaming
+    sink it stages no marker, so don't run it concurrently WITH a
+    compactor (the sink's two-sided handshake is the concurrent-safe
+    ingest path). Commits a new epoch manifest after the write, which
+    is the point the batch becomes visible to manifest-resolving
+    readers."""
+    _refuse_if_maintenance(Path(idx_dir))
     cents, cbres, rotation = load_meta(idx_dir)
     (
         _coded_frame(batch.select("vec_id", "embedding"), cents, cbres, rotation)
@@ -356,6 +488,9 @@ def append_ann_index(
         .partitionBy("cell")
         .parquet(idx_dir)
     )
+    # safe to derive from a walk: single writer, and the lock check
+    # above keeps a half-applied compaction out of this code path
+    _commit_current(Path(idx_dir), _listing_manifest(Path(idx_dir)))
 
 
 def train_coarse_centroids(
@@ -456,6 +591,39 @@ def _part_files(d: Path) -> list[Path]:
     return sorted(p for p in d.glob("*.parquet") if p.is_file())
 
 
+def _listing_manifest(root: Path) -> dict[str, list[str]]:
+    """cell-dir → live data files, from a directory walk. Only valid
+    where the walk is known consistent: at build time (fresh dir), and
+    under the writer/compactor handshake (the maintenance lock keeps a
+    half-applied compaction — the one state where the walk holds two
+    copies of a row — invisible to every committer that uses this)."""
+    return {
+        d.name: [f.name for f in _part_files(d)]
+        for d in sorted(root.glob("cell=*"))
+        if _part_files(d)
+    }
+
+
+def _load_current(root: Path) -> dict | None:
+    p = Path(root) / CURRENT_NAME
+    if not p.exists():
+        return None
+    return json.loads(p.read_text())
+
+
+def _commit_current(root: Path, files: dict[str, list[str]]) -> None:
+    """Atomically swap the epoch manifest to the given live-file sets
+    — THE reader-visibility point for every index mutation. One
+    os.replace: a reader loads either the whole old epoch or the whole
+    new one, never a mix."""
+    prev = _load_current(root)
+    epoch = (int(prev.get("epoch", 0)) + 1) if prev else 1
+    _atomic_write_json(
+        Path(root) / CURRENT_NAME,
+        {"epoch": epoch, "files": {k: sorted(v) for k, v in files.items()}},
+    )
+
+
 def ann_index_stream_writer(idx_dir: str):
     """``foreachBatch`` sink: keep the inverted-file index FRESH under
     streaming ingest — each micro-batch of (vec_id, embedding) rows is
@@ -502,6 +670,12 @@ def ann_index_stream_writer(idx_dir: str):
                 os.replace(src_p, dst_p)
             # else: already moved by the attempt that crashed
         shutil.rmtree(Path(idx_dir) / "_staging" / bid, ignore_errors=True)
+        # reader-visibility point: the new epoch includes the moved
+        # files. Walk-derived (safe: the lock handshake keeps this
+        # from overlapping a compaction apply) and idempotent — a
+        # crash before the ledger rewrite below replays into the same
+        # moves (no-ops) and the same epoch content.
+        _commit_current(Path(idx_dir), _listing_manifest(Path(idx_dir)))
         led["committed"] = sorted(set(led["committed"]) | {int(bid)})
         del led["pending"][bid]
         _atomic_write_json(applied_path, led)
@@ -569,11 +743,16 @@ def compact_ann_index(
     an interrupted apply is completed at the next call — BEFORE the
     ingest guard (ADVICE r11 #2: a committed manifest only touches
     the files it names, so applying it is safe regardless of ingest
-    state, and leaving it half-applied keeps the reader double-count
-    window open for as long as ingest stays pending). Readers between
-    a manifest's add and delete steps could double- or under-count —
-    the same non-transactional window as Spark's own file sinks;
-    table formats with snapshot isolation are the 100 TB answer.
+    state). Readers are SNAPSHOT-ISOLATED through the apply
+    (VERDICT r12 #1): they resolve their file set from the epoch
+    manifest (``_current.json``), which ``_apply_compaction`` swaps
+    atomically between the add-moves and the physical deletes — at
+    every point of the apply (including any crash point) the manifest
+    names exactly one copy of every row, so a concurrent reader can
+    never double- or under-count. This is the table-format
+    (Iceberg/Delta) snapshot idea at single-writer scope; the only
+    production knob left is a vacuum grace period before the physical
+    deletes.
 
     The single-maintainer contract is enforced mechanically
     (ADVICE r10/r11): the run holds the exclusive ``_maintenance.lock``
@@ -657,13 +836,31 @@ def _apply_compaction(root: Path, manifest: dict) -> None:
     a missing add-source was already moved, deletes are unlink-if-
     present. The ``compact-`` prefix guarantees an add can never
     collide with (and silently overwrite) a file the manifest is
-    about to delete."""
+    about to delete.
+
+    Reader snapshot isolation (VERDICT r12 #1): the epoch manifest is
+    swapped between the add-moves and the deletes, so a reader
+    resolving at ANY point sees exactly one copy of every row —
+    before the swap it reads the delete-list files (all still on
+    disk; moves only add), after it the compacted adds. The swap
+    content is derived from the PREVIOUS epoch minus deletes plus
+    adds, so a crashed-and-replayed apply recomputes the identical
+    state (set arithmetic is idempotent). The physical deletes follow
+    immediately; at 100 TB a deployment inserts a vacuum grace period
+    here so a reader holding a pre-swap snapshot can finish its scan
+    — the isolation argument is unchanged, only the retention knob."""
     cell_dir = root / manifest["cell"]
     tmp = root / "_compacting" / manifest["cell"]
+    adds = [f"compact-{name}" for name in manifest["adds"]]
     for name in manifest["adds"]:
         src = tmp / name
         if src.exists():
             os.replace(src, cell_dir / f"compact-{name}")
+    cur = _load_current(root)
+    files = dict(cur["files"]) if cur else _listing_manifest(root)
+    live = set(files.get(manifest["cell"], [])) - set(manifest["deletes"])
+    files[manifest["cell"]] = sorted(live | set(adds))
+    _commit_current(root, files)  # the visibility swap
     for name in manifest["deletes"]:
         (cell_dir / name).unlink(missing_ok=True)
     shutil.rmtree(tmp, ignore_errors=True)
@@ -694,8 +891,41 @@ def index_dir_for(spark: SparkSession, sf_dir: str) -> str | None:
     return idx if meta is not None else None
 
 
-def _read_index(spark: SparkSession, idx_dir: str) -> DataFrame:
-    return spark.read.parquet(idx_dir)
+def _read_index(
+    spark: SparkSession, idx_dir: str, cells=None
+) -> DataFrame:
+    """The index relation, resolved from the epoch manifest: readers
+    get the exact live-file snapshot the last committed epoch names —
+    a compaction apply's transient double-copy state is never visible
+    (VERDICT r12 #1), and no directory listing happens at all (the
+    manifest IS the file index, so a fresh probe at K=1e5 cells lists
+    zero directories — ADVICE r12 #1's fresh-path cost gone by
+    construction). ``cells`` prunes the resolved set to the probed
+    cell directories driver-side; the probes keep their ``cell isin``
+    filter on top, so the scan still carries the PartitionFilter
+    (``basePath`` preserves hive partition discovery over the explicit
+    file list). Falls back to the plain directory read for a pre-epoch
+    index on disk (no ``_current.json``)."""
+    root = Path(idx_dir)
+    cur = _load_current(root)
+    if cur is None:
+        return spark.read.parquet(idx_dir)
+    files: dict[str, list[str]] = cur["files"]
+    if cells is not None:
+        wanted = {f"cell={int(c)}" for c in cells}
+        pruned = {k: v for k, v in files.items() if k in wanted}
+        # all probed cells empty: keep the full set — the isin filter
+        # then yields the correct empty result on a real relation
+        if pruned:
+            files = pruned
+    paths = [
+        str(root / d / name)
+        for d in sorted(files)
+        for name in files[d]
+    ]
+    if not paths:
+        return spark.read.parquet(idx_dir)
+    return spark.read.option("basePath", str(idx_dir)).parquet(*paths)
 
 
 def _probe_vector(e: DataFrame, probe_id: int = 0):
@@ -715,16 +945,21 @@ def index_probe_exact(
     nprobe: int = 1,
     idx_dir: str | None = None,
     probe_id: int = 0,
+    relation: DataFrame | None = None,
 ) -> DataFrame:
     """Exact cosine ranking over the probe's ``nprobe`` nearest cells,
-    read from the MATERIALIZED index: the ``cell isin(...)`` filter is
-    on the partition column, so only those directories are listed and
-    scanned (IVF-Flat semantics: the inverted lists store the float
-    vectors for exact in-cell ranking; the stored norm skips the
+    read from the MATERIALIZED index: the probed cells' files are
+    resolved from the epoch manifest (zero directory listing, snapshot-
+    isolated vs compaction) and the ``cell isin(...)`` filter stays on
+    the partition column, so the executed scan still carries the
+    PartitionFilter (IVF-Flat semantics: the inverted lists store the
+    float vectors for exact in-cell ranking; the stored norm skips the
     norm recompute the on-the-fly path pays). Routing runs on the
     index's persisted quantizer — no corpus-side centroid collect.
     ``probe_id`` picks the query vector (the recall harness probes
-    many ids against one shared index)."""
+    many ids against one shared index). ``relation`` substitutes a
+    pre-registered relation (e.g. a metastore catalog table) for the
+    manifest-resolved read, same contract as ``index_probe_adc``."""
     e = load(spark, sf_dir, "embeddings")
     empty = spark.createDataFrame([], "vec_id bigint, cosine double")
     idx_dir = idx_dir if idx_dir is not None else index_dir_for(spark, sf_dir)
@@ -739,8 +974,13 @@ def index_probe_exact(
     cos = F.expr(S._dot_sql("embedding", S._vec_sql(probe_vec))) / (
         F.col("norm") * F.lit(p_norm)
     )
+    rel = (
+        relation
+        if relation is not None
+        else _read_index(spark, idx_dir, cells=top_cells)
+    )
     out = (
-        _read_index(spark, idx_dir)
+        rel
         .filter(F.col("cell").isin(top_cells) & (F.col("vec_id") != probe_id))
         .select("vec_id", rnd(cos, 5).alias("cosine"))
         .orderBy(F.desc("cosine"), "vec_id")
@@ -842,7 +1082,11 @@ def index_probe_adc(
             f"[0].tab, {m + 1}), element_at(codes, {m + 1}) + 1)"
             for m in range(S.PQ_M)
         )
-        rel = relation if relation is not None else _read_index(spark, idx_dir)
+        rel = (
+            relation
+            if relation is not None
+            else _read_index(spark, idx_dir, cells=top_cells)
+        )
         return (
             rel
             .filter(F.col("cell").isin(top_cells) & (F.col("vec_id") != probe_id))
@@ -868,7 +1112,11 @@ def index_probe_adc(
             + f"), cast(cell as bigint)), element_at(codes, {m + 1}) + 1)"
             for m in range(S.PQ_M)
         )
-    rel = relation if relation is not None else _read_index(spark, idx_dir)
+    rel = (
+        relation
+        if relation is not None
+        else _read_index(spark, idx_dir, cells=top_cells)
+    )
     return (
         rel
         .filter(F.col("cell").isin(top_cells) & (F.col("vec_id") != probe_id))
@@ -936,7 +1184,11 @@ def index_probe_refine(
     cos = F.expr(S._dot_sql("embedding", S._vec_sql(probe_vec))) / (
         F.col("norm") * F.lit(p_norm)
     )
-    rel = relation if relation is not None else _read_index(spark, idx_dir)
+    rel = (
+        relation
+        if relation is not None
+        else _read_index(spark, idx_dir, cells=top_cells)
+    )
     return (
         rel.filter(F.col("cell").isin(top_cells) & F.col("vec_id").isin(ids))
         .select("vec_id", rnd(cos, 5).alias("cosine"))

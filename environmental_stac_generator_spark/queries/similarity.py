@@ -2272,9 +2272,15 @@ def trainer_residual_sample(
     the lowest ``sample_n`` vec_ids. Composing that from
     ``residual_of(_ivf_cells_of(e, cents), cents)`` makes the
     trainer's TakeOrdered pay the full K-wide assignment + residual
-    expression chain just to materialize a driver-bounded sample
-    (measured ~25 s of the r12 soak's 29.65 s `opq_train_sec` at
-    K=256 on the 10x corpus — SOAK_r12.json). This helper instead
+    expression chain just to materialize a driver-bounded sample.
+    Measured chain at K=256 on the 10x corpus (full narration with
+    host probes: COVERAGE.md "trainer" chain): r10 opq_train_sec
+    53.444 s → 29.65 s after the matmul encode kernel (the remainder
+    was exactly this Spark-side sample chain) → with this helper,
+    0.316 s sample + 2.204 s trainer core on a quiet host (steal
+    0.03%) / 0.953 + 9.394 s on a host-elevated run (steal 0.56% —
+    the artifact a single soak JSON pins depends on which host ran
+    it; cite the chain, not one number). This helper instead
     collects the RAW sample rows (a TakeOrdered over the pushed
     (vec_id, embedding) scan) and computes own-cell assignment +
     residual driver-side as one numpy matmul — the
@@ -2284,6 +2290,17 @@ def trainer_residual_sample(
     to `residual_of`'s `cast(x as double) - y`; cells can differ from
     the HOF chain only on float hairline ties (the `_argmin_numpy`
     adjudication — parity pinned in tests/test_similarity_pq.py).
+    The parity claim assumes non-zero centroid norms (what spherical
+    k-means / the bootstrap always produce): a ZERO-NORM centroid
+    diverges by construction — this kernel maps its norm to 1 (cosine
+    0, the centroid loses) while `_ivf_cells_of` yields NaN cosine
+    there and Spark's array_max ranks NaN above all doubles (the
+    centroid wins) — so don't feed degenerate quantizers to either.
+
+    Coupling (ADVICE r12): ``sample_n`` here caps what the downstream
+    trainer can see — pass ONE shared value to this helper and to
+    ``pq_train_codebook``/``opq_train_rotation``; a trainer asking
+    for more rows than this sample holds silently trains on fewer.
 
     Scale note: this moves NO new data to the driver — the trainers
     already collect exactly these ``sample_n`` rows; it only moves

@@ -659,10 +659,20 @@ def test_maintenance_lock_mutual_exclusion(spark, tmp_path, monkeypatch):
     batch = _synth_embeddings(spark, range(1000, 1020), shift=3)
     # maintainer holds the lock -> writer refuses up front
     AI._acquire_maintenance_lock(root)
+    # staleness metadata (VERDICT r12 #4): owner pid/host/acquire time
+    # are in the lock body, and refusal messages quote them
+    info = AI.maintenance_lock_info(root)
+    assert info["pid"] == AI.os.getpid()
+    assert info["host"] == AI.socket.gethostname()
+    AI.datetime.fromisoformat(info["acquired_utc"])  # parses
+    with pytest.raises(RuntimeError, match=f"pid {AI.os.getpid()}"):
+        AI.ann_index_stream_writer(idx)(batch, 1)
     with pytest.raises(RuntimeError, match="maintenance in progress"):
         AI.ann_index_stream_writer(idx)(batch, 1)
-    # a second maintainer cannot acquire it
+    # a second maintainer cannot acquire it (message quotes the owner)
     with pytest.raises(RuntimeError, match="another maintainer"):
+        AI._acquire_maintenance_lock(root)
+    with pytest.raises(RuntimeError, match=f"pid {AI.os.getpid()}"):
         AI._acquire_maintenance_lock(root)
     AI._release_maintenance_lock(root)
     # the TOCTOU interleaving itself: the lock lands AFTER the
@@ -921,3 +931,206 @@ def test_adc_probe_via_catalog_relation(spark, tmp_path):
         assert scans[0]["num_files"] == S.NPROBE, scans
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+# ---------------------------------------------------------------------------
+# Epoch manifest: reader snapshot isolation (VERDICT r12 #1)
+
+
+def _manifest_reader_rows(spark, idx):
+    """Rows as the snapshot-isolated reader resolves them — the
+    manifest route every probe takes."""
+    return sorted(
+        (int(r["vec_id"]), int(r["cell"]))
+        for r in AI._read_index(spark, idx).select("vec_id", "cell").collect()
+    )
+
+
+def _seeded_multi_file_index(spark, tmp_path):
+    corpus = str(tmp_path / "c")
+    _synth_embeddings(spark, range(0, 120)).coalesce(1).write.parquet(
+        f"{corpus}/embeddings.parquet"
+    )
+    idx = str(tmp_path / "idx")
+    assert AI.build_ann_index(spark, corpus, idx) is not None
+    w = AI.ann_index_stream_writer(idx)
+    for i in range(2):
+        w(_synth_embeddings(spark, range(1000 + 40 * i, 1040 + 40 * i), shift=3), i)
+    return corpus, idx
+
+
+def test_epoch_manifest_written_and_resolves_exact_files(spark, tmp_path):
+    """Build/append/stream-commit each commit an epoch; the manifest
+    names exactly the live data files, and the cells= resolution reads
+    ONLY the probed cell's files (zero extra relation files — the
+    listing-free probe route)."""
+    corpus, idx = _seeded_multi_file_index(spark, tmp_path)
+    root = AI.Path(idx)
+    cur = AI._load_current(root)
+    assert cur is not None and cur["epoch"] >= 3  # build + 2 batches
+    # manifest == disk listing (quiescent index)
+    assert cur["files"] == AI._listing_manifest(root)
+    for cell_dir, names in cur["files"].items():
+        cid = int(cell_dir.split("=")[1])
+        rel_files = AI._read_index(spark, idx, cells=[cid]).inputFiles()
+        assert len(rel_files) == len(names)
+        assert all(f"/{cell_dir}/" in f for f in rel_files)
+
+
+def test_reader_snapshot_isolation_mid_compaction_apply(
+    spark, tmp_path, monkeypatch
+):
+    """THE r13 contract: a reader resolving at any crash point of a
+    compaction apply sees exactly one copy of every row. Fault points:
+    (a) at the first add-move — the manifest still names the old
+    files, all on disk; (b) immediately AFTER the epoch swap, before
+    any physical delete — the manifest names the compacted adds while
+    the doomed old files are still on disk (the r12 double-count
+    window; the manifest is what closes it)."""
+    corpus, idx = _seeded_multi_file_index(spark, tmp_path)
+    root = AI.Path(idx)
+    expected = _manifest_reader_rows(spark, idx)
+    assert len(expected) == 200 == len({v for v, _ in expected})
+
+    # (a) crash at the first add-move (os.replace 1 = the pending
+    # compaction-manifest commit, 2 = first add-move)
+    crash = _CrashAt(AI.os.replace, 2)
+    monkeypatch.setattr(AI.os, "replace", crash)
+    with pytest.raises(RuntimeError, match="injected"):
+        AI.compact_ann_index(spark, idx)
+    monkeypatch.setattr(AI.os, "replace", crash.real)
+    AI._release_maintenance_lock(root)  # owner "died"; operator recovery
+    assert _manifest_reader_rows(spark, idx) == expected
+    assert (root / "_ann_compaction.json").exists()
+
+    # (b) crash immediately after the epoch swap, before deletes
+    real_commit = AI._commit_current
+    calls = {"n": 0}
+
+    def _commit_then_crash(r, files):
+        real_commit(r, files)
+        calls["n"] += 1
+        raise RuntimeError("injected post-swap crash")
+
+    monkeypatch.setattr(AI, "_commit_current", _commit_then_crash)
+    with pytest.raises(RuntimeError, match="post-swap"):
+        AI.compact_ann_index(spark, idx)
+    monkeypatch.setattr(AI, "_commit_current", real_commit)
+    AI._release_maintenance_lock(root)
+    assert calls["n"] == 1
+    # the compacted cell's adds are live, its doomed files still on
+    # disk — the manifest must hide them: exactly one copy of each row
+    assert _manifest_reader_rows(spark, idx) == expected
+    listing_rows = spark.read.parquet(idx).count()
+    assert listing_rows > len(expected), "double-copy state must exist on disk"
+
+    # roll forward to completion: same rows, pruned probe restored
+    AI.compact_ann_index(spark, idx)
+    assert _manifest_reader_rows(spark, idx) == expected
+    assert not (root / "_ann_compaction.json").exists()
+    scans = AI.executed_scan_metrics(
+        AI.index_probe_exact(spark, corpus, nprobe=S.NPROBE, idx_dir=idx)
+    )
+    assert scans[0]["num_files"] == S.NPROBE, scans
+
+
+def test_stream_batch_visible_only_at_manifest_commit(
+    spark, tmp_path, monkeypatch
+):
+    """The 2PC sink's reader-visibility point is the epoch-manifest
+    commit: a batch whose files are fully moved but whose manifest
+    commit crashed is INVISIBLE to manifest readers (and lands exactly
+    once after replay)."""
+    corpus = str(tmp_path / "c")
+    _synth_embeddings(spark, range(0, 80)).coalesce(1).write.parquet(
+        f"{corpus}/embeddings.parquet"
+    )
+    idx = str(tmp_path / "idx")
+    assert AI.build_ann_index(spark, corpus, idx) is not None
+    before = _manifest_reader_rows(spark, idx)
+    batch = _synth_embeddings(spark, range(1000, 1030), shift=3)
+
+    real_commit = AI._commit_current
+
+    def _crash_commit(r, files):
+        raise RuntimeError("injected pre-commit crash")
+
+    monkeypatch.setattr(AI, "_commit_current", _crash_commit)
+    with pytest.raises(RuntimeError, match="pre-commit"):
+        AI.ann_index_stream_writer(idx)(batch, 3)
+    monkeypatch.setattr(AI, "_commit_current", real_commit)
+    # files are on disk, ledger still pending — manifest readers see
+    # the pre-batch snapshot
+    assert spark.read.parquet(idx).count() == 110
+    assert _manifest_reader_rows(spark, idx) == before
+    # replay finalizes: visible exactly once
+    AI.ann_index_stream_writer(idx)(batch, 3)
+    after = _manifest_reader_rows(spark, idx)
+    assert len(after) == 110 == len({v for v, _ in after})
+
+
+def test_append_refuses_under_maintenance_lock(spark, tmp_path):
+    corpus = str(tmp_path / "c")
+    _synth_embeddings(spark, range(0, 80)).coalesce(1).write.parquet(
+        f"{corpus}/embeddings.parquet"
+    )
+    idx = str(tmp_path / "idx")
+    assert AI.build_ann_index(spark, corpus, idx) is not None
+    AI._acquire_maintenance_lock(AI.Path(idx))
+    try:
+        with pytest.raises(RuntimeError, match="maintenance in progress"):
+            AI.append_ann_index(
+                spark, _synth_embeddings(spark, range(1000, 1010), shift=3), idx
+            )
+    finally:
+        AI._release_maintenance_lock(AI.Path(idx))
+
+
+def test_release_stale_maintenance_lock_contract(tmp_path):
+    """The staleness recovery contract (VERDICT r12 #4): refuse while
+    the recorded owner is alive; release on a provably dead pid, an
+    exceeded age bound, or an explicit force; a metadata-less lock
+    needs force."""
+    import json as _json
+    import subprocess
+
+    root = AI.Path(tmp_path)
+    # live owner (this process): refuse
+    AI._acquire_maintenance_lock(root)
+    with pytest.raises(RuntimeError, match="not provably dead"):
+        AI.release_stale_maintenance_lock(root)
+    assert (root / AI.MAINT_LOCK).exists()
+    # dead pid on this host: release
+    p = subprocess.Popen(["true"])
+    p.wait()
+    (root / AI.MAINT_LOCK).write_text(
+        _json.dumps({
+            "pid": p.pid,
+            "host": AI.socket.gethostname(),
+            "acquired_utc": "2026-08-16T00:00:00+00:00",
+        })
+    )
+    info = AI.release_stale_maintenance_lock(root)
+    assert info["pid"] == p.pid
+    assert not (root / AI.MAINT_LOCK).exists()
+    # other-host lock: pid liveness unverifiable -> age bound decides
+    (root / AI.MAINT_LOCK).write_text(
+        _json.dumps({
+            "pid": 1,
+            "host": "some-other-host",
+            "acquired_utc": "2020-01-01T00:00:00+00:00",
+        })
+    )
+    with pytest.raises(RuntimeError, match="not provably dead"):
+        AI.release_stale_maintenance_lock(root)
+    AI.release_stale_maintenance_lock(root, max_age_sec=3600)
+    assert not (root / AI.MAINT_LOCK).exists()
+    # metadata-less (pre-r13 / mid-acquire) lock: force required
+    (root / AI.MAINT_LOCK).touch()
+    with pytest.raises(RuntimeError, match="not provably dead"):
+        AI.release_stale_maintenance_lock(root)
+    AI.release_stale_maintenance_lock(root, force=True)
+    assert not (root / AI.MAINT_LOCK).exists()
+    # no lock at all: distinct error
+    with pytest.raises(RuntimeError, match="no _maintenance.lock"):
+        AI.release_stale_maintenance_lock(root)
