@@ -388,13 +388,20 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPAN_W = 16  # tokens per exact-match window (Lee et al. use 50 BPE
 # tokens on web-scale corpora; 16 fits the short synthetic docs)
 
-SPAN_WINDOW_MAX_GROUP = 2048  # largest (span-hash -> docs) group the
-# window plan may buffer in one task. Below this a group's sort
-# buffer is trivial (~2k narrow rows); above it the corpus exhibits
-# kilo-scale viral boilerplate, whose tail is effectively unbounded
-# (the 100M-copy span is the one that kills the window plan), so only
-# those corpora pay the skew-safe premium (SOAK r7 measured it at
-# 1.74x on a 3000-copy viral 1.25M-doc corpus).
+SPAN_WINDOW_MAX_GROUP = 262_144  # largest (span-hash -> docs) group
+# the window plan may buffer in one task. Calibrated by measurement
+# (VERDICT r12 #5, SOAK r13 `span_window_cliff`): a sweep forcing ONE
+# hot span hash through the window plan found NO buffer cliff up to a
+# 1,048,576-row group (window 5.2 s vs skew-safe 9.0 s — the window
+# plan WON at every measured size; a 1M group of narrow (hash,
+# doc_id, source) rows is ~tens of MB in one task's sort buffer).
+# The r7-era 2048 gate made every kilo-viral corpus pay a measured
+# ~1.3-1.8x skew-safe premium the window plan demonstrably never
+# needed. 2^18 keeps 4x measured headroom below the largest swept
+# size while still insuring against the genuinely unbounded tail (a
+# 100M-copy span is ~4 GB in one task — that is what the skew-safe
+# plan exists for). Both plans are property-tested equal, so moving
+# the threshold can never change results, only the plan.
 SPAN_GATE_SAMPLE_MOD = 64  # deterministic 1/64 doc sample for the bound
 
 

@@ -177,11 +177,12 @@ def test_span_group_bound_gate(spark, sf_dir, monkeypatch):
     from environmental_stac_generator_spark import tables
     from environmental_stac_generator_spark.queries import curation
 
-    # 1. the estimator separates the regimes: 20k docs sharing ONE
-    # text (every window hash a 20k-doc group) vs 20k docs of fully
-    # id-tagged distinct tokens (every group exactly 1 doc)
+    # 1. the estimator separates the regimes: 400k docs sharing ONE
+    # text (every window hash a 400k-doc group — past the r13
+    # measured cap of 262,144) vs 20k docs of fully id-tagged
+    # distinct tokens (every group exactly 1 doc)
     shared = " ".join(f"tok{i}" for i in range(20))
-    viral = spark.range(20000).selectExpr(
+    viral = spark.range(400_000).selectExpr(
         "id AS doc_id", f"'{shared}' AS text"
     )
     unviral = spark.range(20000).selectExpr(
@@ -195,9 +196,12 @@ def test_span_group_bound_gate(spark, sf_dir, monkeypatch):
     assert ub <= curation.SPAN_WINDOW_MAX_GROUP, ub
 
     # 2. the gate wiring: with footer stats refusing to prove "small",
-    # the bound alone must decide the plan
+    # the bound alone must decide the plan (values straddle the r13
+    # cap SPAN_WINDOW_MAX_GROUP = 262,144 — a kilo-viral 10k bound
+    # now correctly KEEPS the window plan, per the measured cliff
+    # sweep in SOAK r13)
     monkeypatch.setattr(tables, "provably_small", lambda rows, thr: False)
-    monkeypatch.setattr(curation, "span_max_group_bound", lambda d: 10_000)
+    monkeypatch.setattr(curation, "span_max_group_bound", lambda d: 300_000)
     assert "Window [" not in _plan(spark, sf_dir, "span_dedup")
-    monkeypatch.setattr(curation, "span_max_group_bound", lambda d: 100)
+    monkeypatch.setattr(curation, "span_max_group_bound", lambda d: 10_000)
     assert "Window [" in _plan(spark, sf_dir, "span_dedup")
