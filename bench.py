@@ -1740,10 +1740,14 @@ def _natural_scale_block(spark, sf_dir: str, reg) -> tuple[dict, list[str], str]
     # end-to-end: a mega-viral corpus (one span at ~1.5x the cap's
     # copies) must bound above the cap and plan without a window —
     # the insurance the threshold exists for, proven on a real run
-    # rather than a monkeypatched bound
+    # rather than a monkeypatched bound. factor=125 keeps the corpus
+    # above SMALL_INPUT_ROWS (125 x 5k base docs + ~393k viral copies
+    # = ~1.02M rows) so footer stats cannot prove it small — the first
+    # soak run's lesson: a sub-1M-row mega corpus short-circuits at
+    # stage 1 and never consults the bound
     mega_copies = int(SPAN_WINDOW_MAX_GROUP * 1.5)
     mega_dir, _mega_rows = _synthesize_natural_dir(
-        sf_dir, factor=1, viral=mega_copies
+        sf_dir, factor=125, viral=mega_copies
     )
     try:
         mb = span_max_group_bound(load(spark, mega_dir, "documents"))

@@ -596,12 +596,26 @@ def _listing_manifest(root: Path) -> dict[str, list[str]]:
     where the walk is known consistent: at build time (fresh dir), and
     under the writer/compactor handshake (the maintenance lock keeps a
     half-applied compaction — the one state where the walk holds two
-    copies of a row — invisible to every committer that uses this)."""
-    return {
-        d.name: [f.name for f in _part_files(d)]
-        for d in sorted(root.glob("cell=*"))
-        if _part_files(d)
-    }
+    copies of a row — invisible to every committer that uses this).
+    Files RETIRED by a grace-period compaction are excluded: they are
+    on disk awaiting vacuum but dead to every epoch — a walk-derived
+    rebuild must not resurrect them."""
+    cur = _load_current(root)
+    dead = (
+        {f for ent in cur.get("retired", []) for f in ent["files"]}
+        if cur
+        else set()
+    )
+    out = {}
+    for d in sorted(root.glob("cell=*")):
+        names = [
+            f.name
+            for f in _part_files(d)
+            if f"{d.name}/{f.name}" not in dead
+        ]
+        if names:
+            out[d.name] = names
+    return out
 
 
 def _load_current(root: Path) -> dict | None:
@@ -611,17 +625,28 @@ def _load_current(root: Path) -> dict | None:
     return json.loads(p.read_text())
 
 
-def _commit_current(root: Path, files: dict[str, list[str]]) -> None:
+def _commit_current(
+    root: Path, files: dict[str, list[str]], retired: list | None = None
+) -> None:
     """Atomically swap the epoch manifest to the given live-file sets
     — THE reader-visibility point for every index mutation. One
     os.replace: a reader loads either the whole old epoch or the whole
-    new one, never a mix."""
+    new one, never a mix. ``retired`` replaces the manifest's
+    retired-file ledger (grace-period compaction); None carries the
+    previous epoch's ledger forward unchanged, so ordinary commits
+    (build/append/ingest) can never drop it — a dropped entry would
+    let a later walk-derived rebuild resurrect the dead file."""
     prev = _load_current(root)
     epoch = (int(prev.get("epoch", 0)) + 1) if prev else 1
-    _atomic_write_json(
-        Path(root) / CURRENT_NAME,
-        {"epoch": epoch, "files": {k: sorted(v) for k, v in files.items()}},
-    )
+    if retired is None:
+        retired = list(prev.get("retired", [])) if prev else []
+    obj = {
+        "epoch": epoch,
+        "files": {k: sorted(v) for k, v in files.items()},
+    }
+    if retired:
+        obj["retired"] = retired
+    _atomic_write_json(Path(root) / CURRENT_NAME, obj)
 
 
 def ann_index_stream_writer(idx_dir: str):
@@ -728,7 +753,10 @@ def ann_index_stream_writer(idx_dir: str):
 
 
 def compact_ann_index(
-    spark: SparkSession, idx_dir: str, max_files_per_cell: int = 1
+    spark: SparkSession,
+    idx_dir: str,
+    max_files_per_cell: int = 1,
+    vacuum_grace: bool = False,
 ) -> dict:
     """Maintenance pass closing the append path's unbounded
     files-per-cell growth (VERDICT r9 #4): every cell directory above
@@ -750,9 +778,16 @@ def compact_ann_index(
     every point of the apply (including any crash point) the manifest
     names exactly one copy of every row, so a concurrent reader can
     never double- or under-count. This is the table-format
-    (Iceberg/Delta) snapshot idea at single-writer scope; the only
-    production knob left is a vacuum grace period before the physical
-    deletes.
+    (Iceberg/Delta) snapshot idea at single-writer scope.
+    ``vacuum_grace=True`` adds the remaining production knob: instead
+    of unlinking the replaced files immediately (which can yank a
+    file out from under a reader that resolved a pre-swap snapshot
+    and is still scanning), they are RECORDED as retired in the epoch
+    manifest and left on disk — invisible to every manifest reader —
+    until an explicit :func:`vacuum_ann_index` reclaims those retired
+    at or before a chosen epoch horizon (the Iceberg expire-snapshots
+    / Delta VACUUM shape; at 100 TB the horizon is "longer than any
+    query runs").
 
     The single-maintainer contract is enforced mechanically
     (ADVICE r10/r11): the run holds the exclusive ``_maintenance.lock``
@@ -778,13 +813,22 @@ def compact_ann_index(
         _refuse_if_ingest_active(root)
         compacted = 0
         for cell_dir in sorted(root.glob("cell=*")):
-            old = [f.name for f in _part_files(cell_dir)]
+            # rewrite reads the LIVE files only (manifest-resolved):
+            # with grace-period compaction, previously retired files
+            # still sit in the cell dir and a directory-listing read
+            # would fold them back in as duplicates
+            cur = _load_current(root)
+            old = (
+                cur["files"].get(cell_dir.name, [])
+                if cur
+                else [f.name for f in _part_files(cell_dir)]
+            )
             if len(old) <= max_files_per_cell:
                 continue
             tmp = root / "_compacting" / cell_dir.name
             shutil.rmtree(tmp, ignore_errors=True)
             (
-                spark.read.parquet(str(cell_dir))
+                spark.read.parquet(*[str(cell_dir / n) for n in old])
                 .coalesce(1)
                 .write.mode("overwrite")
                 .parquet(str(tmp))
@@ -793,6 +837,7 @@ def compact_ann_index(
                 "cell": cell_dir.name,
                 "adds": [f.name for f in _part_files(tmp)],
                 "deletes": old,
+                "vacuum_grace": bool(vacuum_grace),
             }
             _atomic_write_json(pending, manifest)  # commit point
             _apply_compaction(root, manifest)
@@ -858,13 +903,67 @@ def _apply_compaction(root: Path, manifest: dict) -> None:
             os.replace(src, cell_dir / f"compact-{name}")
     cur = _load_current(root)
     files = dict(cur["files"]) if cur else _listing_manifest(root)
+    retired = list(cur.get("retired", [])) if cur else []
     live = set(files.get(manifest["cell"], [])) - set(manifest["deletes"])
     files[manifest["cell"]] = sorted(live | set(adds))
-    _commit_current(root, files)  # the visibility swap
-    for name in manifest["deletes"]:
-        (cell_dir / name).unlink(missing_ok=True)
+    if manifest.get("vacuum_grace"):
+        # grace path: the replaced files become RETIRED at the epoch
+        # this commit creates — on disk, dead to every manifest
+        # reader, reclaimable by vacuum_ann_index. Idempotent replay:
+        # names already in the retired ledger are not re-added.
+        seen = {f for ent in retired for f in ent["files"]}
+        fresh = [
+            f"{manifest['cell']}/{n}"
+            for n in manifest["deletes"]
+            if f"{manifest['cell']}/{n}" not in seen
+        ]
+        if fresh:
+            retired.append({
+                "epoch": (int(cur.get("epoch", 0)) + 1) if cur else 1,
+                "files": fresh,
+            })
+    _commit_current(root, files, retired=retired)  # the visibility swap
+    if not manifest.get("vacuum_grace"):
+        for name in manifest["deletes"]:
+            (cell_dir / name).unlink(missing_ok=True)
     shutil.rmtree(tmp, ignore_errors=True)
     (root / "_ann_compaction.json").unlink(missing_ok=True)
+
+
+def vacuum_ann_index(idx_dir: str, keep_epochs: int = 0) -> dict:
+    """Reclaim files retired by grace-period compaction — the Iceberg
+    expire-snapshots / Delta VACUUM shape. Unlinks every retired file
+    whose retire epoch is at or before ``current_epoch -
+    keep_epochs`` and prunes those ledger entries in one atomic epoch
+    commit; entries younger than the horizon stay on disk and in the
+    ledger. Runs under the maintenance lock and refuses while ingest
+    is active (same single-maintainer contract as compaction — the
+    ledger read-modify-write must not race another committer). The
+    operator picks ``keep_epochs`` longer than any reader's scan: a
+    reader that resolved a pre-retirement snapshot keeps its files
+    until the horizon passes."""
+    root = Path(idx_dir)
+    _acquire_maintenance_lock(root)
+    try:
+        _refuse_if_ingest_active(root)
+        cur = _load_current(root)
+        if cur is None or not cur.get("retired"):
+            return {"files_removed": 0, "entries_kept": 0}
+        horizon = int(cur.get("epoch", 0)) - keep_epochs
+        removed, kept = 0, []
+        for ent in cur["retired"]:
+            if int(ent["epoch"]) <= horizon:
+                for rel_name in ent["files"]:
+                    p = root / rel_name
+                    if p.exists():
+                        p.unlink()
+                        removed += 1
+            else:
+                kept.append(ent)
+        _commit_current(root, cur["files"], retired=kept)
+        return {"files_removed": removed, "entries_kept": len(kept)}
+    finally:
+        _release_maintenance_lock(root)
 
 
 def register_index(sf_dir: str, idx_dir: str) -> None:

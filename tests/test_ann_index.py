@@ -1007,8 +1007,8 @@ def test_reader_snapshot_isolation_mid_compaction_apply(
     real_commit = AI._commit_current
     calls = {"n": 0}
 
-    def _commit_then_crash(r, files):
-        real_commit(r, files)
+    def _commit_then_crash(r, files, retired=None):
+        real_commit(r, files, retired=retired)
         calls["n"] += 1
         raise RuntimeError("injected post-swap crash")
 
@@ -1052,7 +1052,7 @@ def test_stream_batch_visible_only_at_manifest_commit(
 
     real_commit = AI._commit_current
 
-    def _crash_commit(r, files):
+    def _crash_commit(r, files, retired=None):
         raise RuntimeError("injected pre-commit crash")
 
     monkeypatch.setattr(AI, "_commit_current", _crash_commit)
@@ -1134,3 +1134,82 @@ def test_release_stale_maintenance_lock_contract(tmp_path):
     # no lock at all: distinct error
     with pytest.raises(RuntimeError, match="no _maintenance.lock"):
         AI.release_stale_maintenance_lock(root)
+
+
+def test_vacuum_grace_compaction_lifecycle(spark, tmp_path):
+    """Grace-period compaction (the vacuum knob): replaced files are
+    RETIRED — on disk, dead to every manifest reader — until
+    vacuum_ann_index reclaims those past the epoch horizon. A
+    walk-derived epoch rebuild (append) must never resurrect retired
+    files, and a second compaction must fold in live files only."""
+    corpus, idx = _seeded_multi_file_index(spark, tmp_path)
+    root = AI.Path(idx)
+    expected = _manifest_reader_rows(spark, idx)
+
+    out = AI.compact_ann_index(spark, idx, vacuum_grace=True)
+    assert out["cells_compacted"] > 0
+    cur = AI._load_current(root)
+    n_retired = sum(len(e["files"]) for e in cur.get("retired", []))
+    assert n_retired > 0
+    # retired files are physically present but invisible to readers
+    on_disk = sum(len(_f) for _f in (
+        AI._part_files(d) for d in root.glob("cell=*")
+    ))
+    n_live = sum(len(v) for v in cur["files"].values())
+    assert on_disk == n_live + n_retired
+    assert _manifest_reader_rows(spark, idx) == expected
+    scans = AI.executed_scan_metrics(
+        AI.index_probe_exact(spark, corpus, nprobe=S.NPROBE, idx_dir=idx)
+    )
+    assert scans[0]["num_files"] == S.NPROBE, scans
+
+    # a walk-derived rebuild (append commits a fresh epoch from the
+    # directory listing) must exclude retired files and carry the
+    # retired ledger forward
+    AI.append_ann_index(
+        spark, _synth_embeddings(spark, range(3000, 3040), shift=3), idx
+    )
+    after_append = _manifest_reader_rows(spark, idx)
+    assert len(after_append) == len(expected) + 40
+    assert len({v for v, _ in after_append}) == len(after_append)
+    cur2 = AI._load_current(root)
+    assert sum(len(e["files"]) for e in cur2.get("retired", [])) == n_retired
+
+    # second grace compaction folds LIVE files only — still exactly
+    # one copy of every row, retired ledger grows
+    AI.compact_ann_index(spark, idx, vacuum_grace=True)
+    assert _manifest_reader_rows(spark, idx) == after_append
+    cur3 = AI._load_current(root)
+    n_retired3 = sum(len(e["files"]) for e in cur3.get("retired", []))
+    assert n_retired3 > n_retired
+
+    # horizon: keep_epochs past every retirement removes nothing
+    assert AI.vacuum_ann_index(idx, keep_epochs=10_000) == {
+        "files_removed": 0,
+        "entries_kept": len(cur3["retired"]),
+    }
+    # keep_epochs=0 reclaims everything retired; disk == manifest
+    out = AI.vacuum_ann_index(idx, keep_epochs=0)
+    assert out["files_removed"] == n_retired3
+    assert out["entries_kept"] == 0
+    cur4 = AI._load_current(root)
+    assert not cur4.get("retired")
+    on_disk = {
+        f"{d.name}/{f.name}"
+        for d in root.glob("cell=*")
+        for f in AI._part_files(d)
+    }
+    in_manifest = {
+        f"{cell}/{n}" for cell, v in cur4["files"].items() for n in v
+    }
+    assert on_disk == in_manifest
+    assert _manifest_reader_rows(spark, idx) == after_append
+
+    # vacuum is a maintenance op: it refuses while another maintainer
+    # holds the lock
+    AI._acquire_maintenance_lock(root)
+    try:
+        with pytest.raises(RuntimeError, match="another maintainer"):
+            AI.vacuum_ann_index(idx)
+    finally:
+        AI._release_maintenance_lock(root)

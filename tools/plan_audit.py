@@ -120,20 +120,25 @@ def render_soak_block(soak_path: Path | None = None) -> str:
     doc = json.loads(soak_path.read_text())
     ns = doc["natural_scale"]
     mach = doc.get("machine", {})
-    viral, viral_win = ns["span_dedup_sec"], ns["span_dedup_window_sec"]
     unv_win = ns["span_dedup_unviral_window_sec"]
     unv_safe = ns["span_dedup_unviral_skewsafe_sec"]
+    new_fmt = "span_dedup_skewsafe_sec" in ns  # r13 gate recalibration
     ctx = ""
     if "span_dedup_samples" in ns:
         sam = ns["span_dedup_samples"]
         usam = ns.get("span_dedup_unviral_samples", {})
+        pair = (
+            f"gated {sam.get('gated')} / skew-safe {sam.get('skew_safe')}"
+            if new_fmt
+            else f"skew-safe {sam.get('skew_safe')} / window "
+            f"{sam.get('window')}"
+        )
         ctx += (
             "\n- protocol: min of 2 INTERLEAVED samples per twin "
             "(alternating plans, the ab_bench adjudication shape — "
             "single-shot twin timings on this host flipped sign "
             "between earlier soak runs); viral samples "
-            f"skew-safe {sam.get('skew_safe')} / window "
-            f"{sam.get('window')}, unviral window "
+            f"{pair}, unviral window "
             f"{usam.get('window')} / skew-safe {usam.get('skew_safe')}"
         )
     if mach:
@@ -146,14 +151,48 @@ def render_soak_block(soak_path: Path | None = None) -> str:
             "(deterministic) and plan CHOICES are the stable signal, "
             "the twin timings the noisy one"
         )
-    return f"""{SOAK_BEGIN} generated by `python tools/plan_audit.py --render-soak`
+    head = f"""{SOAK_BEGIN} generated by `python tools/plan_audit.py --render-soak`
 from {soak_path.name}; do NOT hand-edit — tests/test_plans_render.py
 fails on drift -->
 **Span-gate measured numbers** (committed artifact `{soak_path.name}`,
-`natural_scale` block):
-- viral corpus: sampled largest-group bound **{ns["span_gate_bound_viral"]}**
-  → skew-safe plan **{viral:.2f} s**; forced window twin
-  **{viral_win:.2f} s** (skew-safe/window ratio **{viral / viral_win:.2f}x**)
+`natural_scale` block):"""
+    if new_fmt:
+        viral, safe_tw = ns["span_dedup_sec"], ns["span_dedup_skewsafe_sec"]
+        body = (
+            f"\n- kilo-viral corpus ({ns.get('viral_copies')}-copy span): "
+            f"sampled bound **{ns['span_gate_bound_viral']}** ≤ cap → "
+            f"gated WINDOW plan **{viral:.2f} s**; forced skew-safe twin "
+            f"**{safe_tw:.2f} s** (premium avoided "
+            f"**{safe_tw / viral:.2f}x** — the r13 recalibration's win)"
+            f"\n- mega-viral corpus ({ns.get('megaviral_copies')}-copy "
+            f"span): bound **{ns['span_gate_bound_megaviral']}** > cap → "
+            f"skew-safe plan, gated run "
+            f"**{ns['span_dedup_megaviral_sec']:.2f} s** (the insurance "
+            "flip, executed end-to-end)"
+        )
+        cliff = doc.get("span_window_cliff") or {}
+        if cliff.get("sweep"):
+            rows = "; ".join(
+                f"{r['hot_group_rows']}: window **{r['window_sec']:.2f} s**"
+                f" vs skew-safe **{r['skew_safe_sec']:.2f} s** "
+                f"(**{r['premium']:.2f}x**)"
+                for r in cliff["sweep"]
+            )
+            body += (
+                f"\n- buffer-cliff sweep (one hot span-hash group, both "
+                f"plans, parity asserted; cap "
+                f"**{cliff.get('threshold')}**): {rows}"
+            )
+    else:
+        viral, viral_win = ns["span_dedup_sec"], ns["span_dedup_window_sec"]
+        body = (
+            f"\n- viral corpus: sampled largest-group bound "
+            f"**{ns['span_gate_bound_viral']}**"
+            f"\n  → skew-safe plan **{viral:.2f} s**; forced window twin"
+            f"\n  **{viral_win:.2f} s** (skew-safe/window ratio "
+            f"**{viral / viral_win:.2f}x**)"
+        )
+    return f"""{head}{body}
 - unviral corpus: bound **{ns["span_gate_bound_unviral"]}** → window plan
   **{unv_win:.2f} s**; forced skew-safe twin **{unv_safe:.2f} s**
   (ratio **{unv_safe / unv_win:.2f}x**)
@@ -272,6 +311,25 @@ def render_ann_block(soak_path: Path | None = None) -> str:
                     )
                 )
             )
+        fr = t.get("recall_cost_frontier")
+        if fr:
+            lines.append(
+                "- recall-vs-cost frontier (r13: each (nprobe, R) "
+                "grid point joins its recall to the measured probe "
+                "latency and files read; R=10 is the unrefined ADC "
+                "probe, catalog route):"
+            )
+            lines.append(
+                "  | nprobe | R | recall@10 | probe s | files |"
+            )
+            lines.append("  |---|---|---|---|---|")
+            for row in fr:
+                lines.append(
+                    f"  | {row['nprobe']} | {row['refine_r']} | "
+                    f"{row['recall_mean']} ± {row['recall_sd']} | "
+                    f"{row['probe_sec']} | {row['files_read']}/"
+                    f"{round(row['files_read'] / max(row['files_frac'], 1e-9))} |"
+                )
         u = scale.get("trained_k256_uniform10x") or {}
         ur = u.get("recall_at_10")
         if ur:
