@@ -43,9 +43,18 @@ set from the EPOCH MANIFEST (``_current.json`` — see CURRENT_NAME),
 so a fresh probe lists zero directories (the r12-era per-probe
 InMemoryFileIndex listing of all K partition dirs is gone by
 construction) and reads a snapshot-isolated file set through any
-concurrent compaction. A metastore catalog table remains an
-equivalent deployment route (every probe takes ``relation=``), with
-the same plan shapes. The persisted quantizer grows as K x dim
+concurrent compaction. A metastore catalog table remains a supported
+deployment route (every probe takes ``relation=``) with the same
+plan shapes, but NOTE: the catalog route resolves files by
+metastore/directory listing, so it does not get the manifest's
+snapshot isolation — a catalog deployment either pauses compaction
+during queries or uses a real table format; the manifest route is
+the isolated one. Manifest growth: the swap rewrites one JSON naming
+every live file — ~5-10 MB at K~1e5 with ~1 file/cell — O(index
+files) per commit, fine at micro-batch cadence; the structured
+upgrade at higher commit rates is Iceberg's split manifest-list /
+manifest-file layout, which changes none of the reader semantics
+asserted here. The persisted quantizer grows as K x dim
 doubles (~50 MB JSON at 1e5 x 64) — still driver-side state, same
 class as a broadcast dimension.
 
