@@ -390,14 +390,15 @@ SPAN_W = 16  # tokens per exact-match window (Lee et al. use 50 BPE
 
 SPAN_WINDOW_MAX_GROUP = 262_144  # largest (span-hash -> docs) group
 # the window plan may buffer in one task. Calibrated by measurement
-# (VERDICT r12 #5, SOAK r13 `span_window_cliff`): a sweep forcing ONE
-# hot span hash through the window plan found NO buffer cliff up to a
-# 1,048,576-row group (window 5.2 s vs skew-safe 9.0 s — the window
-# plan WON at every measured size; a 1M group of narrow (hash,
-# doc_id, source) rows is ~tens of MB in one task's sort buffer).
-# The r7-era 2048 gate made every kilo-viral corpus pay a measured
-# ~1.3-1.8x skew-safe premium the window plan demonstrably never
-# needed. 2^18 keeps 4x measured headroom below the largest swept
+# (VERDICT r12 #5; committed numbers live in SOAK_r13.json's
+# `span_window_cliff` block — cite the artifact, not this comment): a
+# sweep forcing ONE hot span hash through BOTH plans found NO buffer
+# cliff up to a 1,048,576-row group — the window plan WON at every
+# measured size (a 1M group of narrow (hash, doc_id, source) rows is
+# ~tens of MB in one task's sort buffer). The r7-era 2048 gate made
+# every kilo-viral corpus pay a skew-safe premium the window plan
+# demonstrably never needed (measured ~2.2x on the 250x natural
+# corpus, SOAK_r13 natural_scale). 2^18 keeps 4x measured headroom below the largest swept
 # size while still insuring against the genuinely unbounded tail (a
 # 100M-copy span is ~4 GB in one task — that is what the skew-safe
 # plan exists for). Both plans are property-tested equal, so moving
