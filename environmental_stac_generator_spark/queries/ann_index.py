@@ -627,11 +627,34 @@ def _listing_manifest(root: Path) -> dict[str, list[str]]:
     return out
 
 
+EPOCHS_DIR = "_epochs"  # per-epoch manifest history (time travel)
+
+
 def _load_current(root: Path) -> dict | None:
     p = Path(root) / CURRENT_NAME
     if not p.exists():
         return None
     return json.loads(p.read_text())
+
+
+def _load_epoch(root: Path, epoch: int) -> dict | None:
+    p = Path(root) / EPOCHS_DIR / f"epoch-{int(epoch):08d}.json"
+    if not p.exists():
+        return None
+    return json.loads(p.read_text())
+
+
+def index_epochs(idx_dir: str) -> list[int]:
+    """Committed epoch numbers available for time travel, ascending.
+    (Availability means the manifest exists; whether an old epoch's
+    FILES are still readable depends on the vacuum horizon — see
+    :func:`read_index_at`.)"""
+    d = Path(idx_dir) / EPOCHS_DIR
+    if not d.is_dir():
+        return []
+    return sorted(
+        int(p.stem.split("-")[1]) for p in d.glob("epoch-*.json")
+    )
 
 
 def _commit_current(
@@ -655,6 +678,16 @@ def _commit_current(
     }
     if retired:
         obj["retired"] = retired
+    # history copy FIRST, then the visibility swap: a crash between
+    # the two leaves an orphan future-epoch history file that the
+    # replayed commit (same prev -> same epoch number) overwrites —
+    # readers only ever follow _current, so the swap below stays the
+    # single visibility point. The history is what read_index_at
+    # resolves: any epoch whose files the vacuum horizon still holds
+    # is a reproducible snapshot (time travel).
+    hist = Path(root) / EPOCHS_DIR
+    hist.mkdir(exist_ok=True)
+    _atomic_write_json(hist / f"epoch-{epoch:08d}.json", obj)
     _atomic_write_json(Path(root) / CURRENT_NAME, obj)
 
 
@@ -1026,14 +1059,60 @@ def _read_index(
         # then yields the correct empty result on a real relation
         if pruned:
             files = pruned
+    return _frame_for(spark, root, files)
+
+
+def _frame_for(
+    spark: SparkSession, root: Path, files: dict[str, list[str]]
+) -> DataFrame:
     paths = [
         str(root / d / name)
         for d in sorted(files)
         for name in files[d]
     ]
     if not paths:
-        return spark.read.parquet(idx_dir)
-    return spark.read.option("basePath", str(idx_dir)).parquet(*paths)
+        return spark.read.parquet(str(root))
+    return spark.read.option("basePath", str(root)).parquet(*paths)
+
+
+def read_index_at(
+    spark: SparkSession, idx_dir: str, epoch: int
+) -> DataFrame:
+    """TIME-TRAVEL read: the index exactly as committed at ``epoch``
+    (`_epochs/epoch-N.json` history, written by the same atomic
+    commit as `_current.json`) — the reproducibility primitive for
+    training-data queries: re-running yesterday's corpus selection
+    against the epoch it was built from returns identical rows no
+    matter how many appends/compactions landed since, as long as the
+    vacuum horizon retains that epoch's files (grace-period
+    compaction retires rather than deletes; immediate-delete
+    compaction bounds travel to the current epoch). Raises ValueError
+    for a never-committed epoch and FileNotFoundError — naming the
+    vacuumed files — for one whose snapshot has been reclaimed, so a
+    stale pipeline fails loudly instead of silently reading a
+    different corpus."""
+    root = Path(idx_dir)
+    man = _load_epoch(root, epoch)
+    if man is None:
+        have = index_epochs(idx_dir)
+        raise ValueError(
+            f"epoch {epoch} was never committed for {idx_dir} "
+            f"(available: {have[:3]}...{have[-3:] if len(have) > 3 else ''})"
+        )
+    missing = [
+        f"{d}/{n}"
+        for d, v in man["files"].items()
+        for n in v
+        if not (root / d / n).exists()
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"epoch {epoch} is no longer readable: {len(missing)} of "
+            f"its files were vacuumed (e.g. {missing[:3]}); raise "
+            "vacuum_ann_index(keep_epochs=...) to retain older "
+            "snapshots"
+        )
+    return _frame_for(spark, root, man["files"])
 
 
 def _probe_vector(e: DataFrame, probe_id: int = 0):

@@ -1213,3 +1213,103 @@ def test_vacuum_grace_compaction_lifecycle(spark, tmp_path):
             AI.vacuum_ann_index(idx)
     finally:
         AI._release_maintenance_lock(root)
+
+
+@pytest.mark.parametrize("crash_at", range(1, 9))
+def test_compaction_crash_sweep_exactly_once(
+    spark, tmp_path, monkeypatch, crash_at
+):
+    """Systematic generalization of the two-point fault injection: a
+    compaction crashed at EVERY os.replace site in turn (pending-
+    manifest commit, add-move, epoch-history write, epoch swap —
+    cycling through cells) must leave a manifest reader seeing exactly
+    one copy of every row, and roll forward to a clean pruned index on
+    the next call. Sites past the total call count mean the run
+    completed — also asserted exactly-once."""
+    corpus, idx = _seeded_multi_file_index(spark, tmp_path)
+    root = AI.Path(idx)
+    expected = _manifest_reader_rows(spark, idx)
+    crash = _CrashAt(AI.os.replace, crash_at)
+    monkeypatch.setattr(AI.os, "replace", crash)
+    try:
+        AI.compact_ann_index(spark, idx)
+    except RuntimeError as exc:
+        assert "injected" in str(exc)
+    monkeypatch.setattr(AI.os, "replace", crash.real)
+    if (root / AI.MAINT_LOCK).exists():  # only on a non-finally death
+        AI.release_stale_maintenance_lock(root, force=True)
+    assert _manifest_reader_rows(spark, idx) == expected, crash_at
+    AI.compact_ann_index(spark, idx)  # roll forward / finish
+    assert _manifest_reader_rows(spark, idx) == expected, crash_at
+    assert not (root / "_ann_compaction.json").exists()
+    scans = AI.executed_scan_metrics(
+        AI.index_probe_exact(spark, corpus, nprobe=S.NPROBE, idx_dir=idx)
+    )
+    assert scans[0]["num_files"] == S.NPROBE, (crash_at, scans)
+
+
+def test_time_travel_read_epochs(spark, tmp_path):
+    """read_index_at: every committed epoch is a reproducible
+    snapshot for as long as the vacuum horizon retains its files —
+    build (epoch 1), append (epoch 2), grace-compact: each epoch
+    replays its exact rows; vacuum then makes the pre-compaction
+    epochs fail LOUDLY (FileNotFoundError naming vacuumed files)
+    instead of silently reading a different corpus."""
+    corpus = str(tmp_path / "c")
+    _synth_embeddings(spark, range(0, 120)).coalesce(1).write.parquet(
+        f"{corpus}/embeddings.parquet"
+    )
+    idx = str(tmp_path / "idx")
+    assert AI.build_ann_index(spark, corpus, idx) is not None
+    assert AI.index_epochs(idx) == [1]
+    rows_e1 = sorted(
+        int(r["vec_id"])
+        for r in AI.read_index_at(spark, idx, 1).select("vec_id").collect()
+    )
+    assert len(rows_e1) == 120
+    AI.ann_index_stream_writer(idx)(
+        _synth_embeddings(spark, range(1000, 1040), shift=3), 0
+    )
+    assert AI.index_epochs(idx) == [1, 2]
+    # epoch 1 still replays the PRE-append corpus exactly
+    assert sorted(
+        int(r["vec_id"])
+        for r in AI.read_index_at(spark, idx, 1).select("vec_id").collect()
+    ) == rows_e1
+    rows_e2 = sorted(
+        int(r["vec_id"])
+        for r in AI.read_index_at(spark, idx, 2).select("vec_id").collect()
+    )
+    assert len(rows_e2) == 160
+    # grace compaction: every epoch (old file sets retired, on disk)
+    # remains readable, and all contain the same 160 rows post-append
+    AI.compact_ann_index(spark, idx, vacuum_grace=True)
+    epochs = AI.index_epochs(idx)
+    assert epochs[-1] == int(AI._load_current(AI.Path(idx))["epoch"])
+    assert sorted(
+        int(r["vec_id"])
+        for r in AI.read_index_at(spark, idx, 1).select("vec_id").collect()
+    ) == rows_e1
+    assert sorted(
+        int(r["vec_id"])
+        for r in AI.read_index_at(spark, idx, 2).select("vec_id").collect()
+    ) == rows_e2
+    assert sorted(
+        int(r["vec_id"])
+        for r in AI.read_index_at(spark, idx, epochs[-1])
+        .select("vec_id").collect()
+    ) == rows_e2
+    # vacuum reclaims the retired files: old epochs now fail loudly,
+    # the current epoch stays readable
+    AI.vacuum_ann_index(idx, keep_epochs=0)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        AI.read_index_at(spark, idx, 1)
+    cur_epoch = int(AI._load_current(AI.Path(idx))["epoch"])
+    assert sorted(
+        int(r["vec_id"])
+        for r in AI.read_index_at(spark, idx, cur_epoch)
+        .select("vec_id").collect()
+    ) == rows_e2
+    # a never-committed epoch is a distinct, loud error
+    with pytest.raises(ValueError, match="never committed"):
+        AI.read_index_at(spark, idx, 99999)
