@@ -1313,3 +1313,42 @@ def test_time_travel_read_epochs(spark, tmp_path):
     # a never-committed epoch is a distinct, loud error
     with pytest.raises(ValueError, match="never committed"):
         AI.read_index_at(spark, idx, 99999)
+
+
+def test_pre_epoch_index_still_probes(spark, tmp_path):
+    """Backward compat: an index on disk WITHOUT _current.json (built
+    before the epoch manifest existed) falls back to the directory
+    read with identical probe results."""
+    corpus = str(tmp_path / "c")
+    _synth_embeddings(spark, range(0, 120)).coalesce(1).write.parquet(
+        f"{corpus}/embeddings.parquet"
+    )
+    idx = str(tmp_path / "idx")
+    assert AI.build_ann_index(spark, corpus, idx) is not None
+    with_manifest = _rows(
+        AI.index_probe_exact(spark, corpus, nprobe=S.NPROBE, idx_dir=idx)
+    )
+    (AI.Path(idx) / AI.CURRENT_NAME).unlink()
+    AI.shutil.rmtree(AI.Path(idx) / AI.EPOCHS_DIR)
+    assert AI.index_epochs(idx) == []
+    assert _rows(
+        AI.index_probe_exact(spark, corpus, nprobe=S.NPROBE, idx_dir=idx)
+    ) == with_manifest
+    assert _rows(
+        AI.index_probe_adc(spark, corpus, nprobe=S.NPROBE, idx_dir=idx)
+    )  # ADC path also survives the fallback
+
+
+def test_manifest_resolution_with_empty_probed_cells(spark, tmp_path):
+    """cells= pointing only at cells with no files falls back to the
+    full manifest set, and the isin filter yields the correct empty
+    result instead of a read error."""
+    corpus = str(tmp_path / "c")
+    _synth_embeddings(spark, range(0, 80)).coalesce(1).write.parquet(
+        f"{corpus}/embeddings.parquet"
+    )
+    idx = str(tmp_path / "idx")
+    assert AI.build_ann_index(spark, corpus, idx) is not None
+    df = AI._read_index(spark, idx, cells=[987654])
+    assert df.filter(AI.F.col("cell") == 987654).count() == 0
+    assert df.count() > 0  # full-set fallback, filter does the rest
