@@ -571,8 +571,9 @@ def test_compact_crash_rolls_forward(spark, tmp_path, monkeypatch):
         w(_synth_embeddings(spark, range(1000 + 40 * i, 1040 + 40 * i), shift=3), i)
     n_rows = spark.read.parquet(idx).count()
     before = _rows(AI.index_probe_exact(spark, corpus, nprobe=S.NPROBE, idx_dir=idx))
-    # call 1 = first cell's manifest commit, call 2 = its add-move
-    crash = _CrashAt(AI.os.replace, 2)
+    # call 1 = the lock heartbeat, call 2 = first cell's manifest
+    # commit, call 3 = its add-move
+    crash = _CrashAt(AI.os.replace, 3)
     monkeypatch.setattr(AI.os, "replace", crash)
     with pytest.raises(RuntimeError, match="injected"):
         AI.compact_ann_index(spark, idx)
@@ -992,9 +993,10 @@ def test_reader_snapshot_isolation_mid_compaction_apply(
     expected = _manifest_reader_rows(spark, idx)
     assert len(expected) == 200 == len({v for v, _ in expected})
 
-    # (a) crash at the first add-move (os.replace 1 = the pending
-    # compaction-manifest commit, 2 = first add-move)
-    crash = _CrashAt(AI.os.replace, 2)
+    # (a) crash at the first add-move (os.replace 1 = the lock
+    # heartbeat, 2 = the pending compaction-manifest commit,
+    # 3 = first add-move)
+    crash = _CrashAt(AI.os.replace, 3)
     monkeypatch.setattr(AI.os, "replace", crash)
     with pytest.raises(RuntimeError, match="injected"):
         AI.compact_ann_index(spark, idx)
@@ -1215,17 +1217,20 @@ def test_vacuum_grace_compaction_lifecycle(spark, tmp_path):
         AI._release_maintenance_lock(root)
 
 
-@pytest.mark.parametrize("crash_at", range(1, 9))
+@pytest.mark.parametrize("crash_at", range(1, 11))
 def test_compaction_crash_sweep_exactly_once(
     spark, tmp_path, monkeypatch, crash_at
 ):
     """Systematic generalization of the two-point fault injection: a
-    compaction crashed at EVERY os.replace site in turn (pending-
-    manifest commit, add-move, epoch-history write, epoch swap —
-    cycling through cells) must leave a manifest reader seeing exactly
-    one copy of every row, and roll forward to a clean pruned index on
-    the next call. Sites past the total call count mean the run
-    completed — also asserted exactly-once."""
+    compaction crashed at EVERY os.replace site in turn (lock
+    heartbeat, pending-manifest commit, add-move, epoch-history
+    write, epoch swap — 5 sites per cell, cycling through cells) must
+    leave a manifest reader seeing exactly one copy of every row, and
+    roll forward to a clean pruned index on the next call. Sites past
+    the total call count mean the run completed — also asserted
+    exactly-once. The CATALOG route is swept too (VERDICT r13 #1): a
+    view registered at each crash point resolves the same
+    exactly-once snapshot through spark.table."""
     corpus, idx = _seeded_multi_file_index(spark, tmp_path)
     root = AI.Path(idx)
     expected = _manifest_reader_rows(spark, idx)
@@ -1239,9 +1244,15 @@ def test_compaction_crash_sweep_exactly_once(
     if (root / AI.MAINT_LOCK).exists():  # only on a non-finally death
         AI.release_stale_maintenance_lock(root, force=True)
     assert _manifest_reader_rows(spark, idx) == expected, crash_at
+    AI.register_index_view(spark, idx, "sweep_view")
+    assert sorted(
+        (int(r["vec_id"]), int(r["cell"]))
+        for r in spark.table("sweep_view").select("vec_id", "cell").collect()
+    ) == expected, crash_at
+    spark.catalog.dropTempView("sweep_view")
     AI.compact_ann_index(spark, idx)  # roll forward / finish
     assert _manifest_reader_rows(spark, idx) == expected, crash_at
-    assert not (root / "_ann_compaction.json").exists()
+    assert not (root / AI.PENDING_NAME).exists()
     scans = AI.executed_scan_metrics(
         AI.index_probe_exact(spark, corpus, nprobe=S.NPROBE, idx_dir=idx)
     )
@@ -1340,9 +1351,11 @@ def test_pre_epoch_index_still_probes(spark, tmp_path):
 
 
 def test_manifest_resolution_with_empty_probed_cells(spark, tmp_path):
-    """cells= pointing only at cells with no files falls back to the
-    full manifest set, and the isin filter yields the correct empty
-    result instead of a read error."""
+    """cells= pointing only at cells with no files yields the correct
+    empty result by planning over ONE manifest file (schema + cell
+    partition column intact), NOT by resolving the full live set
+    (ADVICE r13 #4 — an empty-cell probe at K~1e5 must not plan over
+    the whole index's file list)."""
     corpus = str(tmp_path / "c")
     _synth_embeddings(spark, range(0, 80)).coalesce(1).write.parquet(
         f"{corpus}/embeddings.parquet"
@@ -1350,5 +1363,254 @@ def test_manifest_resolution_with_empty_probed_cells(spark, tmp_path):
     idx = str(tmp_path / "idx")
     assert AI.build_ann_index(spark, corpus, idx) is not None
     df = AI._read_index(spark, idx, cells=[987654])
-    assert df.filter(AI.F.col("cell") == 987654).count() == 0
-    assert df.count() > 0  # full-set fallback, filter does the rest
+    assert df.count() == 0
+    assert len(df.inputFiles()) <= 1  # one schema file, not the index
+    for col in ("vec_id", "cell", "codes", "embedding", "norm"):
+        assert col in df.columns
+    # the probe built on top still returns the correct empty frame
+    assert df.filter(AI.F.col("cell").isin([987654])).count() == 0
+
+
+def _view_rows(spark, name):
+    return sorted(
+        (int(r["vec_id"]), int(r["cell"]))
+        for r in spark.table(name).select("vec_id", "cell").collect()
+    )
+
+
+def test_register_index_view_pruning_and_refresh(spark, tmp_path):
+    """The manifest-backed catalog route (VERDICT r13 #1):
+    register_index_view pins a named relation to the current epoch —
+    probes through spark.table(name) return identical rows with the
+    identical pruned-scan shape as the path route; the view is a
+    SNAPSHOT (an append is invisible until re-registration); and
+    epoch= pins a time-travel view."""
+    corpus, idx = _seeded_multi_file_index(spark, tmp_path)
+    cur_epoch = int(AI._load_current(AI.Path(idx))["epoch"])
+    assert AI.register_index_view(spark, idx, "annv") == cur_epoch
+    rel = spark.table("annv")
+    path_rows = _rows(
+        AI.index_probe_exact(spark, corpus, nprobe=S.NPROBE, idx_dir=idx)
+    )
+    assert _rows(
+        AI.index_probe_exact(
+            spark, corpus, nprobe=S.NPROBE, idx_dir=idx, relation=rel
+        )
+    ) == path_rows
+    # identical executed pruning: same files read as the manifest route
+    n_path = AI.executed_scan_metrics(
+        AI.index_probe_exact(spark, corpus, nprobe=S.NPROBE, idx_dir=idx)
+    )[0]["num_files"]
+    n_view = AI.executed_scan_metrics(
+        AI.index_probe_exact(
+            spark, corpus, nprobe=S.NPROBE, idx_dir=idx, relation=rel
+        )
+    )[0]["num_files"]
+    assert n_view == n_path
+    # snapshot semantics: a commit after registration is invisible
+    # until the operator re-registers (the refresh contract)
+    before = _view_rows(spark, "annv")
+    AI.append_ann_index(
+        spark, _synth_embeddings(spark, range(5000, 5040), shift=3), idx
+    )
+    assert _view_rows(spark, "annv") == before
+    new_epoch = AI.register_index_view(spark, idx, "annv")
+    assert new_epoch > cur_epoch
+    after = _view_rows(spark, "annv")
+    assert len(after) == len(before) + 40
+    assert len({v for v, _ in after}) == len(after)
+    # explicit epoch= gives a pinned time-travel view
+    assert AI.register_index_view(spark, idx, "annv_e1", epoch=1) == 1
+    assert len(_view_rows(spark, "annv_e1")) == 120  # the build alone
+    spark.catalog.dropTempView("annv")
+    spark.catalog.dropTempView("annv_e1")
+
+
+def test_catalog_view_snapshot_isolation_mid_apply(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r13 #1 closed: the catalog route inherits the epoch
+    manifest's snapshot isolation. A view registered mid-apply (post-
+    swap crash, the r12 double-count window) sees exactly one copy of
+    every row, and a view registered BEFORE the compaction keeps
+    reading its own epoch's files through the apply and past
+    completion under vacuum grace — until an explicit vacuum."""
+    corpus, idx = _seeded_multi_file_index(spark, tmp_path)
+    root = AI.Path(idx)
+    expected = _manifest_reader_rows(spark, idx)
+    AI.register_index_view(spark, idx, "pre_view")  # pre-apply snapshot
+
+    real_commit = AI._commit_current
+
+    def _commit_then_crash(r, files, retired=None):
+        real_commit(r, files, retired=retired)
+        raise RuntimeError("injected post-swap crash")
+
+    monkeypatch.setattr(AI, "_commit_current", _commit_then_crash)
+    with pytest.raises(RuntimeError, match="post-swap"):
+        AI.compact_ann_index(spark, idx, vacuum_grace=True)
+    monkeypatch.setattr(AI, "_commit_current", real_commit)
+    AI._release_maintenance_lock(root)
+    # double-copy state exists on disk; BOTH views must hide it
+    assert spark.read.parquet(idx).count() > len(expected)
+    AI.register_index_view(spark, idx, "mid_view")
+    assert _view_rows(spark, "mid_view") == expected
+    assert _view_rows(spark, "pre_view") == expected
+    # roll forward to completion: grace retention keeps the pre-apply
+    # view's files on disk, so it STILL reads its snapshot
+    AI.compact_ann_index(spark, idx, vacuum_grace=True)
+    assert _view_rows(spark, "pre_view") == expected
+    fresh_epoch = AI.register_index_view(spark, idx, "post_view")
+    assert _view_rows(spark, "post_view") == expected
+    assert fresh_epoch == int(AI._load_current(root)["epoch"])
+    for v in ("pre_view", "mid_view", "post_view"):
+        spark.catalog.dropTempView(v)
+
+
+def test_heartbeat_lease_contract(tmp_path):
+    """VERDICT r13 #3 + ADVICE r13 #1: max_age_sec is a true LEASE
+    measured from the last heartbeat, applied ONLY where liveness is
+    unverifiable — a heartbeating owner survives an age-based release
+    attempt, a non-heartbeating one is released, and a same-host
+    VERIFIED-ALIVE owner is never releasable by age at all."""
+    import json as _json
+    import time as _time
+
+    root = AI.Path(tmp_path)
+    # same-host ALIVE pid: age bound must NOT apply (ADVICE r13 #1)
+    AI._acquire_maintenance_lock(root)
+    with pytest.raises(RuntimeError, match="VERIFIED ALIVE"):
+        AI.release_stale_maintenance_lock(root, max_age_sec=0.0)
+    assert (root / AI.MAINT_LOCK).exists()
+    # the owner's heartbeat refreshes heartbeat_utc, not acquired_utc
+    info0 = AI.maintenance_lock_info(root)
+    _time.sleep(1.1)  # timespec is seconds
+    AI._heartbeat_lock(root)
+    info1 = AI.maintenance_lock_info(root)
+    assert info1["acquired_utc"] == info0["acquired_utc"]
+    assert info1["heartbeat_utc"] > info0["heartbeat_utc"]
+    AI._release_maintenance_lock(root)
+    # other-host owner, ancient acquire, FRESH heartbeat: the lease
+    # holds — an age-based release attempt must refuse
+    now = AI.datetime.now(AI.timezone.utc).isoformat(timespec="seconds")
+    (root / AI.MAINT_LOCK).write_text(
+        _json.dumps({
+            "pid": 1,
+            "host": "some-other-host",
+            "acquired_utc": "2020-01-01T00:00:00+00:00",
+            "heartbeat_utc": now,
+        })
+    )
+    with pytest.raises(RuntimeError, match="not provably dead"):
+        AI.release_stale_maintenance_lock(root, max_age_sec=3600)
+    # same lock, STALE heartbeat: the lease expired — released
+    (root / AI.MAINT_LOCK).write_text(
+        _json.dumps({
+            "pid": 1,
+            "host": "some-other-host",
+            "acquired_utc": "2020-01-01T00:00:00+00:00",
+            "heartbeat_utc": "2020-01-01T01:00:00+00:00",
+        })
+    )
+    info = AI.release_stale_maintenance_lock(root, max_age_sec=3600)
+    assert info["pid"] == 1
+    assert not (root / AI.MAINT_LOCK).exists()
+
+
+def test_committers_refuse_on_pending_compaction(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r13 #3: after an operator releases a DEAD compactor's
+    lock, the half-applied compaction (committed pending manifest) is
+    exactly the state where a committer's walk-derived epoch would
+    fold both copies of a row into the live set — append and the
+    stream sink must refuse until compact_ann_index replays it."""
+    corpus, idx = _seeded_multi_file_index(spark, tmp_path)
+    root = AI.Path(idx)
+    expected = _manifest_reader_rows(spark, idx)
+    # kill the compactor at its first add-move: pending manifest
+    # committed, adds partially moved in, lock held by the corpse
+    crash = _CrashAt(AI.os.replace, 3)
+    monkeypatch.setattr(AI.os, "replace", crash)
+    with pytest.raises(RuntimeError, match="injected"):
+        AI.compact_ann_index(spark, idx)
+    monkeypatch.setattr(AI.os, "replace", crash.real)
+    # the in-process finally already dropped the lock (a real crash
+    # leaves it for release_stale_maintenance_lock); the half-applied
+    # manifest is the state committers must now refuse on
+    if (root / AI.MAINT_LOCK).exists():
+        AI.release_stale_maintenance_lock(root, force=True)
+    assert (root / AI.PENDING_NAME).exists()
+    batch = _synth_embeddings(spark, range(7000, 7020), shift=3)
+    with pytest.raises(RuntimeError, match="compaction manifest is pending"):
+        AI.append_ann_index(spark, batch, idx)
+    with pytest.raises(RuntimeError, match="compaction manifest is pending"):
+        AI.ann_index_stream_writer(idx)(batch, 9)
+    assert not (root / "_staging" / "9").exists()  # marker cleaned up
+    # the documented recovery order: compact replays under the lock,
+    # then ingest resumes — exactly-once throughout
+    AI.compact_ann_index(spark, idx)
+    assert not (root / AI.PENDING_NAME).exists()
+    assert _manifest_reader_rows(spark, idx) == expected
+    AI.append_ann_index(spark, batch, idx)
+    after = _manifest_reader_rows(spark, idx)
+    assert len(after) == len(expected) + 20
+    assert len({v for v, _ in after}) == len(after)
+
+
+def test_vacuum_keep_age_sec_horizon(spark, tmp_path):
+    """VERDICT r13 #5: the time-based retention horizon. Retired
+    entries younger than keep_age_sec stay; entries whose retire
+    epoch's committed_utc stamp is older are reclaimed; BOTH horizons
+    must pass (conservative intersection with keep_epochs); a
+    pre-r14 epoch without a stamp falls back to its history file's
+    mtime."""
+    import json as _json
+
+    corpus, idx = _seeded_multi_file_index(spark, tmp_path)
+    root = AI.Path(idx)
+    expected = _manifest_reader_rows(spark, idx)
+    AI.compact_ann_index(spark, idx, vacuum_grace=True)
+    cur = AI._load_current(root)
+    n_retired = sum(len(e["files"]) for e in cur.get("retired", []))
+    assert n_retired > 0
+    # young entries: the age horizon keeps everything even at
+    # keep_epochs=0
+    out = AI.vacuum_ann_index(idx, keep_epochs=0, keep_age_sec=86_400)
+    assert out == {"files_removed": 0, "entries_kept": len(cur["retired"])}
+    # age the retire epochs' commit stamps by editing the history
+    # files (the stamp is what the horizon measures)
+    for ent in cur["retired"]:
+        p = root / AI.EPOCHS_DIR / f"epoch-{int(ent['epoch']):08d}.json"
+        man = _json.loads(p.read_text())
+        man["committed_utc"] = "2020-01-01T00:00:00+00:00"
+        p.write_text(_json.dumps(man))
+    # both horizons must pass: an un-passed epoch horizon still keeps
+    out = AI.vacuum_ann_index(
+        idx, keep_epochs=10_000, keep_age_sec=3600
+    )
+    assert out["files_removed"] == 0
+    # aged past the lease and past the epoch horizon: reclaimed
+    out = AI.vacuum_ann_index(idx, keep_epochs=0, keep_age_sec=3600)
+    assert out["files_removed"] == n_retired
+    assert out["entries_kept"] == 0
+    assert _manifest_reader_rows(spark, idx) == expected
+    # pre-r14 fallback: a stamp-less epoch history file's mtime decides
+    AI.compact_ann_index(spark, idx, vacuum_grace=True)
+    AI.append_ann_index(
+        spark, _synth_embeddings(spark, range(8000, 8040), shift=3), idx
+    )
+    AI.compact_ann_index(spark, idx, vacuum_grace=True)
+    cur2 = AI._load_current(root)
+    if cur2.get("retired"):
+        ent = cur2["retired"][0]
+        p = root / AI.EPOCHS_DIR / f"epoch-{int(ent['epoch']):08d}.json"
+        man = _json.loads(p.read_text())
+        man.pop("committed_utc", None)
+        p.write_text(_json.dumps(man))
+        AI.os.utime(p, (0, 0))  # epoch mtime: 1970 — ancient
+        out = AI.vacuum_ann_index(idx, keep_epochs=0, keep_age_sec=3600)
+        assert out["files_removed"] >= len(ent["files"])
+    final = _manifest_reader_rows(spark, idx)
+    assert len(final) == len(expected) + 40
+    assert len({v for v, _ in final}) == len(final)
