@@ -324,11 +324,16 @@ def render_ann_block(soak_path: Path | None = None) -> str:
             )
             lines.append("  |---|---|---|---|---|")
             for row in fr:
+                # files_total is recorded in the row since r14
+                # (ADVICE r13 #5); inverting the 4-dp-rounded fraction
+                # is the pre-r14 fallback only
+                total = row.get("files_total") or round(
+                    row["files_read"] / max(row["files_frac"], 1e-9)
+                )
                 lines.append(
                     f"  | {row['nprobe']} | {row['refine_r']} | "
                     f"{row['recall_mean']} ± {row['recall_sd']} | "
-                    f"{row['probe_sec']} | {row['files_read']}/"
-                    f"{round(row['files_read'] / max(row['files_frac'], 1e-9))} |"
+                    f"{row['probe_sec']} | {row['files_read']}/{total} |"
                 )
         u = scale.get("trained_k256_uniform10x") or {}
         ur = u.get("recall_at_10")
@@ -370,13 +375,33 @@ def render_ann_block(soak_path: Path | None = None) -> str:
                 "flags, same full lifecycle at K~sqrt(N)"
             )
         if cat:
+            route = t.get("catalog_route") or {}
+            route_txt = (
+                f" (since r14 the headline catalog numbers take the "
+                f"MANIFEST-BACKED view — `register_index_view`, pinned "
+                f"epoch {route.get('epoch')}, snapshot-isolated through "
+                f"maintenance; raw metastore-table comparison probe "
+                f"**{t.get('probe_adc_sec_metastore_table')} s**)"
+                if route.get("kind") == "manifest_view"
+                else ""
+            )
             lines.append(
                 f"- catalog-table (metastore) route: same probe through "
                 f"`CREATE TABLE ... LOCATION` + `recoverPartitions` reads "
                 f"**{cat['files_read']}/{cat['files_total']}** files of "
                 f"**{t.get('catalog_table_partitions')}** registered "
                 f"partitions — pruning survives the metastore listing "
-                f"path"
+                f"path{route_txt}"
+            )
+        cmc = t.get("compact_many_cells")
+        if cmc:
+            lines.append(
+                f"- many-cell compaction at this K (r14 batched rewrite, "
+                f"VERDICT r13 #4): 2 appends inflate every cell, then ONE "
+                f"Spark job + per-cell manifest applies compact "
+                f"**{cmc['cells_compacted']}** cells in "
+                f"**{cmc['compact_sec']} s** (appends took "
+                f"{cmc['append_sec_2_batches']} s)"
             )
         bt = t.get("balance_tail")
         if bt:
@@ -437,6 +462,26 @@ def render_ann_block(soak_path: Path | None = None) -> str:
             f"exactly-once: **{ci.get('rows_total')}/"
             f"{ci.get('rows_expected')}** rows, "
             f"**{ci.get('duplicate_vec_ids')}** duplicate ids"
+        )
+    mc = (doc.get("manifest_commit_curve") or {}).get("rows")
+    if mc:
+        curve = "; ".join(
+            f"{row['files']:,} files → **{row['commit_sec']} s**, "
+            f"{row['manifest_bytes'] / 1e6:.2f} MB"
+            for row in mc
+        )
+        big = mc[-1]
+        lines.append(
+            f"- manifest-commit cost curve (VERDICT r13 #6, synthetic "
+            f"~1 file/cell): {curve}. Go/no-go on Iceberg's split "
+            f"manifest-list layout: at {big['files']:,} entries a commit "
+            f"costs {big['commit_sec']} s of JSON I/O — fine at "
+            f"micro-batch/maintenance cadence (seconds apart), NOT fine "
+            f"if per-cell applies run at K~1e5 (K commits × "
+            f"{big['commit_sec']} s); the r14 batched compaction keeps "
+            f"per-cell commits, so the manifest-list split becomes "
+            f"load-bearing at K ≳ 1e4 compaction scopes — documented as "
+            f"the named upgrade, not yet needed at the measured scopes"
         )
     lines.append(ANN_END)
     return "\n".join(lines)
