@@ -1397,11 +1397,12 @@ def index_probe_adc(
     filter prunes to the probed partitions. An OPQ index (rotation in
     meta) rotates each per-cell probe residual with the persisted R
     before building its table — the codes live in rotated space.
-    ``relation`` substitutes the index relation (e.g. a registered
-    catalog table via ``spark.table``) for the path read: a fresh
-    path read re-lists ALL K partition directories to build its
-    InMemoryFileIndex, which dominates fresh-probe latency at large
-    K, while the catalog route lists only the pruned partitions."""
+    ``relation`` substitutes the index relation for the manifest-
+    resolved path read — pass ``spark.table(name)`` after
+    :func:`register_index_view` for the snapshot-isolated catalog
+    route (a raw ``CREATE TABLE ... LOCATION`` table also works for a
+    STATIC index, but resolves files by directory listing and so
+    loses the manifest's isolation during a compaction apply)."""
     e = load(spark, sf_dir, "embeddings")
     empty = spark.createDataFrame([], "vec_id bigint, adc double")
     idx_dir = idx_dir if idx_dir is not None else index_dir_for(spark, sf_dir)
