@@ -891,7 +891,15 @@ def compact_ann_index(
     ~one file per cell under ``_compacting/`` in a single pass. The
     COMMIT sequence stays per-cell and unchanged (manifest → apply →
     epoch swap), so the crash semantics the sweep asserts are
-    identical — only the rewrite I/O is batched.
+    identical — only the rewrite I/O is batched. Known next upgrade
+    (measured, not yet load-bearing): per-cell commits pay one full
+    epoch-manifest rewrite EACH — 0.506 s at 1e5 live files
+    (SOAK_r14 ``manifest_commit_curve``) — so a compaction touching
+    K ≳ 1e4 cells should commit ONE epoch for the whole run (single
+    pending manifest naming every cell's adds/deletes, all moves,
+    one swap, then deletes; same isolation argument, strictly fewer
+    crash sites), with Iceberg's manifest-list split as the step
+    after that if single-manifest SIZE ever dominates.
 
     Crash-safe by roll-forward: the rewrites land in ``_compacting/``
     (invisible to readers), then per cell a manifest naming the exact

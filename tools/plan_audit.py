@@ -479,9 +479,13 @@ def render_ann_block(soak_path: Path | None = None) -> str:
             f"micro-batch/maintenance cadence (seconds apart), NOT fine "
             f"if per-cell applies run at K~1e5 (K commits × "
             f"{big['commit_sec']} s); the r14 batched compaction keeps "
-            f"per-cell commits, so the manifest-list split becomes "
-            f"load-bearing at K ≳ 1e4 compaction scopes — documented as "
-            f"the named upgrade, not yet needed at the measured scopes"
+            f"per-cell commits, so the named upgrade at K ≳ 1e4 "
+            f"compaction scopes is ONE epoch commit per compaction "
+            f"(single pending manifest, one swap — same isolation, "
+            f"fewer crash sites; see compact_ann_index's docstring), "
+            f"with Iceberg's manifest-list split after that if "
+            f"single-manifest size ever dominates — neither yet needed "
+            f"at the measured scopes"
         )
     lines.append(ANN_END)
     return "\n".join(lines)
