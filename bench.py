@@ -900,10 +900,13 @@ def _ann_index_trained_block(
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         spark.catalog.dropTempView(view)
-    # VERDICT r13 #4 done-criterion: the MANY-CELL compaction
+    # VERDICT r13 #4 / r14 #1 done-criterion: the MANY-CELL compaction
     # measurement. Two appended batches put every populated cell over
     # the 1-file threshold; compact then rewrites all ~K cells in ONE
-    # Spark job (r14 batched rewrite) + K per-cell manifest applies.
+    # Spark job (r14 batched rewrite) and commits ONE epoch for the
+    # whole run (r15 single-epoch apply — epochs_committed below is
+    # the measured fact; at the curve's 0.506 s/commit for 1e5-file
+    # manifests, the per-cell alternative costs K × that).
     # Runs LAST — it mutates the index after every recall/probe
     # number above is taken.
     seed = e.orderBy("vec_id").limit(2048).select("vec_id", "embedding")
@@ -919,12 +922,18 @@ def _ann_index_trained_block(
             idx,
         )
     append_sec = round(time.perf_counter() - t0, 3)
+    epoch_before = int(AI._load_current(AI.Path(idx))["epoch"])
     t0 = time.perf_counter()
     res = AI.compact_ann_index(spark, idx)
     block["compact_many_cells"] = {
         "append_sec_2_batches": append_sec,
         "cells_compacted": res["cells_compacted"],
         "compact_sec": round(time.perf_counter() - t0, 3),
+        # r15 single-epoch apply: one manifest commit for the whole
+        # K-cell run (epoch delta measured, not asserted from code)
+        "epochs_committed": res["epochs_committed"],
+        "epoch_delta": int(AI._load_current(AI.Path(idx))["epoch"])
+        - epoch_before,
     }
     return block
 

@@ -439,7 +439,9 @@ def test_index_rebuilds_on_corpus_change(spark, tmp_path):
 
 class _CrashAt:
     """os.replace wrapper raising at the Nth call — the fault
-    injector for the ingest/compaction crash-window tests."""
+    injector for the ingest crash-window tests (the ingest path's
+    call order is pinned: 1 = the ledger commit, 2 = first staged
+    move, ...)."""
 
     def __init__(self, real, n):
         self.real, self.n, self.count = real, n, 0
@@ -449,6 +451,45 @@ class _CrashAt:
         if self.count == self.n:
             raise RuntimeError("injected crash")
         return self.real(*a, **k)
+
+
+class _CrashAtSite:
+    """os.replace wrapper raising at the Nth call whose DESTINATION
+    matches a semantic commit site — the compaction fault injector.
+    Classifying by path instead of global call count keeps the sweep
+    pinned to the commit protocol's sites (pending-manifest commit,
+    add-move, epoch-history write, _current.json swap) no matter how
+    many cells the run touches (r15: the single-epoch commit made
+    the add-move count data-dependent). The lease heartbeat is NOT a
+    site: it is advisory metadata on os.rename, fault-injected by
+    the dedicated lease tests."""
+
+    SITES = ("pending", "move", "history", "swap")
+
+    def __init__(self, real, site, nth=1):
+        self.real, self.site, self.nth, self.count = real, site, nth, 0
+
+    @staticmethod
+    def classify(dst) -> str:
+        p = AI.Path(dst)
+        if p.name == AI.PENDING_NAME:
+            return "pending"
+        if p.name == AI.CURRENT_NAME:
+            return "swap"
+        if p.parent.name == AI.EPOCHS_DIR:
+            return "history"
+        if p.parent.name.startswith("cell=") and p.name.startswith(
+            "compact-"
+        ):
+            return "move"
+        return "other"
+
+    def __call__(self, src, dst, *a, **k):
+        if self.classify(dst) == self.site:
+            self.count += 1
+            if self.count == self.nth:
+                raise RuntimeError("injected crash")
+        return self.real(src, dst, *a, **k)
 
 
 def _ingest_crash_roundtrip(spark, tmp_path, monkeypatch, crash_at):
@@ -571,9 +612,9 @@ def test_compact_crash_rolls_forward(spark, tmp_path, monkeypatch):
         w(_synth_embeddings(spark, range(1000 + 40 * i, 1040 + 40 * i), shift=3), i)
     n_rows = spark.read.parquet(idx).count()
     before = _rows(AI.index_probe_exact(spark, corpus, nprobe=S.NPROBE, idx_dir=idx))
-    # call 1 = the lock heartbeat, call 2 = first cell's manifest
-    # commit, call 3 = its add-move
-    crash = _CrashAt(AI.os.replace, 3)
+    # crash at the first add-move: the single pending manifest is
+    # committed, the apply is interrupted
+    crash = _CrashAtSite(AI.os.replace, "move", 1)
     monkeypatch.setattr(AI.os, "replace", crash)
     with pytest.raises(RuntimeError, match="injected"):
         AI.compact_ann_index(spark, idx)
@@ -993,10 +1034,9 @@ def test_reader_snapshot_isolation_mid_compaction_apply(
     expected = _manifest_reader_rows(spark, idx)
     assert len(expected) == 200 == len({v for v, _ in expected})
 
-    # (a) crash at the first add-move (os.replace 1 = the lock
-    # heartbeat, 2 = the pending compaction-manifest commit,
-    # 3 = first add-move)
-    crash = _CrashAt(AI.os.replace, 3)
+    # (a) crash at the first add-move (the pending manifest is
+    # committed; the manifest still names the old files, all on disk)
+    crash = _CrashAtSite(AI.os.replace, "move", 1)
     monkeypatch.setattr(AI.os, "replace", crash)
     with pytest.raises(RuntimeError, match="injected"):
         AI.compact_ann_index(spark, idx)
@@ -1217,46 +1257,59 @@ def test_vacuum_grace_compaction_lifecycle(spark, tmp_path):
         AI._release_maintenance_lock(root)
 
 
-@pytest.mark.parametrize("crash_at", range(1, 11))
+@pytest.mark.parametrize(
+    "site,nth",
+    [
+        ("pending", 1),   # the single pending-manifest commit itself
+        ("move", 1),      # first add-move of the apply
+        ("move", 2),      # mid-move
+        ("move", 3),      # later move (another cell's add)
+        ("history", 1),   # the one epoch-history write
+        ("swap", 1),      # the one _current.json visibility swap
+        ("none", 1),      # no crash: the completed run, same asserts
+    ],
+)
 def test_compaction_crash_sweep_exactly_once(
-    spark, tmp_path, monkeypatch, crash_at
+    spark, tmp_path, monkeypatch, site, nth
 ):
-    """Systematic generalization of the two-point fault injection: a
-    compaction crashed at EVERY os.replace site in turn (lock
-    heartbeat, pending-manifest commit, add-move, epoch-history
-    write, epoch swap — 5 sites per cell, cycling through cells) must
-    leave a manifest reader seeing exactly one copy of every row, and
-    roll forward to a clean pruned index on the next call. Sites past
-    the total call count mean the run completed — also asserted
-    exactly-once. The CATALOG route is swept too (VERDICT r13 #1): a
-    view registered at each crash point resolves the same
-    exactly-once snapshot through spark.table."""
+    """Systematic fault injection at every semantic os.replace site of
+    the SINGLE-EPOCH commit protocol (r15: one pending manifest naming
+    every cell's adds/deletes, all moves, ONE history write, ONE
+    _current.json swap — sites classified by destination path, so the
+    sweep is invariant to how many cells a run touches): a compaction
+    crashed at each site must leave a manifest reader seeing exactly
+    one copy of every row, and roll forward to a clean pruned index on
+    the next call. The CATALOG route is swept too (VERDICT r13 #1): a
+    view registered at each crash point resolves the same exactly-once
+    snapshot through spark.table. The lease heartbeat is not a site —
+    it is advisory metadata (os.rename), covered by the lease tests."""
     corpus, idx = _seeded_multi_file_index(spark, tmp_path)
     root = AI.Path(idx)
     expected = _manifest_reader_rows(spark, idx)
-    crash = _CrashAt(AI.os.replace, crash_at)
+    crash = _CrashAtSite(AI.os.replace, site, nth)
     monkeypatch.setattr(AI.os, "replace", crash)
     try:
         AI.compact_ann_index(spark, idx)
+        assert site == "none", f"expected a crash at {site}/{nth}"
     except RuntimeError as exc:
         assert "injected" in str(exc)
     monkeypatch.setattr(AI.os, "replace", crash.real)
     if (root / AI.MAINT_LOCK).exists():  # only on a non-finally death
         AI.release_stale_maintenance_lock(root, force=True)
-    assert _manifest_reader_rows(spark, idx) == expected, crash_at
+    assert _manifest_reader_rows(spark, idx) == expected, (site, nth)
     AI.register_index_view(spark, idx, "sweep_view")
     assert sorted(
         (int(r["vec_id"]), int(r["cell"]))
         for r in spark.table("sweep_view").select("vec_id", "cell").collect()
-    ) == expected, crash_at
-    spark.catalog.dropTempView("sweep_view")
+    ) == expected, (site, nth)
+    AI.drop_index_view(spark, "sweep_view")
     AI.compact_ann_index(spark, idx)  # roll forward / finish
-    assert _manifest_reader_rows(spark, idx) == expected, crash_at
+    assert _manifest_reader_rows(spark, idx) == expected, (site, nth)
     assert not (root / AI.PENDING_NAME).exists()
     scans = AI.executed_scan_metrics(
         AI.index_probe_exact(spark, corpus, nprobe=S.NPROBE, idx_dir=idx)
     )
-    assert scans[0]["num_files"] == S.NPROBE, (crash_at, scans)
+    assert scans[0]["num_files"] == S.NPROBE, (site, nth, scans)
 
 
 def test_time_travel_read_epochs(spark, tmp_path):
@@ -1530,7 +1583,7 @@ def test_committers_refuse_on_pending_compaction(
     expected = _manifest_reader_rows(spark, idx)
     # kill the compactor at its first add-move: pending manifest
     # committed, adds partially moved in, lock held by the corpse
-    crash = _CrashAt(AI.os.replace, 3)
+    crash = _CrashAtSite(AI.os.replace, "move", 1)
     monkeypatch.setattr(AI.os, "replace", crash)
     with pytest.raises(RuntimeError, match="injected"):
         AI.compact_ann_index(spark, idx)
@@ -1614,3 +1667,270 @@ def test_vacuum_keep_age_sec_horizon(spark, tmp_path):
     final = _manifest_reader_rows(spark, idx)
     assert len(final) == len(expected) + 40
     assert len({v for v, _ in final}) == len(final)
+
+
+def test_compaction_commits_one_epoch(spark, tmp_path):
+    """VERDICT r14 #1: a multi-cell compaction commits exactly ONE
+    epoch (single pending manifest naming every cell's adds/deletes,
+    one history write, one swap) — not one per cell. The epoch
+    counter advances by 1 and exactly one new history file appears,
+    so the per-cell manifest-rewrite cost (0.506 s at 1e5 files per
+    SOAK_r14's curve, times K cells) is gone by construction."""
+    corpus, idx = _seeded_multi_file_index(spark, tmp_path)
+    root = AI.Path(idx)
+    expected = _manifest_reader_rows(spark, idx)
+    e0 = int(AI._load_current(root)["epoch"])
+    epochs0 = AI.index_epochs(idx)
+    res = AI.compact_ann_index(spark, idx)
+    assert res["cells_compacted"] > 1, "need a multi-cell run"
+    assert res["epochs_committed"] == 1
+    assert int(AI._load_current(root)["epoch"]) == e0 + 1
+    assert AI.index_epochs(idx) == epochs0 + [e0 + 1]
+    assert _manifest_reader_rows(spark, idx) == expected
+    # grace mode: also one epoch, and ONE retired-ledger entry
+    # covering the whole compaction
+    AI.append_ann_index(
+        spark, _synth_embeddings(spark, range(6000, 6040), shift=3), idx
+    )
+    e1 = int(AI._load_current(root)["epoch"])
+    res = AI.compact_ann_index(spark, idx, vacuum_grace=True)
+    assert res["epochs_committed"] == 1
+    cur = AI._load_current(root)
+    assert int(cur["epoch"]) == e1 + 1
+    new_entries = [
+        ent for ent in cur.get("retired", []) if int(ent["epoch"]) == e1 + 1
+    ]
+    assert len(new_entries) == 1
+    assert len(new_entries[0]["files"]) >= res["cells_compacted"]
+
+
+def test_lease_heartbeat_covers_batched_rewrite(spark, tmp_path, monkeypatch):
+    """ADVICE r14 #1 (the medium): the longest un-checkpointed phase —
+    the ONE Spark job rewriting all cells — is now covered by a
+    background lease heartbeat, so an age-based release attempt
+    DURING a long rewrite finds a fresh heartbeat (and a same-host
+    release attempt finds a verified-alive pid) and refuses. Asserted
+    from inside a slowed rewrite."""
+    import time as _time
+
+    corpus, idx = _seeded_multi_file_index(spark, tmp_path)
+    root = AI.Path(idx)
+    real_rewrite = AI._rewrite_cells
+    seen = {}
+
+    def slow_rewrite(spark_, root_, to_do, tmp_root):
+        before = AI.maintenance_lock_info(root_)["heartbeat_utc"]
+        _time.sleep(1.3)  # heartbeat timespec is seconds
+        # mid-rewrite, same-host operator: refused on verified liveness
+        with pytest.raises(RuntimeError, match="VERIFIED ALIVE"):
+            AI.release_stale_maintenance_lock(root_, max_age_sec=0.0)
+        info = AI.maintenance_lock_info(root_)
+        seen["before"], seen["during"] = before, info["heartbeat_utc"]
+        # the lease math a CROSS-host operator would apply: the last
+        # heartbeat is fresh (age well under any sane max_age_sec),
+        # not the job-start stamp — the r14 blind spot closed
+        age = (
+            AI.datetime.now(AI.timezone.utc)
+            - AI.datetime.fromisoformat(info["heartbeat_utc"])
+        ).total_seconds()
+        seen["age"] = age
+        return real_rewrite(spark_, root_, to_do, tmp_root)
+
+    monkeypatch.setattr(AI, "_rewrite_cells", slow_rewrite)
+    expected = _manifest_reader_rows(spark, idx)
+    res = AI.compact_ann_index(spark, idx, heartbeat_interval_sec=0.05)
+    assert res["cells_compacted"] > 0
+    assert seen["during"] > seen["before"], seen
+    assert seen["age"] < 1.5, seen
+    assert _manifest_reader_rows(spark, idx) == expected
+    assert not (root / AI.MAINT_LOCK).exists()
+
+
+def test_compaction_aborts_on_lease_ownership_loss(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r14 #1 (the split-brain half): if the lease is lost
+    mid-rewrite — an operator force-released the lock and a SECOND
+    maintainer acquired it — the first compactor must abort BEFORE
+    its commit point (zero pending manifest, zero epoch commits) and
+    must NOT release the new owner's lock on the way out."""
+    import json as _json
+
+    corpus, idx = _seeded_multi_file_index(spark, tmp_path)
+    root = AI.Path(idx)
+    expected = _manifest_reader_rows(spark, idx)
+    e0 = int(AI._load_current(root)["epoch"])
+    real_rewrite = AI._rewrite_cells
+
+    def hijacked_rewrite(spark_, root_, to_do, tmp_root):
+        real_rewrite(spark_, root_, to_do, tmp_root)
+        # operator force-release + a second maintainer's acquire,
+        # landing while the first compactor's job was running
+        (root_ / AI.MAINT_LOCK).write_text(
+            _json.dumps({
+                "pid": 1,
+                "host": "second-maintainer-host",
+                "acquired_utc": "2026-01-01T00:00:00+00:00",
+                "heartbeat_utc": "2026-01-01T00:00:00+00:00",
+            })
+        )
+
+    monkeypatch.setattr(AI, "_rewrite_cells", hijacked_rewrite)
+    # raised by the main-thread ownership-verifying heartbeat that
+    # opens the commit sequence, or (if a background tick noticed
+    # first) by the hb.check() wrapper — both before any commit
+    with pytest.raises(
+        RuntimeError, match="ownership lost|heartbeat failed"
+    ):
+        AI.compact_ann_index(spark, idx)
+    monkeypatch.setattr(AI, "_rewrite_cells", real_rewrite)
+    # zero commits: no pending manifest, epoch unmoved, rows intact
+    assert not (root / AI.PENDING_NAME).exists()
+    assert int(AI._load_current(root)["epoch"]) == e0
+    assert _manifest_reader_rows(spark, idx) == expected
+    # the new owner's lock survived the aborting compactor's finally
+    info = AI.maintenance_lock_info(root)
+    assert info and info["pid"] == 1
+    assert info["host"] == "second-maintainer-host"
+    # recovery: the (dead) second maintainer's lock is releasable by
+    # the lease, and a clean rerun compacts normally
+    AI.release_stale_maintenance_lock(root, max_age_sec=3600)
+    res = AI.compact_ann_index(spark, idx)
+    assert res["cells_compacted"] > 0 and res["epochs_committed"] == 1
+    assert _manifest_reader_rows(spark, idx) == expected
+
+
+def test_heartbeat_lock_refuses_without_metadata_or_lock(tmp_path):
+    """ADVICE r14 'wrong #2': a heartbeat against a metadata-less lock
+    must refuse rather than blind-rewrite it with only heartbeat_utc
+    (which would strip release_stale_maintenance_lock's same-host
+    liveness check); a heartbeat against a MISSING lock means the
+    lease was lost and must raise too."""
+    root = AI.Path(tmp_path)
+    (root / AI.MAINT_LOCK).write_text("")
+    with pytest.raises(RuntimeError, match="no owner metadata"):
+        AI._heartbeat_lock(root)
+    assert (root / AI.MAINT_LOCK).read_text() == ""  # preserved
+    (root / AI.MAINT_LOCK).unlink()
+    with pytest.raises(RuntimeError, match="no longer exists"):
+        AI._heartbeat_lock(root)
+    # and a lock someone else owns is never heartbeat-rewritten
+    import json as _json
+
+    (root / AI.MAINT_LOCK).write_text(
+        _json.dumps({"pid": 1, "host": "elsewhere"})
+    )
+    with pytest.raises(RuntimeError, match="ownership lost"):
+        AI._heartbeat_lock(root)
+    assert AI.maintenance_lock_info(root)["pid"] == 1
+    # _release_owned_lock leaves a foreign lock in place
+    AI._release_owned_lock(root)
+    assert (root / AI.MAINT_LOCK).exists()
+
+
+def test_refresh_index_view_and_auto_refresh(spark, tmp_path):
+    """VERDICT r14 #3: refresh_index_view advances a registered view
+    to the current epoch in one call; refresh_on_commit=True views
+    advance automatically at every epoch commit this process makes
+    (append, compaction) while plain views stay pinned; an epoch= pin
+    plus auto-refresh is rejected as contradictory."""
+    corpus, idx = _seeded_multi_file_index(spark, tmp_path)
+    e0 = AI.register_index_view(spark, idx, "rv_manual")
+    assert AI.register_index_view(
+        spark, idx, "rv_auto", refresh_on_commit=True
+    ) == e0
+    before = _view_rows(spark, "rv_manual")
+    assert _view_rows(spark, "rv_auto") == before
+
+    AI.append_ann_index(
+        spark, _synth_embeddings(spark, range(9000, 9040), shift=3), idx
+    )
+    # the commit auto-refreshed rv_auto; rv_manual stays its snapshot
+    assert _view_rows(spark, "rv_manual") == before
+    after = _view_rows(spark, "rv_auto")
+    assert len(after) == len(before) + 40
+    assert len({v for v, _ in after}) == len(after)
+    # one explicit refresh catches rv_manual up
+    e1 = AI.refresh_index_view(spark, "rv_manual")
+    assert e1 > e0
+    assert _view_rows(spark, "rv_manual") == after
+
+    # a grace compaction's single-epoch commit refreshes the auto
+    # view too — exactly-once through maintenance
+    AI.compact_ann_index(spark, idx, vacuum_grace=True)
+    assert _view_rows(spark, "rv_auto") == after
+    assert _view_rows(spark, "rv_manual") == after  # grace: files kept
+
+    # contradictory pin
+    with pytest.raises(ValueError, match="refresh_on_commit"):
+        AI.register_index_view(
+            spark, idx, "rv_bad", epoch=1, refresh_on_commit=True
+        )
+    # unknown view
+    with pytest.raises(RuntimeError, match="no index view"):
+        AI.refresh_index_view(spark, "rv_never_registered")
+
+    # dropping removes the pin: later commits no longer touch it
+    AI.drop_index_view(spark, "rv_auto")
+    AI.drop_index_view(spark, "rv_manual")
+    AI.append_ann_index(
+        spark, _synth_embeddings(spark, range(9500, 9510), shift=3), idx
+    )
+    with pytest.raises(Exception):
+        spark.table("rv_auto")
+
+
+def test_register_index_view_single_manifest_load(spark, tmp_path, monkeypatch):
+    """ADVICE r14 #2: the default-epoch registration resolves the
+    pinned epoch AND the view's file set from ONE _current.json load,
+    so a commit can never land between two reads and return an epoch
+    number that mismatches the pinned files."""
+    corpus, idx = _seeded_multi_file_index(spark, tmp_path)
+    real_load = AI._load_current
+    calls = {"n": 0}
+
+    def counting_load(root):
+        calls["n"] += 1
+        return real_load(root)
+
+    monkeypatch.setattr(AI, "_load_current", counting_load)
+    pinned = AI.register_index_view(spark, idx, "rv_once")
+    monkeypatch.setattr(AI, "_load_current", real_load)
+    assert calls["n"] == 1
+    assert pinned == int(AI._load_current(AI.Path(idx))["epoch"])
+    assert len(_view_rows(spark, "rv_once")) == 200
+    AI.drop_index_view(spark, "rv_once")
+
+
+def test_empty_manifest_resolves_empty_not_retired(spark, tmp_path):
+    """ADVICE r14 #3: when the manifest exists but names NO live files
+    (everything retired under grace), the index relation must resolve
+    EMPTY — a directory-listing fallback would fold the grace-retired
+    files still on disk back into the result."""
+    corpus = str(tmp_path / "c")
+    _synth_embeddings(spark, range(0, 80)).coalesce(1).write.parquet(
+        f"{corpus}/embeddings.parquet"
+    )
+    idx = str(tmp_path / "idx")
+    assert AI.build_ann_index(spark, corpus, idx) is not None
+    root = AI.Path(idx)
+    cur = AI._load_current(root)
+    # retire EVERYTHING: manifest-correct answer is now the empty set,
+    # with all data files still physically on disk
+    all_files = [
+        f"{cell}/{n}" for cell, v in cur["files"].items() for n in v
+    ]
+    AI._commit_current(
+        root,
+        {},
+        retired=[{"epoch": int(cur["epoch"]) + 1, "files": all_files}],
+    )
+    assert spark.read.parquet(idx).count() == 80  # retired bytes exist
+    assert AI._read_index(spark, idx).count() == 0
+    assert AI._read_index(spark, idx, cells=[0, 1, 2]).count() == 0
+    epoch = int(AI._load_current(root)["epoch"])
+    assert AI.read_index_at(spark, idx, epoch).count() == 0
+    # the view route pins the same empty snapshot
+    assert AI.register_index_view(spark, idx, "rv_empty") == epoch
+    assert spark.table("rv_empty").count() == 0
+    AI.drop_index_view(spark, "rv_empty")

@@ -395,13 +395,22 @@ def render_ann_block(soak_path: Path | None = None) -> str:
             )
         cmc = t.get("compact_many_cells")
         if cmc:
+            epochs_txt = (
+                f", committing **{cmc['epochs_committed']}** epoch"
+                f" (measured delta {cmc['epoch_delta']}; r15 "
+                f"single-epoch apply — the per-cell commit cost is "
+                f"gone by construction)"
+                if "epochs_committed" in cmc
+                else ""
+            )
             lines.append(
-                f"- many-cell compaction at this K (r14 batched rewrite, "
-                f"VERDICT r13 #4): 2 appends inflate every cell, then ONE "
-                f"Spark job + per-cell manifest applies compact "
+                f"- many-cell compaction at this K (r14 batched rewrite "
+                f"VERDICT r13 #4; r15 single-epoch commit VERDICT r14 "
+                f"#1): 2 appends inflate every cell, then ONE Spark job "
+                f"+ ONE epoch commit compact "
                 f"**{cmc['cells_compacted']}** cells in "
                 f"**{cmc['compact_sec']} s** (appends took "
-                f"{cmc['append_sec_2_batches']} s)"
+                f"{cmc['append_sec_2_batches']} s){epochs_txt}"
             )
         bt = t.get("balance_tail")
         if bt:
@@ -473,19 +482,18 @@ def render_ann_block(soak_path: Path | None = None) -> str:
         big = mc[-1]
         lines.append(
             f"- manifest-commit cost curve (VERDICT r13 #6, synthetic "
-            f"~1 file/cell): {curve}. Go/no-go on Iceberg's split "
-            f"manifest-list layout: at {big['files']:,} entries a commit "
-            f"costs {big['commit_sec']} s of JSON I/O — fine at "
-            f"micro-batch/maintenance cadence (seconds apart), NOT fine "
-            f"if per-cell applies run at K~1e5 (K commits × "
-            f"{big['commit_sec']} s); the r14 batched compaction keeps "
-            f"per-cell commits, so the named upgrade at K ≳ 1e4 "
-            f"compaction scopes is ONE epoch commit per compaction "
-            f"(single pending manifest, one swap — same isolation, "
-            f"fewer crash sites; see compact_ann_index's docstring), "
-            f"with Iceberg's manifest-list split after that if "
-            f"single-manifest size ever dominates — neither yet needed "
-            f"at the measured scopes"
+            f"~1 file/cell): {curve}. At {big['files']:,} entries a "
+            f"commit costs {big['commit_sec']} s of JSON I/O — fine at "
+            f"micro-batch/maintenance cadence (seconds apart). The K × "
+            f"{big['commit_sec']} s per-cell-apply exposure this curve "
+            f"named is CLOSED in r15: compaction commits ONE epoch for "
+            f"the whole run (single pending manifest naming every "
+            f"cell's adds/deletes, one swap — same isolation, fewer "
+            f"crash sites; `compact_many_cells` above measures the "
+            f"epoch delta). Go/no-go on Iceberg's manifest-list split: "
+            f"only if single-manifest SIZE ever dominates "
+            f"({big['manifest_bytes'] / 1e6:.0f} MB at 1e5 entries — "
+            f"not yet at any measured scope)"
         )
     lines.append(ANN_END)
     return "\n".join(lines)
