@@ -78,6 +78,7 @@ import shutil
 import socket
 import tempfile
 import threading
+import warnings
 from collections import namedtuple
 from datetime import datetime, timezone
 from pathlib import Path
@@ -1263,6 +1264,7 @@ def vacuum_ann_index(
     idx_dir: str,
     keep_epochs: int = 0,
     keep_age_sec: float | None = None,
+    heartbeat_interval_sec: float = 15.0,
 ) -> dict:
     """Reclaim files retired by grace-period compaction — the Iceberg
     expire-snapshots / Delta VACUUM shape. Unlinks every retired file
@@ -1284,7 +1286,11 @@ def vacuum_ann_index(
     Runs under the maintenance lock (replaying any pending compaction
     manifest first, same recovery duty as compact_ann_index) and
     refuses while ingest is active (single-maintainer contract — the
-    ledger read-modify-write must not race another committer)."""
+    ledger read-modify-write must not race another committer). The
+    lock is a live lease through the reclaim loop — a background tick
+    every ``heartbeat_interval_sec`` plus an ownership-verifying
+    heartbeat before the ledger commit, the same coverage as
+    compaction's rewrite (ADVICE r14 #1)."""
     root = Path(idx_dir)
     _acquire_maintenance_lock(root)
     try:
@@ -1316,15 +1322,23 @@ def vacuum_ann_index(
             return False  # age unknowable: keep
 
         removed, kept = 0, []
-        for ent in cur["retired"]:
-            if int(ent["epoch"]) <= horizon and _age_passed(ent):
-                for rel_name in ent["files"]:
-                    p = root / rel_name
-                    if p.exists():
-                        p.unlink()
-                        removed += 1
-            else:
-                kept.append(ent)
+        # the reclaim loop is O(retired files) of unlinks — minutes at
+        # 100 TB retention scopes — so it carries the same background
+        # lease refresh as compaction's rewrite (ADVICE r14 #1 applied
+        # symmetrically): a cross-host age-based release can never
+        # yank a live vacuum mid-reclaim
+        with _LeaseHeartbeat(root, heartbeat_interval_sec) as hb:
+            for ent in cur["retired"]:
+                if int(ent["epoch"]) <= horizon and _age_passed(ent):
+                    for rel_name in ent["files"]:
+                        p = root / rel_name
+                        if p.exists():
+                            p.unlink()
+                            removed += 1
+                else:
+                    kept.append(ent)
+        hb.check()  # a lost lease aborts before the ledger commit
+        _heartbeat_lock(root)  # ownership-verifying, pre-commit
         _commit_current(root, cur["files"], retired=kept)
         return {"files_removed": removed, "entries_kept": len(kept)}
     finally:
@@ -1563,13 +1577,31 @@ def _refresh_auto_views(root: Path) -> None:
     committer (single-writer scope, same thread); at the commit point
     the manifest is exactly-once-consistent, so the refreshed view
     inherits the same snapshot isolation every fresh registration
-    has."""
+    has.
+
+    FAILURE-ISOLATED: by the time this hook runs the epoch commit is
+    already durable, so a broken pin (typically a stopped
+    SparkSession holding a stale registration) must not make every
+    later append/compaction raise post-commit — the pin is dropped
+    with a warning instead, exactly what dropping a view on a dead
+    session means anyway."""
     key = str(Path(root).resolve())
     for name, pin in list(_VIEW_PINS.items()):
         if pin["auto"] and pin["idx_dir"] == key:
-            register_index_view(
-                pin["spark"], key, name, refresh_on_commit=True
-            )
+            try:
+                register_index_view(
+                    pin["spark"], key, name, refresh_on_commit=True
+                )
+            except Exception as exc:
+                _VIEW_PINS.pop(name, None)
+                warnings.warn(
+                    f"refresh_on_commit view {name!r} could not be "
+                    f"re-pinned after an epoch commit ({exc}); its "
+                    "pin was dropped — re-register it on a live "
+                    "session",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
 
 
 def _probe_vector(e: DataFrame, probe_id: int = 0):

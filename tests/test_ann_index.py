@@ -1934,3 +1934,73 @@ def test_empty_manifest_resolves_empty_not_retired(spark, tmp_path):
     assert AI.register_index_view(spark, idx, "rv_empty") == epoch
     assert spark.table("rv_empty").count() == 0
     AI.drop_index_view(spark, "rv_empty")
+
+
+def test_vacuum_lease_covers_reclaim_loop(spark, tmp_path, monkeypatch):
+    """The reclaim loop (O(retired files) of unlinks — minutes at
+    real retention scopes) carries the same background lease refresh
+    as compaction's rewrite: during a slowed reclaim the lock's
+    heartbeat stays fresh, so an age-based release can never yank a
+    live vacuum; and the ledger commit opens with an ownership-
+    verifying heartbeat."""
+    import time as _time
+
+    corpus, idx = _seeded_multi_file_index(spark, tmp_path)
+    root = AI.Path(idx)
+    AI.compact_ann_index(spark, idx, vacuum_grace=True)
+    expected = _manifest_reader_rows(spark, idx)
+    real_load_epoch = AI._load_epoch
+    seen = {}
+
+    def slow_load_epoch(r, epoch):
+        # called once per retired entry when keep_age_sec is set —
+        # the injection point inside the reclaim loop
+        before = AI.maintenance_lock_info(root)["heartbeat_utc"]
+        _time.sleep(1.3)  # heartbeat timespec is seconds
+        info = AI.maintenance_lock_info(root)
+        seen["before"], seen["during"] = before, info["heartbeat_utc"]
+        return real_load_epoch(r, epoch)
+
+    monkeypatch.setattr(AI, "_load_epoch", slow_load_epoch)
+    out = AI.vacuum_ann_index(
+        idx, keep_epochs=0, keep_age_sec=0.0, heartbeat_interval_sec=0.05
+    )
+    monkeypatch.setattr(AI, "_load_epoch", real_load_epoch)
+    assert out["files_removed"] > 0
+    assert seen["during"] > seen["before"], seen
+    assert _manifest_reader_rows(spark, idx) == expected
+    assert not (root / AI.MAINT_LOCK).exists()
+
+
+def test_auto_refresh_failure_drops_pin_not_commit(spark, tmp_path):
+    """A broken refresh_on_commit pin (a stopped session's stale
+    registration) must not poison the commit path: the epoch commit
+    is already durable when the hook runs, so the pin is dropped with
+    a warning and the commit succeeds."""
+    import warnings as _warnings
+
+    corpus, idx = _seeded_multi_file_index(spark, tmp_path)
+    root = AI.Path(idx)
+    AI.register_index_view(spark, idx, "rv_broken", refresh_on_commit=True)
+    # break the pin the way a dead session would: its createOrReplace
+    # raises on use
+    class _DeadSession:
+        def __getattr__(self, item):
+            raise RuntimeError("session is stopped")
+
+    AI._VIEW_PINS["rv_broken"]["spark"] = _DeadSession()
+    before = _manifest_reader_rows(spark, idx)
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        AI.append_ann_index(
+            spark, _synth_embeddings(spark, range(9700, 9720), shift=3), idx
+        )
+    assert any("rv_broken" in str(w.message) for w in caught)
+    assert "rv_broken" not in AI._VIEW_PINS  # pin dropped
+    after = _manifest_reader_rows(spark, idx)
+    assert len(after) == len(before) + 20  # the commit itself landed
+    # later commits are clean (no stale pin left behind)
+    AI.append_ann_index(
+        spark, _synth_embeddings(spark, range(9800, 9820), shift=3), idx
+    )
+    spark.catalog.dropTempView("rv_broken")
