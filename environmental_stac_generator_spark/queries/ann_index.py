@@ -1111,7 +1111,11 @@ def compact_ann_index(
     _acquire_maintenance_lock(root)
     try:
         if pending.exists():  # finish an interrupted apply first
-            _apply_compaction(root, json.loads(pending.read_text()))
+            _apply_compaction(
+                root,
+                json.loads(pending.read_text()),
+                heartbeat_interval_sec=heartbeat_interval_sec,
+            )
         _refuse_if_ingest_active(root)
         # the live-file sets come from the manifest, loaded ONCE
         # (hoisted, VERDICT r13 "wrong #2"): with grace-period
@@ -1153,7 +1157,9 @@ def compact_ann_index(
             "vacuum_grace": bool(vacuum_grace),
         }
         _atomic_write_json(pending, manifest)  # THE commit point
-        _apply_compaction(root, manifest)
+        _apply_compaction(
+            root, manifest, heartbeat_interval_sec=heartbeat_interval_sec
+        )
         shutil.rmtree(tmp_root, ignore_errors=True)
     finally:
         _release_owned_lock(root)
@@ -1189,7 +1195,9 @@ def _refuse_if_ingest_active(root: Path) -> None:
         )
 
 
-def _apply_compaction(root: Path, manifest: dict) -> None:
+def _apply_compaction(
+    root: Path, manifest: dict, heartbeat_interval_sec: float = 15.0
+) -> None:
     """Roll a committed compaction manifest forward — idempotent:
     a missing add-source was already moved, deletes are unlink-if-
     present. The ``compact-`` prefix guarantees an add can never
@@ -1214,50 +1222,62 @@ def _apply_compaction(root: Path, manifest: dict) -> None:
     state (set arithmetic is idempotent). The physical deletes follow
     immediately; at 100 TB a deployment inserts a vacuum grace period
     here so a reader holding a pre-swap snapshot can finish its scan
-    — the isolation argument is unchanged, only the retention knob."""
+    — the isolation argument is unchanged, only the retention knob.
+
+    The apply carries a BEST-EFFORT lease tick (the moves + unlinks
+    are O(manifest files) — the same minutes-at-scale class as the
+    rewrite and reclaim loops), so a live applier/replayer is not
+    age-releasable mid-apply. Best-effort because the apply is PAST
+    the commit point: it must roll FORWARD even if the lease is lost
+    — a second maintainer replaying the same committed manifest
+    recomputes the identical state (idempotent set arithmetic;
+    duplicate same-content epoch commits are benign) — so a failed
+    tick stops ticking rather than aborting the roll-forward."""
     ents = manifest["cells"] if "cells" in manifest else [manifest]
     grace = bool(manifest.get("vacuum_grace"))
     tmp_root = root / "_compacting"
-    for ent in ents:
-        cell_dir = root / ent["cell"]
-        tmp = tmp_root / ent["cell"]
-        for name in ent["adds"]:
-            src = tmp / name
-            if src.exists():
-                os.replace(src, cell_dir / f"compact-{name}")
-    cur = _load_current(root)
-    files = dict(cur["files"]) if cur else _listing_manifest(root)
-    retired = list(cur.get("retired", [])) if cur else []
-    for ent in ents:
-        adds = [f"compact-{name}" for name in ent["adds"]]
-        live = set(files.get(ent["cell"], [])) - set(ent["deletes"])
-        files[ent["cell"]] = sorted(live | set(adds))
-    if grace:
-        # grace path: the replaced files become RETIRED at the epoch
-        # this commit creates — on disk, dead to every manifest
-        # reader, reclaimable by vacuum_ann_index. Idempotent replay:
-        # names already in the retired ledger are not re-added. One
-        # ledger entry covers the whole compaction (one epoch).
-        seen = {f for old in retired for f in old["files"]}
-        fresh = [
-            f"{ent['cell']}/{n}"
-            for ent in ents
-            for n in ent["deletes"]
-            if f"{ent['cell']}/{n}" not in seen
-        ]
-        if fresh:
-            retired.append({
-                "epoch": (int(cur.get("epoch", 0)) + 1) if cur else 1,
-                "files": fresh,
-            })
-    _commit_current(root, files, retired=retired)  # the visibility swap
-    if not grace:
+    with _LeaseHeartbeat(root, heartbeat_interval_sec):
         for ent in ents:
-            for name in ent["deletes"]:
-                (root / ent["cell"] / name).unlink(missing_ok=True)
-    for ent in ents:
-        shutil.rmtree(tmp_root / ent["cell"], ignore_errors=True)
-    (root / PENDING_NAME).unlink(missing_ok=True)
+            cell_dir = root / ent["cell"]
+            tmp = tmp_root / ent["cell"]
+            for name in ent["adds"]:
+                src = tmp / name
+                if src.exists():
+                    os.replace(src, cell_dir / f"compact-{name}")
+        cur = _load_current(root)
+        files = dict(cur["files"]) if cur else _listing_manifest(root)
+        retired = list(cur.get("retired", [])) if cur else []
+        for ent in ents:
+            adds = [f"compact-{name}" for name in ent["adds"]]
+            live = set(files.get(ent["cell"], [])) - set(ent["deletes"])
+            files[ent["cell"]] = sorted(live | set(adds))
+        if grace:
+            # grace path: the replaced files become RETIRED at the
+            # epoch this commit creates — on disk, dead to every
+            # manifest reader, reclaimable by vacuum_ann_index.
+            # Idempotent replay: names already in the retired ledger
+            # are not re-added. One ledger entry covers the whole
+            # compaction (one epoch).
+            seen = {f for old in retired for f in old["files"]}
+            fresh = [
+                f"{ent['cell']}/{n}"
+                for ent in ents
+                for n in ent["deletes"]
+                if f"{ent['cell']}/{n}" not in seen
+            ]
+            if fresh:
+                retired.append({
+                    "epoch": (int(cur.get("epoch", 0)) + 1) if cur else 1,
+                    "files": fresh,
+                })
+        _commit_current(root, files, retired=retired)  # visibility swap
+        if not grace:
+            for ent in ents:
+                for name in ent["deletes"]:
+                    (root / ent["cell"] / name).unlink(missing_ok=True)
+        for ent in ents:
+            shutil.rmtree(tmp_root / ent["cell"], ignore_errors=True)
+        (root / PENDING_NAME).unlink(missing_ok=True)
 
 
 def vacuum_ann_index(
@@ -1296,7 +1316,11 @@ def vacuum_ann_index(
     try:
         pending = root / PENDING_NAME
         if pending.exists():  # a dead compactor's half-applied state
-            _apply_compaction(root, json.loads(pending.read_text()))
+            _apply_compaction(
+                root,
+                json.loads(pending.read_text()),
+                heartbeat_interval_sec=heartbeat_interval_sec,
+            )
         _refuse_if_ingest_active(root)
         _heartbeat_lock(root)
         cur = _load_current(root)

@@ -2004,3 +2004,91 @@ def test_auto_refresh_failure_drops_pin_not_commit(spark, tmp_path):
         spark, _synth_embeddings(spark, range(9800, 9820), shift=3), idx
     )
     spark.catalog.dropTempView("rv_broken")
+
+
+def _stage_committed_pending(spark, tmp_path, monkeypatch):
+    """Seed an index and crash a compaction at its first add-move,
+    leaving a committed pending manifest for replay tests."""
+    corpus, idx = _seeded_multi_file_index(spark, tmp_path)
+    root = AI.Path(idx)
+    crash = _CrashAtSite(AI.os.replace, "move", 1)
+    monkeypatch.setattr(AI.os, "replace", crash)
+    with pytest.raises(RuntimeError, match="injected"):
+        AI.compact_ann_index(spark, idx)
+    monkeypatch.setattr(AI.os, "replace", crash.real)
+    assert (root / AI.PENDING_NAME).exists()
+    return idx, root
+
+
+def test_apply_lease_tick_keeps_heartbeat_fresh(spark, tmp_path, monkeypatch):
+    """The apply/replay path (moves + O(manifest files) unlinks — the
+    same minutes-at-scale class as the rewrite and reclaim loops)
+    carries its own lease tick: during a slowed replay the lock's
+    heartbeat stays fresh."""
+    import time as _time
+
+    idx, root = _stage_committed_pending(spark, tmp_path, monkeypatch)
+    expected = _manifest_reader_rows(spark, idx)
+    AI._acquire_maintenance_lock(root)
+    real_load = AI._load_current
+    seen = {}
+
+    def slow_load(r):
+        if "during" not in seen:
+            before = AI.maintenance_lock_info(root)["heartbeat_utc"]
+            _time.sleep(1.3)
+            seen["before"] = before
+            seen["during"] = AI.maintenance_lock_info(root)["heartbeat_utc"]
+        return real_load(r)
+
+    monkeypatch.setattr(AI, "_load_current", slow_load)
+    try:
+        AI._apply_compaction(
+            root,
+            AI.json.loads((root / AI.PENDING_NAME).read_text()),
+            heartbeat_interval_sec=0.05,
+        )
+    finally:
+        monkeypatch.setattr(AI, "_load_current", real_load)
+        AI._release_maintenance_lock(root)
+    assert seen["during"] > seen["before"], seen
+    assert _manifest_reader_rows(spark, idx) == expected
+    assert not (root / AI.PENDING_NAME).exists()
+
+
+def test_apply_rolls_forward_despite_lease_loss(spark, tmp_path, monkeypatch):
+    """Best-effort semantics past the commit point: a lease lost
+    MID-APPLY must not abort the roll-forward — the manifest is
+    committed and idempotent, so the apply completes (a racing second
+    replayer would recompute the identical state); contrast with the
+    pre-commit phases, which abort with zero commits."""
+    import json as _json
+    import time as _time
+
+    idx, root = _stage_committed_pending(spark, tmp_path, monkeypatch)
+    expected = _manifest_reader_rows(spark, idx)
+    AI._acquire_maintenance_lock(root)
+    real_load = AI._load_current
+    hijacked = {}
+
+    def hijack_load(r):
+        if not hijacked:
+            (root / AI.MAINT_LOCK).write_text(
+                _json.dumps({"pid": 1, "host": "other-host"})
+            )
+            hijacked["done"] = True
+            _time.sleep(0.3)  # give the tick a chance to notice
+        return real_load(r)
+
+    monkeypatch.setattr(AI, "_load_current", hijack_load)
+    try:
+        AI._apply_compaction(  # must NOT raise
+            root,
+            AI.json.loads((root / AI.PENDING_NAME).read_text()),
+            heartbeat_interval_sec=0.05,
+        )
+    finally:
+        monkeypatch.setattr(AI, "_load_current", real_load)
+        AI._release_maintenance_lock(root)
+    assert _manifest_reader_rows(spark, idx) == expected
+    assert not (root / AI.PENDING_NAME).exists()
