@@ -1121,8 +1121,9 @@ def compact_ann_index(
         # (hoisted, VERDICT r13 "wrong #2"): with grace-period
         # compaction, previously retired files still sit in the cell
         # dirs and a directory-listing read would fold them back in
-        # as duplicates. Per-cell applies below only touch their own
-        # cell's entry, so the hoisted old-file lists stay valid.
+        # as duplicates. Nothing commits between this load and the
+        # single apply below (the lock excludes every other writer),
+        # so the hoisted old-file lists stay valid.
         cur = _load_current(root)
         to_do: dict[str, list[str]] = {}
         for cell_dir in sorted(root.glob("cell=*")):
