@@ -99,11 +99,18 @@ from environmental_stac_generator_spark.tables import load
 # triggers a rebuild instead of serving stale cells.
 _INDEX_CACHE: dict[tuple[str, tuple], str] = {}
 _SCRATCH: list[str] = []
-# view name -> {"spark", "idx_dir" (resolved), "auto", "epoch"}: the
-# refresh pins behind register_index_view / refresh_index_view — the
-# "auto" ones are re-pinned by every epoch commit this process makes
-# (_refresh_auto_views). Process-local by design, like _INDEX_CACHE.
-_VIEW_PINS: dict[str, dict] = {}
+# (session, view name) -> {"spark", "idx_dir" (resolved), "auto",
+# "epoch"}: the refresh pins behind register_index_view /
+# refresh_index_view — the "auto" ones are re-pinned by every epoch
+# commit this process makes (_refresh_auto_views). Keyed per SESSION
+# because temp views are session-scoped: two SparkSessions (e.g.
+# spark.newSession()) can each hold a view of the same name pinned to
+# different snapshots, and one session's registration/drop must not
+# clobber the other's pin. id(spark) is a safe discriminator here —
+# each pin keeps a strong reference to its session, so the id cannot
+# be recycled while the pin lives. Process-local by design, like
+# _INDEX_CACHE.
+_VIEW_PINS: dict[tuple[int, str], dict] = {}
 
 META_NAME = "_ann_meta.json"
 # Exclusive maintenance lock (ADVICE r11 #1): compaction holds it for
@@ -1539,7 +1546,9 @@ def register_index_view(
     holding a pre-compaction view keeps valid file paths under
     grace-period compaction until vacuum reclaims them — pick the
     vacuum horizon longer than any view's lifetime, the same contract
-    as :func:`read_index_at`.
+    as :func:`read_index_at`. Pins are tracked per SESSION (temp
+    views are session-scoped): a same-named view registered on
+    another ``SparkSession`` keeps its own independent pin.
 
     The default-epoch pin comes from ONE ``_current.json`` read
     (ADVICE r14 #2: resolving the file set and the returned epoch
@@ -1563,7 +1572,7 @@ def register_index_view(
             df = _frame_for(spark, root, cur["files"])
             pinned = int(cur["epoch"])
     df.createOrReplaceTempView(name)
-    _VIEW_PINS[name] = {
+    _VIEW_PINS[(id(spark), name)] = {
         "spark": spark,
         "idx_dir": str(root.resolve()),
         "auto": bool(refresh_on_commit),
@@ -1577,12 +1586,14 @@ def refresh_index_view(spark: SparkSession, name: str) -> int:
     (VERDICT r14 #3 — the long-lived-SQL-client ergonomic: one call
     per consumed commit instead of hand-rolled re-registration).
     Returns the new pinned epoch. The view keeps its
-    ``refresh_on_commit`` setting."""
-    pin = _VIEW_PINS.get(name)
+    ``refresh_on_commit`` setting. Pins are per SESSION (temp views
+    are session-scoped), so the lookup is against THIS session's
+    registrations."""
+    pin = _VIEW_PINS.get((id(spark), name))
     if pin is None:
         raise RuntimeError(
-            f"no index view named {name!r} is registered in this "
-            "process (register_index_view first)"
+            f"no index view named {name!r} is registered for this "
+            "session (register_index_view first)"
         )
     return register_index_view(
         spark, pin["idx_dir"], name, refresh_on_commit=pin["auto"]
@@ -1591,8 +1602,9 @@ def refresh_index_view(spark: SparkSession, name: str) -> int:
 
 def drop_index_view(spark: SparkSession, name: str) -> None:
     """Drop a registered index view and its refresh pin — after this
-    no commit will auto-refresh it."""
-    _VIEW_PINS.pop(name, None)
+    no commit will auto-refresh it. Per-session: another session's
+    same-named view and pin are untouched."""
+    _VIEW_PINS.pop((id(spark), name), None)
     spark.catalog.dropTempView(name)
 
 
@@ -1611,14 +1623,14 @@ def _refresh_auto_views(root: Path) -> None:
     with a warning instead, exactly what dropping a view on a dead
     session means anyway."""
     key = str(Path(root).resolve())
-    for name, pin in list(_VIEW_PINS.items()):
+    for (skey, name), pin in list(_VIEW_PINS.items()):
         if pin["auto"] and pin["idx_dir"] == key:
             try:
                 register_index_view(
                     pin["spark"], key, name, refresh_on_commit=True
                 )
             except Exception as exc:
-                _VIEW_PINS.pop(name, None)
+                _VIEW_PINS.pop((skey, name), None)
                 warnings.warn(
                     f"refresh_on_commit view {name!r} could not be "
                     f"re-pinned after an epoch commit ({exc}); its "

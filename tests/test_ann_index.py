@@ -1880,6 +1880,46 @@ def test_refresh_index_view_and_auto_refresh(spark, tmp_path):
         spark.table("rv_auto")
 
 
+def test_view_pins_are_session_scoped(spark, tmp_path):
+    """Temp views are session-scoped, so the refresh pins must be
+    too: a same-named view registered on a second SparkSession
+    (spark.newSession()) must not clobber the first session's pin —
+    each session's view keeps its own snapshot/refresh behavior, and
+    dropping from one session leaves the other's pin (and any later
+    auto-refresh of it) intact."""
+    corpus, idx = _seeded_multi_file_index(spark, tmp_path)
+    s2 = spark.newSession()
+    AI.register_index_view(spark, idx, "rv_scoped", refresh_on_commit=True)
+    before = _view_rows(spark, "rv_scoped")
+    # same NAME on a second session: a plain snapshot pin — must not
+    # overwrite session 1's auto pin
+    AI.register_index_view(s2, idx, "rv_scoped")
+    assert _view_rows(s2, "rv_scoped") == before
+
+    AI.append_ann_index(
+        spark, _synth_embeddings(spark, range(9600, 9630), shift=3), idx
+    )
+    # session 1's auto view advanced; session 2's manual snapshot
+    # stays pinned (pre-fix, s2's registration clobbered the pin and
+    # rv_scoped on session 1 silently stopped auto-refreshing)
+    assert len(_view_rows(spark, "rv_scoped")) == len(before) + 30
+    assert _view_rows(s2, "rv_scoped") == before
+
+    # an explicit refresh on session 2 resolves ITS pin
+    AI.refresh_index_view(s2, "rv_scoped")
+    assert len(_view_rows(s2, "rv_scoped")) == len(before) + 30
+
+    # dropping session 2's view leaves session 1's pin + view alone
+    AI.drop_index_view(s2, "rv_scoped")
+    with pytest.raises(RuntimeError, match="for this session"):
+        AI.refresh_index_view(s2, "rv_scoped")
+    AI.append_ann_index(
+        spark, _synth_embeddings(spark, range(9650, 9660), shift=3), idx
+    )
+    assert len(_view_rows(spark, "rv_scoped")) == len(before) + 40
+    AI.drop_index_view(spark, "rv_scoped")
+
+
 def test_register_index_view_single_manifest_load(spark, tmp_path, monkeypatch):
     """ADVICE r14 #2: the default-epoch registration resolves the
     pinned epoch AND the view's file set from ONE _current.json load,
@@ -1988,7 +2028,7 @@ def test_auto_refresh_failure_drops_pin_not_commit(spark, tmp_path):
         def __getattr__(self, item):
             raise RuntimeError("session is stopped")
 
-    AI._VIEW_PINS["rv_broken"]["spark"] = _DeadSession()
+    AI._VIEW_PINS[(id(spark), "rv_broken")]["spark"] = _DeadSession()
     before = _manifest_reader_rows(spark, idx)
     with _warnings.catch_warnings(record=True) as caught:
         _warnings.simplefilter("always")
@@ -1996,7 +2036,7 @@ def test_auto_refresh_failure_drops_pin_not_commit(spark, tmp_path):
             spark, _synth_embeddings(spark, range(9700, 9720), shift=3), idx
         )
     assert any("rv_broken" in str(w.message) for w in caught)
-    assert "rv_broken" not in AI._VIEW_PINS  # pin dropped
+    assert (id(spark), "rv_broken") not in AI._VIEW_PINS  # pin dropped
     after = _manifest_reader_rows(spark, idx)
     assert len(after) == len(before) + 20  # the commit itself landed
     # later commits are clean (no stale pin left behind)
