@@ -31,7 +31,12 @@ from environmental_stac_generator_spark.tables import load
 # invocation's memory-sink view before registering a new one (the
 # current view must outlive the returned DataFrame that reads it).
 _SCRATCH_DIRS: list[str] = []
-_MEMORY_SINKS: dict[str, str] = {}
+# keyed (session, prefix): temp views are session-scoped, so the
+# previous-invocation drop must target the session that registered
+# the view — a prefix-only key would aim the drop at whichever
+# session called last (the old view then leaks for the session's
+# lifetime; names are uuid'd so there is no collision, only the leak)
+_MEMORY_SINKS: dict[tuple[int, str], str] = {}
 
 
 @atexit.register
@@ -49,11 +54,11 @@ def _scratch_dir(prefix: str) -> str:
 def _memory_sink_name(spark: SparkSession, prefix: str) -> str:
     import uuid
 
-    old = _MEMORY_SINKS.get(prefix)
+    old = _MEMORY_SINKS.get((id(spark), prefix))
     if old is not None:
         spark.catalog.dropTempView(old)
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
-    _MEMORY_SINKS[prefix] = name
+    _MEMORY_SINKS[(id(spark), prefix)] = name
     return name
 
 
