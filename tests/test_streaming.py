@@ -482,3 +482,40 @@ def test_merge_extent_is_batch_split_invariant(case):
             assert state[i] is None or pd.isna(state[i])
         else:
             assert pd.Timestamp(state[i]) == pd.Timestamp(single[i])
+
+
+def test_memory_sink_tracking_is_session_scoped():
+    """Same class as the view-pin session keying: the previous-
+    invocation memory-sink drop must target the SESSION that
+    registered the view — a prefix-only key aimed the drop at
+    whichever session called last, leaking the other session's view
+    and losing track of it. Driven with stub sessions: the helper
+    touches only spark.catalog.dropTempView."""
+    from environmental_stac_generator_spark.queries import kernels as K
+
+    class _Catalog:
+        def __init__(self):
+            self.dropped = []
+
+        def dropTempView(self, name):
+            self.dropped.append(name)
+
+    class _Session:
+        def __init__(self):
+            self.catalog = _Catalog()
+
+    s1, s2 = _Session(), _Session()
+    n1 = K._memory_sink_name(s1, "p")
+    n2 = K._memory_sink_name(s2, "p")
+    assert n1 != n2
+    # registering on a second session must not drop (or forget) the
+    # first session's live view
+    assert s1.catalog.dropped == [] and s2.catalog.dropped == []
+    n1b = K._memory_sink_name(s1, "p")
+    assert s1.catalog.dropped == [n1] and s2.catalog.dropped == []
+    K._memory_sink_name(s2, "p")
+    assert s2.catalog.dropped == [n2]
+    assert s1.catalog.dropped == [n1]
+    # cleanup the module-global tracking this test added
+    for k in [k for k in K._MEMORY_SINKS if k[0] in (id(s1), id(s2))]:
+        K._MEMORY_SINKS.pop(k)
