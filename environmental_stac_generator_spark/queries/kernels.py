@@ -35,8 +35,13 @@ _SCRATCH_DIRS: list[str] = []
 # previous-invocation drop must target the session that registered
 # the view — a prefix-only key would aim the drop at whichever
 # session called last (the old view then leaks for the session's
-# lifetime; names are uuid'd so there is no collision, only the leak)
-_MEMORY_SINKS: dict[tuple[int, str], str] = {}
+# lifetime; names are uuid'd so there is no collision, only the
+# leak). Each entry carries a WEAK session ref (ADVICE r15 #3):
+# unlike _VIEW_PINS there is nothing to clean up when a session
+# dies (its temp views die with it), but the weakref lets access
+# prune dead entries — bounding growth under session cycling — and
+# guards the drop against a recycled id aiming at a fresh session.
+_MEMORY_SINKS: dict[tuple[int, str], tuple["weakref.ref", str]] = {}
 
 
 @atexit.register
@@ -53,12 +58,23 @@ def _scratch_dir(prefix: str) -> str:
 
 def _memory_sink_name(spark: SparkSession, prefix: str) -> str:
     import uuid
+    import weakref
 
+    # prune entries whose session was collected (their views died
+    # with the session; the entries would otherwise accumulate
+    # unboundedly under session cycling — ADVICE r15 #3)
+    for key, (ref, _n) in list(_MEMORY_SINKS.items()):
+        if ref() is None:
+            _MEMORY_SINKS.pop(key, None)
     old = _MEMORY_SINKS.get((id(spark), prefix))
-    if old is not None:
-        spark.catalog.dropTempView(old)
+    # drop only when the stored ref still points at THIS session — a
+    # recycled id over a dead session's entry must not aim the drop
+    # at the new session (benign today since names are uuid'd, but
+    # the check makes the id-keying self-evidently safe)
+    if old is not None and old[0]() is spark:
+        spark.catalog.dropTempView(old[1])
     name = f"{prefix}_{uuid.uuid4().hex[:8]}"
-    _MEMORY_SINKS[(id(spark), prefix)] = name
+    _MEMORY_SINKS[(id(spark), prefix)] = (weakref.ref(spark), name)
     return name
 
 

@@ -2028,7 +2028,10 @@ def test_auto_refresh_failure_drops_pin_not_commit(spark, tmp_path):
         def __getattr__(self, item):
             raise RuntimeError("session is stopped")
 
-    AI._VIEW_PINS[(id(spark), "rv_broken")]["spark"] = _DeadSession()
+    # pins hold weakref-shaped callables (r16): substitute one that
+    # derefs to the broken session
+    dead = _DeadSession()
+    AI._VIEW_PINS[(id(spark), "rv_broken")]["spark"] = lambda: dead
     before = _manifest_reader_rows(spark, idx)
     with _warnings.catch_warnings(record=True) as caught:
         _warnings.simplefilter("always")
@@ -2132,3 +2135,165 @@ def test_apply_rolls_forward_despite_lease_loss(spark, tmp_path, monkeypatch):
         AI._release_maintenance_lock(root)
     assert _manifest_reader_rows(spark, idx) == expected
     assert not (root / AI.PENDING_NAME).exists()
+
+
+# ---- r16: ADVICE closures + view-pin lifecycle ---------------------
+
+
+def test_epochs_committed_counts_replay(spark, tmp_path, monkeypatch):
+    """ADVICE r15 #4: a compact call that first replays a dead
+    maintainer's pending manifest commits an epoch for the replay —
+    epochs_committed must equal the measured epoch delta, replay
+    included, not just the fresh compaction's count."""
+    idx, root = _stage_committed_pending(spark, tmp_path, monkeypatch)
+    e0 = int(AI._load_current(root)["epoch"])
+    res = AI.compact_ann_index(spark, idx)
+    e1 = int(AI._load_current(root)["epoch"])
+    assert res["epochs_committed"] == e1 - e0
+    assert res["epochs_committed"] >= 1  # the replay itself committed
+
+
+def test_vacuum_tolerates_already_unlinked_retired(spark, tmp_path):
+    """ADVICE r15 #5: a retired file already gone (a second
+    maintainer's reclaim between any exists-check and the unlink)
+    is the outcome vacuum wants — the loop must carry on, counting
+    only the files it actually removed."""
+    corpus, idx = _seeded_multi_file_index(spark, tmp_path)
+    root = AI.Path(idx)
+    AI.compact_ann_index(spark, idx, vacuum_grace=True)
+    cur = AI._load_current(root)
+    retired = [f for ent in cur.get("retired", []) for f in ent["files"]]
+    assert len(retired) >= 2
+    (root / retired[0]).unlink()  # simulate the racing reclaim
+    res = AI.vacuum_ann_index(idx, keep_epochs=0)
+    assert res["files_removed"] == len(retired) - 1
+    assert res["entries_kept"] == 0
+    assert not AI._load_current(root).get("retired")
+
+
+def test_empty_manifest_resolves_after_physical_vacuum(spark, tmp_path):
+    """ADVICE r15 #2: when the manifest names no live files AND the
+    directory holds no parquet files at all (everything physically
+    vacuumed), the read must still resolve an EMPTY frame with the
+    index's schema (persisted in _ann_meta.json at build) — the
+    directory-listing fallback raises schema-inference errors here."""
+    corpus = str(tmp_path / "c")
+    _synth_embeddings(spark, range(0, 80)).coalesce(1).write.parquet(
+        f"{corpus}/embeddings.parquet"
+    )
+    idx = str(tmp_path / "idx")
+    assert AI.build_ann_index(spark, corpus, idx) is not None
+    root = AI.Path(idx)
+    cur = AI._load_current(root)
+    all_files = [
+        f"{cell}/{n}" for cell, v in cur["files"].items() for n in v
+    ]
+    AI._commit_current(
+        root,
+        {},
+        retired=[{"epoch": int(cur["epoch"]) + 1, "files": all_files}],
+    )
+    AI.vacuum_ann_index(idx, keep_epochs=0)  # physically reclaim all
+    assert not list(root.glob("cell=*/*.parquet"))
+    for df in (
+        AI._read_index(spark, idx),
+        AI._read_index(spark, idx, cells=[0, 1, 2]),
+    ):
+        assert df.count() == 0
+        assert df.columns == ["vec_id", "norm", "embedding", "codes", "cell"]
+
+
+def test_heartbeat_refuses_on_foreign_token(tmp_path):
+    """ADVICE r15 #1 (fencing token): a lock naming THIS pid/host but
+    carrying a different acquire-generation token — a recycled pid,
+    or a force-release + re-acquire — must refuse the heartbeat and
+    survive _release_owned_lock; pre-r16 token-less locks keep the
+    pid/host-only contract."""
+    import json as _json
+    import os as _os
+    import socket as _socket
+
+    root = AI.Path(tmp_path)
+    body = {
+        "pid": _os.getpid(),
+        "host": _socket.gethostname(),
+        "acquired_utc": "2020-01-01T00:00:00+00:00",
+        "heartbeat_utc": "2020-01-01T00:00:00+00:00",
+        "token": "not-this-acquires-token",
+    }
+    (root / AI.MAINT_LOCK).write_text(_json.dumps(body))
+    with pytest.raises(RuntimeError, match="token"):
+        AI._heartbeat_lock(root)
+    AI._release_owned_lock(root)  # foreign token: left in place
+    assert (root / AI.MAINT_LOCK).exists()
+    # token-less (pre-r16) lock: pid/host contract still applies
+    del body["token"]
+    (root / AI.MAINT_LOCK).write_text(_json.dumps(body))
+    AI._heartbeat_lock(root)  # must not raise
+    AI._release_owned_lock(root)
+    assert not (root / AI.MAINT_LOCK).exists()
+
+
+def test_acquire_release_roundtrips_token(tmp_path):
+    """The normal lifecycle: acquire writes the fencing token, the
+    heartbeat verifies it, the owned release removes the lock and
+    forgets the token."""
+    root = AI.Path(tmp_path)
+    AI._acquire_maintenance_lock(root)
+    key = str(root.resolve())
+    assert AI.maintenance_lock_info(root)["token"] == AI._LOCK_TOKENS[key]
+    AI._heartbeat_lock(root)  # token matches: refresh succeeds
+    AI._release_owned_lock(root)
+    assert not (root / AI.MAINT_LOCK).exists()
+    assert key not in AI._LOCK_TOKENS
+
+
+def test_view_pin_dropped_when_session_collected(spark, tmp_path):
+    """VERDICT r15 #4: a session that dies without drop_index_view
+    must not pin itself (or its refresh bookkeeping) into the
+    process-global registries forever — the weakref.finalize pops the
+    pin at collection, and the next commit's auto-refresh skips it
+    without warning noise."""
+    import gc
+    import warnings as _warnings
+    import weakref as _weakref
+
+    corpus, idx = _seeded_multi_file_index(spark, tmp_path)
+    s2 = spark.newSession()
+    AI.register_index_view(s2, idx, "rv_gc", refresh_on_commit=True)
+    key = (id(s2), "rv_gc")
+    assert key in AI._VIEW_PINS and key in AI._PIN_FINALIZERS
+    # re-pinning must not stack finalizers (one per live pin key)
+    fin = AI._PIN_FINALIZERS[key]
+    AI.refresh_index_view(s2, "rv_gc")
+    assert AI._PIN_FINALIZERS[key] is fin
+    ref = _weakref.ref(s2)
+    del s2
+    # classic PySpark monkey-patches RDD.toDF with a closure over the
+    # most recently CONSTRUCTED session, which pins it until the next
+    # session construction displaces the patch — make one so the
+    # dropped session is actually collectable
+    displace = spark.newSession()  # noqa: F841
+    gc.collect()
+    assert ref() is None, "test session unexpectedly kept alive"
+    assert key not in AI._VIEW_PINS
+    assert key not in AI._PIN_FINALIZERS
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        AI.append_ann_index(
+            spark, _synth_embeddings(spark, range(9900, 9910), shift=3), idx
+        )
+    assert not [w for w in caught if "rv_gc" in str(w.message)]
+
+
+def test_drop_index_view_detaches_finalizer(spark, tmp_path):
+    """drop_index_view removes pin AND finalizer — session collection
+    after an explicit drop has nothing left to clean."""
+    corpus, idx = _seeded_multi_file_index(spark, tmp_path)
+    AI.register_index_view(spark, idx, "rv_detach")
+    key = (id(spark), "rv_detach")
+    fin = AI._PIN_FINALIZERS[key]
+    AI.drop_index_view(spark, "rv_detach")
+    assert key not in AI._VIEW_PINS
+    assert key not in AI._PIN_FINALIZERS
+    assert not fin.alive

@@ -516,6 +516,19 @@ def test_memory_sink_tracking_is_session_scoped():
     K._memory_sink_name(s2, "p")
     assert s2.catalog.dropped == [n2]
     assert s1.catalog.dropped == [n1]
+    # dead-session entries are pruned on access (ADVICE r15 #3): a
+    # collected session's tracking must not accumulate, and a
+    # recycled id must not inherit its drop
+    import gc
+
+    s3 = _Session()
+    K._memory_sink_name(s3, "q")
+    key3 = (id(s3), "q")
+    assert key3 in K._MEMORY_SINKS
+    del s3
+    gc.collect()
+    K._memory_sink_name(s1, "p")  # any access prunes the dead entry
+    assert key3 not in K._MEMORY_SINKS
     # cleanup the module-global tracking this test added
     for k in [k for k in K._MEMORY_SINKS if k[0] in (id(s1), id(s2))]:
         K._MEMORY_SINKS.pop(k)
