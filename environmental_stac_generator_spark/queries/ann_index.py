@@ -152,6 +152,20 @@ MAINT_LOCK = "_maintenance.lock"
 # per-probe InMemoryFileIndex listing of all K partition dirs that
 # dominated fresh-probe latency at large K (ADVICE r12 #1).
 CURRENT_NAME = "_current.json"
+# Exclusive APPENDER lease (VERDICT r15 #2): every non-maintenance
+# committer — append_ann_index, the streaming sink's per-batch
+# commit, delete_ann_ids — holds it for its whole write+commit, so
+# two concurrent appenders can never interleave the ledger's or the
+# epoch manifest's read-modify-write (the single-writer contract,
+# previously a docstring, enforced mechanically). Two-sided
+# handshake with maintenance: an appender takes this lease BEFORE
+# re-checking the maintenance lock; a maintainer takes its lock
+# BEFORE scanning for this lease (_refuse_if_ingest_active) — no
+# interleaving lets both proceed. A crash mid-batch leaves the lease
+# on disk; acquisition auto-reclaims a PROVABLY-DEAD same-host
+# owner through an atomic rename-claim (see _appender_lease), and
+# release_stale_append_lock is the operator path for the rest.
+APPEND_LOCK = "_append.lock"
 # Committed-but-not-fully-applied compaction manifest (ADVICE r13 #3):
 # while it exists, a cell may hold BOTH its compacted file and the old
 # copies (the apply moves adds in, swaps the epoch, then deletes), so
@@ -680,6 +694,185 @@ def _release_owned_lock(root: Path) -> None:
     _LOCK_TOKENS.pop(key, None)
 
 
+def append_lock_info(root: Path) -> dict | None:
+    """The appender lease's owner metadata (same shape/contract as
+    :func:`maintenance_lock_info`): ``{}`` for a metadata-less lock,
+    ``None`` if no lease is held."""
+    p = Path(root) / APPEND_LOCK
+    try:
+        body = p.read_text()
+    except FileNotFoundError:
+        return None
+    try:
+        obj = json.loads(body)
+        return obj if isinstance(obj, dict) else {}
+    except ValueError:
+        return {}
+
+
+def _append_lock_str(root: Path) -> str:
+    info = append_lock_info(root)
+    if not info:
+        return "no owner metadata (owner mid-acquire or crashed)"
+    return (
+        f"owner pid {info.get('pid')} on {info.get('host')}, "
+        f"acquired {info.get('acquired_utc')}"
+    )
+
+
+def _owner_provably_dead(info: dict | None) -> bool:
+    """True only when the lock names a pid on THIS host that no
+    longer exists — the one case a lock can be reclaimed without
+    operator judgment. Unverifiable (other host, no/unparseable
+    metadata) is NOT dead."""
+    if not info or info.get("host") != socket.gethostname():
+        return False
+    try:
+        os.kill(int(info["pid"]), 0)
+        return False
+    except (ProcessLookupError, ValueError, TypeError):
+        return True
+    except PermissionError:
+        return False  # exists, owned by another user
+
+
+class _appender_lease:
+    """Single-appender enforcement (VERDICT r15 #2): O_CREAT|O_EXCL
+    on ``_append.lock``, held for the caller's whole write+commit via
+    ``with``. A second concurrent appender REFUSES with the owner's
+    metadata instead of interleaving ledger/manifest read-modify-
+    writes (the lost-batch risk the r15 verdict named).
+
+    Crashed-appender recovery is automatic where death is PROVABLE:
+    on FileExistsError the acquire reads the owner and, if its pid is
+    dead on this host, claims the stale lease through an atomic
+    ``os.rename`` to a unique name — rename is an atomic claim (two
+    reclaimers racing it: exactly one succeeds, the loser retries
+    the O_EXCL create and finds the winner's fresh lock). A live or
+    unverifiable owner is never reclaimed here —
+    :func:`release_stale_append_lock` is the operator path (age
+    lease / force), mirroring the maintenance-lock contract.
+
+    Exit releases only a lease THIS process still owns (pid/host
+    check) — if an operator force-released and another appender
+    acquired mid-run, the new owner's lease survives."""
+
+    _RETRIES = 3
+
+    def __init__(self, root: Path):
+        self.root = Path(root)
+
+    def __enter__(self) -> "_appender_lease":
+        path = self.root / APPEND_LOCK
+        for _ in range(self._RETRIES):
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                info = append_lock_info(self.root)
+                if info is not None and _owner_provably_dead(info):
+                    claim = path.with_name(
+                        f"{APPEND_LOCK}.stale-{uuid.uuid4().hex[:8]}"
+                    )
+                    try:
+                        os.rename(path, claim)  # atomic claim
+                        claim.unlink(missing_ok=True)
+                    except FileNotFoundError:
+                        pass  # another reclaimer won the rename
+                    continue  # retry the O_EXCL create
+                raise RuntimeError(
+                    f"another appender holds {APPEND_LOCK} for "
+                    f"{self.root} [{_append_lock_str(self.root)}]; one "
+                    "appender per index — retry after it commits, or "
+                    "release_stale_append_lock if it is known dead"
+                ) from None
+            try:
+                os.write(
+                    fd,
+                    json.dumps(
+                        {
+                            "pid": os.getpid(),
+                            "host": socket.gethostname(),
+                            "acquired_utc": datetime.now(
+                                timezone.utc
+                            ).isoformat(timespec="seconds"),
+                        }
+                    ).encode(),
+                )
+            finally:
+                os.close(fd)
+            return self
+        raise RuntimeError(
+            f"could not acquire {APPEND_LOCK} for {self.root} after "
+            f"{self._RETRIES} reclaim attempts — live contention; "
+            "one appender per index"
+        )
+
+    def __exit__(self, *exc) -> None:
+        info = append_lock_info(self.root)
+        if (
+            info is not None
+            and (
+                not info  # metadata-less: our create crashed mid-write
+                or (
+                    str(info.get("pid")) == str(os.getpid())
+                    and info.get("host") == socket.gethostname()
+                )
+            )
+        ):
+            (self.root / APPEND_LOCK).unlink(missing_ok=True)
+
+
+def release_stale_append_lock(
+    root: Path, max_age_sec: float | None = None, force: bool = False
+) -> dict:
+    """Operator recovery for a dead appender's lease — the
+    :func:`release_stale_maintenance_lock` contract applied to the
+    appender lock: release when the recorded pid is dead on THIS
+    host, when liveness is unverifiable and the lease's
+    ``acquired_utc`` is older than ``max_age_sec`` (appends do not
+    heartbeat — a batch commit is bounded, so acquire age IS the
+    lease age), or with ``force=True``; refuse otherwise. Note the
+    provably-dead same-host case is also auto-reclaimed by the next
+    acquire — this function exists for the unverifiable ones."""
+    root = Path(root)
+    info = append_lock_info(root)
+    if info is None:
+        raise RuntimeError(f"no {APPEND_LOCK} present under {root}")
+    if not force:
+        reason = None
+        if info and info.get("host") == socket.gethostname():
+            if _owner_provably_dead(info):
+                reason = f"pid {info.get('pid')} is dead on this host"
+            else:
+                raise RuntimeError(
+                    f"refusing to release {APPEND_LOCK} "
+                    f"[{_append_lock_str(root)}]: owner pid is VERIFIED "
+                    "ALIVE on this host — stop that appender first"
+                )
+        ts = info.get("acquired_utc")
+        if reason is None and max_age_sec is not None and ts:
+            try:
+                beat = datetime.fromisoformat(ts)
+                age = (datetime.now(timezone.utc) - beat).total_seconds()
+                if age > max_age_sec:
+                    reason = (
+                        f"acquired {age:.0f}s ago exceeds the "
+                        f"{max_age_sec:.0f}s lease"
+                    )
+            except ValueError:
+                pass
+        if reason is None:
+            raise RuntimeError(
+                f"refusing to release {APPEND_LOCK} "
+                f"[{_append_lock_str(root)}]: owner not provably dead "
+                "(liveness unverifiable and no max_age_sec lease "
+                "exceeded); pass force=True only with out-of-band "
+                "knowledge the appender is gone"
+            )
+    (root / APPEND_LOCK).unlink(missing_ok=True)
+    return info
+
+
 def _refuse_if_maintenance(root: Path, cleanup: Path | None = None) -> None:
     """Stream-writer side of the mutual-exclusion handshake: raise if
     the maintenance lock exists, deleting ``cleanup`` (the writer's
@@ -743,27 +936,35 @@ def append_ann_index(
     contract). At 100 TB this is the streaming-sink shape: a
     foreachBatch writer appending each micro-batch's coded rows.
 
-    Refuses under the maintenance lock (an append landing
-    mid-compaction could be folded into a compacted file AND survive
-    as itself) — advisory for this batch API: unlike the streaming
-    sink it stages no marker, so don't run it concurrently WITH a
-    compactor (the sink's two-sided handshake is the concurrent-safe
-    ingest path). Commits a new epoch manifest after the write, which
-    is the point the batch becomes visible to manifest-resolving
-    readers."""
-    _refuse_if_maintenance(Path(idx_dir))
-    cents, cbres, rotation = load_meta(idx_dir)
-    (
-        _coded_frame(batch.select("vec_id", "embedding"), cents, cbres, rotation)
-        .repartition("cell")
-        .write.mode("append")
-        .option("maxRecordsPerFile", 5_000_000)
-        .partitionBy("cell")
-        .parquet(idx_dir)
-    )
-    # safe to derive from a walk: single writer, and the lock check
-    # above keeps a half-applied compaction out of this code path
-    _commit_current(Path(idx_dir), _listing_manifest(Path(idx_dir)))
+    Holds the APPENDER LEASE for the whole write+commit (VERDICT r15
+    #2 — the single-writer contract was previously a docstring): a
+    second concurrent appender refuses instead of interleaving the
+    walk-derived epoch commit's read-modify-write. The lease also
+    completes the maintenance handshake for this batch API: it is
+    taken BEFORE the maintenance re-check, and a compactor checks it
+    AFTER taking its lock (_refuse_if_ingest_active), so an append
+    landing mid-compaction — which could be folded into a compacted
+    file AND survive as itself — is refused on whichever side
+    arrives second. Commits a new epoch manifest after the write,
+    which is the point the batch becomes visible to
+    manifest-resolving readers."""
+    with _appender_lease(Path(idx_dir)):
+        _refuse_if_maintenance(Path(idx_dir))
+        cents, cbres, rotation = load_meta(idx_dir)
+        (
+            _coded_frame(
+                batch.select("vec_id", "embedding"), cents, cbres, rotation
+            )
+            .repartition("cell")
+            .write.mode("append")
+            .option("maxRecordsPerFile", 5_000_000)
+            .partitionBy("cell")
+            .parquet(idx_dir)
+        )
+        # safe to derive from a walk: the lease excludes every other
+        # committer, and the lock check above keeps a half-applied
+        # compaction out of this code path
+        _commit_current(Path(idx_dir), _listing_manifest(Path(idx_dir)))
 
 
 def train_coarse_centroids(
@@ -1022,6 +1223,16 @@ def ann_index_stream_writer(idx_dir: str):
         _atomic_write_json(applied_path, led)
 
     def write(batch: DataFrame, batch_id: int) -> None:
+        # the appender lease wraps the WHOLE batch commit (VERDICT
+        # r15 #2): the ledger's read-modify-write os.replace was the
+        # interleaving point two concurrent stream queries appending
+        # to the same index could race — under the lease the second
+        # query's batch refuses (foreachBatch retries it) instead of
+        # losing a ledger update
+        with _appender_lease(Path(idx_dir)):
+            _write_locked(batch, batch_id)
+
+    def _write_locked(batch: DataFrame, batch_id: int) -> None:
         led = _ledger()
         bid = str(int(batch_id))
         if int(bid) in led["committed"]:
@@ -1272,6 +1483,21 @@ def _refuse_if_ingest_active(root: Path) -> None:
             f"{staged}); replay the stream to completion (or remove "
             "_staging if the writer is known dead pre-commit) before "
             "compacting"
+        )
+    # maintainer side of the appender handshake (VERDICT r15 #2): an
+    # appender mid-batch holds the lease — its write must not race
+    # this maintenance run's cell listing/rewrite. Runs UNDER the
+    # maintenance lock; the appender re-checks that lock after taking
+    # its lease, so whichever side lands second refuses. A dead
+    # appender's lease is auto-reclaimed at the next acquire
+    # (provably-dead pid) or via release_stale_append_lock.
+    if (root / APPEND_LOCK).exists() and not _owner_provably_dead(
+        append_lock_info(root)
+    ):
+        raise RuntimeError(
+            f"maintenance refused: an appender holds {APPEND_LOCK} "
+            f"[{_append_lock_str(root)}]; retry after its batch "
+            "commits (release_stale_append_lock if it is known dead)"
         )
 
 
