@@ -1408,7 +1408,12 @@ def _curate_chain_run(spark, sf_dir):
     )
     from environmental_stac_generator_spark.tables import load
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    # fan the chain input (r16): each staged localCheckpoint inherits
+    # its input partitioning, so an under-split scan would otherwise
+    # single-thread EVERY downstream stage of the chain
+    docs = load(spark, sf_dir, "documents", fan_out=True).select(
+        "doc_id", "text", "source"
+    )
     return curate(docs).stats
 
 
@@ -1422,7 +1427,9 @@ def _auto_k_df(spark, sf_dir):
     from environmental_stac_generator_spark.tables import load
 
     return semantic_pairs_of(
-        load(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
+        load(spark, sf_dir, "embeddings", fan_out=True).select(
+            "vec_id", "embedding"
+        ),
         n_clusters="auto",
     )
 

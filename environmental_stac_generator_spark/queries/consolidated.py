@@ -145,7 +145,7 @@ def _quality_with_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from environmental_stac_generator_spark.tables import load
 
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", fan_out=True)
     return quality_of(d).join(perplexity_of(d), "doc_id")
 
 

@@ -134,7 +134,7 @@ N_PROBE_DOCS = 5  # doc_id < 5 stands in for the eval set
 def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from environmental_stac_generator_spark.queries.dedup import shingles_of
 
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", fan_out=True)
     shingled = shingles_of(d)
     probe = (
         shingled.filter(F.col("doc_id") < N_PROBE_DOCS).select("shingle").distinct()
@@ -510,7 +510,7 @@ def span_max_group_bound(
 def span_dedup(
     spark: SparkSession, sf_dir: str, skew_safe: bool | None = None
 ) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", fan_out=True)
     if skew_safe is None:
         from environmental_stac_generator_spark.operators.cumulative import (
             SMALL_INPUT_ROWS,
@@ -721,7 +721,7 @@ def importance_logw_of(
     "shuffle carries only (doc_id, partial-sum) rows.",
 )
 def importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    per_doc = importance_logw_of(load(spark, sf_dir, "documents"))
+    per_doc = importance_logw_of(load(spark, sf_dir, "documents", fan_out=True))
     pos = F.col("logw_micro") > 0
     return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),

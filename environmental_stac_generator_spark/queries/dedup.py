@@ -52,7 +52,7 @@ def shingles_of(d: DataFrame) -> DataFrame:
 
 def _spark_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id + exploded distinct 3-gram shingles."""
-    return shingles_of(load(spark, sf_dir, "documents")).distinct()
+    return shingles_of(load(spark, sf_dir, "documents", fan_out=True)).distinct()
 
 
 _DUCK_SHINGLED = f"""
@@ -153,7 +153,7 @@ def signatures_of(d: DataFrame) -> DataFrame:
 
 
 def _signature_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return signatures_of(load(spark, sf_dir, "documents"))
+    return signatures_of(load(spark, sf_dir, "documents", fan_out=True))
 
 
 @register(
@@ -327,7 +327,7 @@ def bands_of(d: DataFrame) -> DataFrame:
 
 
 def _bands_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return bands_of(load(spark, sf_dir, "documents"))
+    return bands_of(load(spark, sf_dir, "documents", fan_out=True))
 
 
 # doc_id boundary between the "historical corpus" and the "new daily
@@ -483,7 +483,7 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregate pass carries a 16-wide vote counter (zip_with into the
     # accumulator array) — no explode, no shuffle, and the token list
     # is scanned once, not once per bit.
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", fan_out=True)
     hashed = d.select(
         "doc_id",
         F.transform(
@@ -852,7 +852,9 @@ def _components_star(pairs: DataFrame) -> tuple[DataFrame, int]:
     "verify step costs O(candidates), never O(n^2).",
 )
 def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return verified_pairs_of(load(spark, sf_dir, "documents")).orderBy(
+    return verified_pairs_of(
+        load(spark, sf_dir, "documents", fan_out=True)
+    ).orderBy(
         "doc_a", "doc_b"
     )
 

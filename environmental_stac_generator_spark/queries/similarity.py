@@ -1102,7 +1102,9 @@ _SEMDEDUP_SQL = f"""
 def semdedup_pairs(
     spark: SparkSession, sf_dir: str, max_bucket: int = 10_000
 ) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = load(spark, sf_dir, "embeddings", fan_out=True).select(
+        "vec_id", "embedding"
+    )
     return semantic_pairs_of(
         e, max_bucket=max_bucket, init_cents=_init_cents_from_parquet(sf_dir)
     ).orderBy("vec_a", "vec_b")
@@ -1536,7 +1538,9 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     cb = _pq_sample_codebook(e)
     _assert_driver_dim(cb)
-    return pq_encode_of(e, codebook=cb)
+    return pq_encode_of(
+        load(spark, sf_dir, "embeddings", fan_out=True), codebook=cb
+    )
 
 
 @register(
@@ -1570,7 +1574,11 @@ def pq_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_row = e.filter(F.col("vec_id") == 0).select("embedding").head()
     if probe_row is None:
         return empty
-    return pq_adc_rank_of(e, cb, [float(v) for v in probe_row[0]])
+    return pq_adc_rank_of(
+        load(spark, sf_dir, "embeddings", fan_out=True),
+        cb,
+        [float(v) for v in probe_row[0]],
+    )
 
 
 def pq_adc_rank_of(

@@ -41,7 +41,7 @@ QUANTILES = (0.25, 0.5, 0.75, 0.95)
     "approx_percentiles sketch avoids at scale.",
 )
 def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem", fan_out=True)
     pcts = F.percentile("l_extendedprice", F.array(*[F.lit(q) for q in QUANTILES]))
     g = li.groupBy("l_returnflag").agg(pcts.alias("ps"))
     return g.select(

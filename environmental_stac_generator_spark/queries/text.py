@@ -82,7 +82,7 @@ QUALITY_SQL = f"""
     "heuristic filter, fully relational.",
 )
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return quality_of(load(spark, sf_dir, "documents"))
+    return quality_of(load(spark, sf_dir, "documents", fan_out=True))
 
 
 def quality_of(d: DataFrame) -> DataFrame:
@@ -208,7 +208,7 @@ def _with_repetition(df: DataFrame, ts: str = "ts") -> DataFrame:
     "shuffle of corpus n-grams at any scale.",
 )
 def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", fan_out=True)
     toks = d.select("doc_id", F.split("text", " ").alias("ts"))
     return _with_repetition(toks).drop("ts")
 
@@ -338,7 +338,9 @@ def with_pii(d: DataFrame) -> DataFrame:
     "redaction pass of a curation pipeline, one map-side regex scan.",
 )
 def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return with_pii(load(spark, sf_dir, "documents").select("doc_id", "text")).drop(
+    return with_pii(
+        load(spark, sf_dir, "documents", fan_out=True).select("doc_id", "text")
+    ).drop(
         "text"
     )
 
@@ -367,7 +369,7 @@ TEXT_PROFILE_SQL = f"""
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-scan text analysis: token counts, language-ID heuristic,
     and content fingerprints as a single projection over documents."""
-    d = load(spark, sf_dir, "documents")
+    d = load(spark, sf_dir, "documents", fan_out=True)
     scored = d.select(
         "doc_id",
         "text",
@@ -587,4 +589,4 @@ def perplexity_of(d: DataFrame, lm: DataFrame | None = None) -> DataFrame:
     "micro-integer rounded so the per-doc sum is order-independent.",
 )
 def perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return perplexity_of(load(spark, sf_dir, "documents"))
+    return perplexity_of(load(spark, sf_dir, "documents", fan_out=True))

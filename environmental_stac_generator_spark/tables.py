@@ -9,6 +9,8 @@ Catalyst gets full predicate pushdown / column pruning on every scan
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLE_NAMES = (
@@ -24,7 +26,82 @@ TABLE_NAMES = (
     "embeddings",
 )
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# --- scan fan-out (r16, guide §2.5 "input skew: one huge
+# unsplittable file ... repartition immediately after the read") ---
+#
+# A parquet scan cannot be parallelized below ROW-GROUP granularity,
+# and the bench tables ship as ONE row group per table — so every
+# map-heavy stage fused onto such a scan (shingle md5s, HOF dot
+# products, window hashing) runs at the file's split width (one
+# task) no matter how many cores the session has. For those
+# operators a round-robin exchange right after the read trades one
+# small shuffle of the (projected) input for task-width compute.
+#
+# The partition count is a FIXED constant, not derived from the
+# session's core count: keyless repartition is deterministic given
+# (input order, n) — `spark.sql.execution.sortBeforeRepartition` —
+# so a fixed n keeps float partial-aggregate grouping identical
+# across the driver's core-count sweep, preserving today's
+# bit-stability. 16 engages this host's measured parallel capacity
+# (the CPU probe saturates ~4x between P=8 and P=16) while keeping
+# the per-task plan-deserialization overhead (tens of ms on the
+# biggest expression trees) off the critical path — measured sweep
+# in OPTIMIZATION_r16.md (fan=32/64 LOSES on plan-heavy queries).
+#
+# The gate is footer-stats CBO, same degradation posture as
+# `provably_small`: fan out ONLY when stats prove the table is both
+# under-split (fewer row groups than the fan width) and small
+# enough that the extra exchange is trivially cheap. A production
+# corpus (many files / many row groups / > FAN_OUT_MAX_BYTES) never
+# pays a blind corpus-wide shuffle — the gate turns itself off and
+# the scan's native split parallelism stands.
+FAN_OUT_PARTITIONS = int(os.environ.get("SPARK_GRAFT_FAN_PARTITIONS", "16"))
+FAN_OUT_MAX_BYTES = 256 * 1024 * 1024
+
+# footer stats per (path, mtime, size): (row_groups, file_bytes)
+_FAN_STATS: dict[tuple, tuple[int, int] | None] = {}
+
+
+def _scan_units(sf_dir: str, name: str) -> tuple[int, int] | None:
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    key = (path, st.st_mtime_ns, st.st_size)
+    if key not in _FAN_STATS:
+        try:
+            import pyarrow.parquet as pq
+
+            meta = pq.read_metadata(path)
+            _FAN_STATS[key] = (meta.num_row_groups, st.st_size)
+        except Exception:
+            _FAN_STATS[key] = None
+    return _FAN_STATS[key]
+
+
+def fan_out_scan(df: DataFrame, sf_dir: str, name: str) -> DataFrame:
+    """Round-robin the scan to :data:`FAN_OUT_PARTITIONS` when footer
+    stats PROVE it is an under-split small table (see block comment
+    above); otherwise return it unchanged (unknown stats are never
+    fanned — the scale-safe posture)."""
+    stats = _scan_units(sf_dir, name)
+    if stats is None or FAN_OUT_PARTITIONS <= 1:
+        return df
+    units, nbytes = stats
+    if units >= FAN_OUT_PARTITIONS or nbytes > FAN_OUT_MAX_BYTES:
+        return df
+    return df.repartition(FAN_OUT_PARTITIONS)
+
+
+def load(
+    spark: SparkSession, sf_dir: str, name: str, fan_out: bool = False
+) -> DataFrame:
+    """``fan_out=True`` opts a MAP-COMPUTE-HEAVY consumer into the
+    gated scan fan-out. Deliberately opt-in per call site: for cheap
+    aggregates/joins the extra exchange costs more than the starved
+    partial-agg it would parallelize (measured, OPTIMIZATION_r16.md),
+    so those scans stay fused."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
@@ -49,6 +126,8 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
+        if fan_out:
+            df = fan_out_scan(df, sf_dir, name)
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, T.LongType):
             # integer FLOOR division: epoch nanos (~1.7e18) exceed
@@ -64,7 +143,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         elif not isinstance(ts_type, T.TimestampType):
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if fan_out:
+        df = fan_out_scan(df, sf_dir, name)
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

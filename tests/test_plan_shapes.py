@@ -59,6 +59,11 @@ def test_shuffle_budget_and_broadcast(spark, sf_dir, name, max_shuffles, needs_b
 
 @pytest.mark.parametrize("name", ["minhash_signatures", "simhash", "ann_lsh_buckets", "quality_score", "pq_encode", "pq_ann_probe", "ivfpq_ann_probe", "ivfpq_index_probe"])
 def test_map_side_only(spark, sf_dir, name):
+    # Zero KEYED exchanges: no hash/range shuffle of corpus rows. The
+    # r16 gated scan fan-out (tables.fan_out_scan) may add one
+    # round-robin exchange right after an under-split scan — that is
+    # width, not a keyed data movement, and _shuffles deliberately
+    # does not count it (tests/test_fan_out.py covers its gate).
     plan = _plan(spark, sf_dir, name)
     assert _shuffles(plan) == 0, plan
 
