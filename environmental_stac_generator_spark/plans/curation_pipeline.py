@@ -108,6 +108,7 @@ def _near_dedup(
     threshold: float,
     keep: str = "first",
     cc_algorithm: str = "label",
+    known_rows: int | None = None,
 ) -> DataFrame:
     from environmental_stac_generator_spark.queries.dedup import (
         components_of,
@@ -117,8 +118,10 @@ def _near_dedup(
     # No broadcast hint on the loser anti-join: the loser set is
     # candidate-bounded, which is corpus-scale in a duplicate-heavy
     # corpus — AQE runtime-sizes it (still a broadcast when the set is
-    # actually small).
-    pairs = verified_pairs_of(docs, threshold=threshold)
+    # actually small). ``known_rows`` is the staged input's exact
+    # materialized count — it feeds bucket_pairs' provably-no-mega
+    # gate (r16), dropping the dead skew routing on small corpora.
+    pairs = verified_pairs_of(docs, threshold=threshold, bound_rows=known_rows)
     if keep == "first":
         # drop the higher id of every verified pair
         losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
@@ -343,6 +346,7 @@ def curate(
                 cfg.near_dup_jaccard,
                 keep=cfg.dedup_keep,
                 cc_algorithm=cfg.cc_algorithm,
+                known_rows=last_count[0],
             ),
             "near_dedup",
         )

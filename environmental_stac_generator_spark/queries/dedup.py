@@ -202,6 +202,7 @@ def bucket_pairs(
     bucket_cols: list[str],
     id_col: str,
     max_bucket: int = 100_000,
+    bound_rows: int | None = None,
 ) -> DataFrame:
     """Ordered id pairs per bucket, skew-safe.
 
@@ -237,13 +238,47 @@ def bucket_pairs(
     never text), consumed by the count pass and both routed sides;
     the pin is TRACKED (``lineage.persist_tracked``) so the curate
     chain / engine release it once downstream materializes — no
-    unbounded per-input-frame accumulation (ADVICE r4)."""
+    unbounded per-input-frame accumulation (ADVICE r4).
+
+    ``bound_rows`` is a driver-known upper bound on the rows of
+    ``members`` PER DISTINCT BUCKET (callers pass the source row
+    count: each source row contributes at most one member row per
+    bucket key). When stats PROVE it at or under ``max_bucket``
+    (:func:`tables.provably_small` — the shared CBO gate, honoring
+    ``force_scale_plans``), no bucket can be mega, so the whole
+    routing apparatus — the tracked persist, the count pass, the
+    anti-join, the empty blocked-path union — is provably dead plan
+    weight and the collect path runs alone as a single-consumer
+    pipeline (r16; measured ~2x fewer stages on the LSH family).
+    Unknown bounds keep the full skew-safe routing, as always."""
     from environmental_stac_generator_spark.operators.lineage import (
         persist_tracked,
     )
     from environmental_stac_generator_spark.operators.skew import (
         blocked_self_pairs,
     )
+    from environmental_stac_generator_spark.tables import provably_small
+
+    if provably_small(bound_rows, max_bucket):
+        return (
+            members.select(*bucket_cols, id_col)
+            .groupBy(*bucket_cols)
+            .agg(F.sort_array(F.collect_set(id_col)).alias("ds"))
+            .filter(F.size("ds") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ds, (a, i) -> "
+                        "transform(slice(ds, i + 2, size(ds)), b -> struct(a AS doc_a, b AS doc_b))))"
+                    )
+                ).alias("p")
+            )
+            .select(
+                F.col("p.doc_a").alias("doc_a"),
+                F.col("p.doc_b").alias("doc_b"),
+            )
+            .distinct()
+        )
 
     ids = persist_tracked(members.select(*bucket_cols, id_col))
     mega_keys = (
@@ -311,7 +346,16 @@ def lsh_candidate_pairs(
     # generated map-side (a self-join would recompute the signature
     # scan for each side — no exchange reuse across projections);
     # mega-buckets fall back to the skew-safe join path (bucket_pairs).
-    return bucket_pairs(bands, ["band", "band_hash"], "doc_id", max_bucket)
+    # Per-bucket bound: a doc holds ONE band_hash per band, so no
+    # (band, band_hash) bucket can exceed the document count — footer
+    # stats let bucket_pairs drop the mega routing when that bound is
+    # proven under the cap.
+    from environmental_stac_generator_spark.tables import table_rows
+
+    return bucket_pairs(
+        bands, ["band", "band_hash"], "doc_id", max_bucket,
+        bound_rows=table_rows(sf_dir, "documents"),
+    )
 
 
 def bands_of(d: DataFrame) -> DataFrame:
@@ -852,28 +896,40 @@ def _components_star(pairs: DataFrame) -> tuple[DataFrame, int]:
     "verify step costs O(candidates), never O(n^2).",
 )
 def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from environmental_stac_generator_spark.tables import table_rows
+
     return verified_pairs_of(
-        load(spark, sf_dir, "documents", fan_out=True)
+        load(spark, sf_dir, "documents", fan_out=True),
+        bound_rows=table_rows(sf_dir, "documents"),
     ).orderBy(
         "doc_a", "doc_b"
     )
 
 
 def verified_pairs_of(
-    d: DataFrame, threshold: float = 0.5, max_bucket: int = 100_000
+    d: DataFrame,
+    threshold: float = 0.5,
+    max_bucket: int = 100_000,
+    bound_rows: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard) near-dup pairs of a (doc_id, text)
     frame: LSH candidates confirmed by exact shingle-set Jaccard >=
     ``threshold``. The set algebra runs map-side — O(candidates),
     never O(n²). The candidate-pair joins are unhinted: candidates
     are corpus-scale in a duplicate-heavy corpus, so AQE runtime-sizes
-    the strategy (broadcast when actually small)."""
+    the strategy (broadcast when actually small). ``bound_rows`` — a
+    driver-known upper bound on the rows of ``d`` — feeds
+    :func:`bucket_pairs`' provably-no-mega gate (a doc holds one
+    band_hash per band, so no LSH bucket can exceed the doc count)."""
     sets = (
         d.withColumn("words", F.split("text", " "))
         .filter(F.size("words") >= 3)
         .select("doc_id", F.array_distinct(F.expr(_SPARK_SHINGLES)).alias("sh"))
     )
-    pairs = bucket_pairs(bands_of(d), ["band", "band_hash"], "doc_id", max_bucket)
+    pairs = bucket_pairs(
+        bands_of(d), ["band", "band_hash"], "doc_id", max_bucket,
+        bound_rows=bound_rows,
+    )
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     joined = a.join(pairs, "doc_a").join(b, "doc_b")

@@ -346,6 +346,46 @@ def embedding_near_dup(
     # through a bucket-restricted self-join — identical pairs, no
     # executor holding an entire hot bucket in one row.
     buckets = _lsh_bucketed(spark, sf_dir)
+    grouped_all = (
+        buckets.groupBy("bucket")
+        .agg(F.sort_array(F.collect_list(F.struct("vec_id", "embedding"))).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
+    # provably-no-mega gate (r16, same CBO posture as
+    # dedup.bucket_pairs): no bucket can hold more rows than the
+    # corpus, so when footer stats prove the corpus itself at or
+    # under max_bucket the big branch is dead plan weight — the
+    # grouped relation then has ONE consumer and needs no tracked
+    # persist, no size split, no union. Unknown stats (or
+    # force_scale_plans) keep the full skew-safe routing.
+    from environmental_stac_generator_spark.tables import (
+        provably_small,
+        table_rows,
+    )
+
+    if provably_small(table_rows(sf_dir, "embeddings"), max_bucket):
+        pairs = (
+            grouped_all.select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ms, (a, i) -> "
+                        "transform(slice(ms, i + 2, size(ms)), b -> struct(a, b))))"
+                    )
+                ).alias("p")
+            )
+            .select(
+                F.col("p.a.vec_id").alias("vec_a"),
+                F.col("p.b.vec_id").alias("vec_b"),
+                F.col("p.a.embedding").alias("emb_a"),
+                F.col("p.b.embedding").alias("emb_b"),
+            )
+        )
+        cos = _cosine("emb_a", "emb_b")
+        return (
+            pairs.filter(cos >= 0.35)
+            .select("vec_a", "vec_b", rnd(cos, 5).alias("cosine"))
+            .orderBy("vec_a", "vec_b")
+        )
     # persisted via the TRACKED registry (releasable, not a dangling
     # session pin — ADVICE r4): the small/big split consumes this
     # twice, and the reduce-side collect agg re-runs per consumer
@@ -355,11 +395,7 @@ def embedding_near_dup(
         persist_tracked,
     )
 
-    grouped = persist_tracked(
-        buckets.groupBy("bucket")
-        .agg(F.sort_array(F.collect_list(F.struct("vec_id", "embedding"))).alias("ms"))
-        .filter(F.size("ms") >= 2)
-    )
+    grouped = persist_tracked(grouped_all)
     small_pairs = (
         grouped.filter(F.size("ms") <= max_bucket)
         .select(

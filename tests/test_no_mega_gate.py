@@ -1,0 +1,119 @@
+"""Provably-no-mega bucket gate (r16, guide §2.4 remove shuffles).
+
+`dedup.bucket_pairs` / `similarity.embedding_near_dup` carry a
+skew-safe mega-bucket routing (count pass + anti-join + blocked/self
+join union). When a driver-known row bound PROVES no bucket can
+exceed the cap, that routing is dead plan weight: the r16 gate drops
+it via the shared `provably_small` CBO predicate. The gate must:
+
+- emit the IDENTICAL pair set on both sides (gated vs forced-scale);
+- keep the skew-safe plan when stats are unknown or the force flag
+  is on (the shared degradation posture);
+- actually simplify the plan when it fires (no anti-join, no union).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from environmental_stac_generator_spark import tables
+from environmental_stac_generator_spark.queries.dedup import (
+    bands_of,
+    bucket_pairs,
+)
+from environmental_stac_generator_spark.tables import load
+
+
+def _pairs(df):
+    return sorted((r["doc_a"], r["doc_b"]) for r in df.collect())
+
+
+def test_gated_pairs_identical_to_scale_plan(spark, sf_dir):
+    from environmental_stac_generator_spark.operators.lineage import (
+        release_tracked,
+    )
+
+    bands = bands_of(load(spark, sf_dir, "documents"))
+    gated = _pairs(
+        bucket_pairs(bands, ["band", "band_hash"], "doc_id", bound_rows=5_000)
+    )
+    try:
+        tables.force_scale_plans(True)  # forces the full routing
+        scale = _pairs(
+            bucket_pairs(
+                bands, ["band", "band_hash"], "doc_id", bound_rows=5_000
+            )
+        )
+    finally:
+        tables.force_scale_plans(False)
+        release_tracked()
+    assert gated == scale
+    assert len(gated) > 0
+
+
+def test_gate_simplifies_plan(spark, sf_dir):
+    bands = bands_of(load(spark, sf_dir, "documents"))
+    plan = (
+        bucket_pairs(bands, ["band", "band_hash"], "doc_id", bound_rows=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftAnti" not in plan
+    assert "Union" not in plan
+
+
+def test_unknown_bound_keeps_scale_plan(spark, sf_dir):
+    from environmental_stac_generator_spark.operators.lineage import (
+        release_tracked,
+    )
+
+    bands = bands_of(load(spark, sf_dir, "documents"))
+    plan = (
+        bucket_pairs(bands, ["band", "band_hash"], "doc_id", bound_rows=None)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    release_tracked()
+    assert "LeftAnti" in plan  # the skew-safe anti-join routing stands
+
+
+def test_bound_over_cap_keeps_scale_plan(spark, sf_dir):
+    from environmental_stac_generator_spark.operators.lineage import (
+        release_tracked,
+    )
+
+    bands = bands_of(load(spark, sf_dir, "documents"))
+    plan = (
+        bucket_pairs(
+            bands, ["band", "band_hash"], "doc_id",
+            max_bucket=100, bound_rows=101,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    release_tracked()
+    assert "LeftAnti" in plan
+
+
+def test_embedding_near_dup_gate_parity(spark, sf_dir):
+    from environmental_stac_generator_spark.operators.lineage import (
+        release_tracked,
+    )
+    from environmental_stac_generator_spark.queries.similarity import (
+        embedding_near_dup,
+    )
+
+    gated = sorted(tuple(r) for r in embedding_near_dup(spark, sf_dir).collect())
+    try:
+        tables.force_scale_plans(True)
+        scale = sorted(
+            tuple(r) for r in embedding_near_dup(spark, sf_dir).collect()
+        )
+    finally:
+        tables.force_scale_plans(False)
+        release_tracked()
+    assert gated == scale
+    assert len(gated) > 0

@@ -455,8 +455,18 @@ def test_tracked_pair_caches_are_releasable(spark, sf_dir):
         lsh_candidate_pairs,
     )
 
+    from environmental_stac_generator_spark import tables
+
     release_tracked()  # clean slate
-    assert lsh_candidate_pairs(spark, sf_dir).count() > 0
+    # force the skew-safe routing: the r16 provably-no-mega gate
+    # otherwise drops the persist entirely on this small corpus (the
+    # releasability invariant under test applies to the path that
+    # persists)
+    tables.force_scale_plans(True)
+    try:
+        assert lsh_candidate_pairs(spark, sf_dir).count() > 0
+    finally:
+        tables.force_scale_plans(False)
     assert _tracked_list(), "bucket_pairs must register its persist"
     tracked = list(_tracked_list())
     release_tracked()
