@@ -700,8 +700,17 @@ def _components_driver(pairs: DataFrame) -> DataFrame:
     schema = StructType(
         [StructField("doc_id", id_type), StructField("cluster_id", id_type)]
     )
-    return pairs.sparkSession.createDataFrame(
-        [(x, find(x)) for x in sorted(nodes)], schema
+    data = [(x, find(x)) for x in sorted(nodes)]
+    spark = pairs.sparkSession
+    # bounded slice count: the default parallelize spreads a
+    # <=DRIVER_CC_PAIRS-row result over defaultParallelism slices, so
+    # every downstream job (the orderBy's range sample, the sort, the
+    # sink) schedules a full task wave for a few thousand rows; ~64k
+    # rows per slice keeps task count proportional to the data (r16)
+    slices = max(1, min(spark.sparkContext.defaultParallelism,
+                        len(data) // 65_536 + 1))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(data, slices), schema
     )
 
 

@@ -61,6 +61,31 @@ FAN_OUT_MAX_BYTES = 256 * 1024 * 1024
 # footer stats per (path, mtime, size): (row_groups, file_bytes)
 _FAN_STATS: dict[tuple, tuple[int, int] | None] = {}
 
+# Spark-INFERRED schema per (path, mtime, size). Every bare
+# ``spark.read.parquet`` pays a one-task schema-inference job at plan
+# time; across a bench/driver process each table is loaded hundreds
+# of times, so those footer jobs are a per-query latency tax (~1 job
+# per scan — guide §6 file-listing/metadata cost). The first load of
+# a file still infers (one job, exactly as before); subsequent loads
+# pass that SAME StructType explicitly, which skips inference while
+# resolving the identical schema. Keyed on (mtime, size) so a
+# rewritten file re-infers; schema objects are session-independent.
+_SCHEMA_CACHE: dict[tuple, object] = {}
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        st = os.stat(path)
+    except OSError:
+        return spark.read.parquet(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
 
 def _scan_units(sf_dir: str, name: str) -> tuple[int, int] | None:
     path = f"{sf_dir}/{name}.parquet"
@@ -122,7 +147,7 @@ def load(
         # a shared session should read such files through their own
         # session.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = _read_parquet(spark, f"{sf_dir}/{name}.parquet")
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
@@ -143,7 +168,7 @@ def load(
         elif not isinstance(ts_type, T.TimestampType):
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = _read_parquet(spark, f"{sf_dir}/{name}.parquet")
     if fan_out:
         df = fan_out_scan(df, sf_dir, name)
     return df
