@@ -39,6 +39,64 @@ def _cosine(a: str | Column, b: str | Column) -> Column:
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+# Driver-read gate: the footer-predicate fast path below reads at
+# most one bounded file on the driver; past this size the distributed
+# filter+collect stands (same posture as tables.FAN_OUT_MAX_BYTES).
+DRIVER_READ_MAX_BYTES = 256 * 1024 * 1024
+
+
+def _id_range_rows(e: DataFrame, hi: int, lo: int | None = None) -> list:
+    """``sorted`` (vec_id, embedding) rows with ``lo <= vec_id < hi``
+    (``lo=None`` → no lower bound) — the centroid/plane/codebook
+    bootstrap fetch shared by every probe query. When ``e`` is the
+    UNMODIFIED frame of a single bounded parquet file
+    (``tables.load`` stamps it), the rows come through a driver-side
+    pyarrow footer-predicate read: no Spark job, and float32 → Python
+    float widening is exact, so values are bit-identical to a collect
+    (the `_init_cents_from_parquet` precedent). Any other frame — or
+    an oversized / unreadable file — takes the Spark collect,
+    unchanged."""
+    import os as _os
+
+    path = getattr(e, "_envstac_parquet", None)
+    rows = None
+    if path is not None:
+        try:
+            if _os.stat(path).st_size <= DRIVER_READ_MAX_BYTES:
+                import collections
+
+                import pyarrow.dataset as ds
+
+                flt = ds.field("vec_id") < hi
+                if lo is not None:
+                    flt = (ds.field("vec_id") >= lo) & flt
+                tb = ds.dataset(path).to_table(
+                    filter=flt, columns=["vec_id", "embedding"]
+                )
+                R = collections.namedtuple("R", ["vec_id", "embedding"])
+                rows = [
+                    R(i, v)
+                    for i, v in zip(
+                        tb["vec_id"].to_pylist(), tb["embedding"].to_pylist()
+                    )
+                ]
+        except Exception:
+            rows = None
+    if rows is None:
+        cond = F.col("vec_id") < hi
+        if lo is not None:
+            cond = (F.col("vec_id") >= lo) & cond
+        rows = e.filter(cond).select("vec_id", "embedding").collect()
+    return sorted(rows, key=lambda r: r.vec_id)
+
+
+def _probe_embedding(e: DataFrame, probe_id: int = 0):
+    """The probe row's embedding (vec_id == ``probe_id``) or None —
+    same driver-read fast path as :func:`_id_range_rows`."""
+    rows = _id_range_rows(e, probe_id + 1, lo=probe_id)
+    return rows[0].embedding if rows else None
+
+
 def _vec_sql(values) -> str:
     """Driver-side constant vector -> array<double> SQL literal.
     float32 -> double widening is exact and repr() round-trips doubles
@@ -65,10 +123,7 @@ def _lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is never shuffled or cross-joined to get its buckets: at
     100 TB this is a single scan-project stage."""
     e = load(spark, sf_dir, "embeddings")
-    planes = sorted(
-        e.filter(F.col("vec_id") < N_PLANES).select("vec_id", "embedding").collect(),
-        key=lambda r: r.vec_id,
-    )
+    planes = _id_range_rows(e, N_PLANES)
     if not planes:
         # No hyperplanes — EMPTY result, matching the oracle's empty
         # planes-CTE cross join. This branch also fires for a
@@ -610,10 +665,7 @@ def ivf_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle's row_number tiebreak. No cross join, no window shuffle:
     # the corpus is scanned exactly once.
     e = load(spark, sf_dir, "embeddings")
-    cents = sorted(
-        e.filter(F.col("vec_id") < N_CENTROIDS).select("vec_id", "embedding").collect(),
-        key=lambda r: r.vec_id,
-    )
+    cents = _id_range_rows(e, N_CENTROIDS)
     if not cents:  # empty corpus: no cells, no probe
         return e.select(
             "vec_id", F.lit(None).cast("double").alias("cosine")
@@ -681,10 +733,7 @@ NPROBE = 4  # cells scanned by the multi-cell IVF probe
 def ivf_ann_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     empty = e.sparkSession.createDataFrame([], "vec_id bigint, cosine double")
-    cents = sorted(
-        e.filter(F.col("vec_id") < N_CENTROIDS).select("vec_id", "embedding").collect(),
-        key=lambda r: r.vec_id,
-    )
+    cents = _id_range_rows(e, N_CENTROIDS)
     if not cents:
         return empty
     probe = _ivf_probe_cell(cents)
@@ -1453,10 +1502,7 @@ def _assert_driver_dim(cb: list[list[float]]) -> None:
 def _pq_sample_codebook(e: DataFrame) -> list[list[float]]:
     """First PQ_K vectors by vec_id — the fixed sample codebook (one
     K-row driver collect, the IVF centroid-bootstrap pattern)."""
-    rows = sorted(
-        e.filter(F.col("vec_id") < PQ_K).select("vec_id", "embedding").collect(),
-        key=lambda r: r.vec_id,
-    )
+    rows = _id_range_rows(e, PQ_K)
     return [[float(v) for v in r.embedding] for r in rows]
 
 
@@ -1607,13 +1653,13 @@ def pq_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     empty = e.sparkSession.createDataFrame([], "vec_id bigint, adc double")
     if not cb:
         return empty
-    probe_row = e.filter(F.col("vec_id") == 0).select("embedding").head()
-    if probe_row is None:
+    probe_emb = _probe_embedding(e)
+    if probe_emb is None:
         return empty
     return pq_adc_rank_of(
         load(spark, sf_dir, "embeddings", fan_out=True),
         cb,
-        [float(v) for v in probe_row[0]],
+        [float(v) for v in probe_emb],
     )
 
 
@@ -1709,13 +1755,13 @@ def pq_ann_probe_trained(
     K_LITERAL_MAX routes to the broadcast-codebook kernel."""
     e = load(spark, sf_dir, "embeddings")
     empty = e.sparkSession.createDataFrame([], "vec_id bigint, adc double")
-    probe_row = e.filter(F.col("vec_id") == 0).select("embedding").head()
-    if probe_row is None:
+    probe_emb = _probe_embedding(e)
+    if probe_emb is None:
         return empty
     cb = pq_train_codebook(e, k=k)
     if not cb:
         return empty
-    probe = [float(v) for v in probe_row[0]]
+    probe = [float(v) for v in probe_emb]
     if k <= K_LITERAL_MAX:
         return pq_adc_rank_of(e, cb, probe)
     return pq_adc_rank_bcast(e, cb, probe)
@@ -1797,10 +1843,7 @@ def _pq_adc_sql(probe: list[float], cb: list[list[float]], dsub: int) -> str:
 def ivfpq_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     empty = e.sparkSession.createDataFrame([], "vec_id bigint, adc double")
-    cents = sorted(
-        e.filter(F.col("vec_id") < N_CENTROIDS).select("vec_id", "embedding").collect(),
-        key=lambda r: r.vec_id,
-    )
+    cents = _id_range_rows(e, N_CENTROIDS)
     if not cents:
         return empty
     probe = _ivf_probe_cell(cents)
@@ -1917,10 +1960,7 @@ def _ivfpq_residual_duck(dim: int, dsub: int) -> str:
 def ivfpq_residual_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     empty = e.sparkSession.createDataFrame([], "vec_id bigint, adc double")
-    cents = sorted(
-        e.filter(F.col("vec_id") < N_CENTROIDS).select("vec_id", "embedding").collect(),
-        key=lambda r: r.vec_id,
-    )
+    cents = _id_range_rows(e, N_CENTROIDS)
     if not cents:
         return empty
     probe = _ivf_probe_cell(cents)
@@ -1930,15 +1970,7 @@ def ivfpq_residual_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codebook sample OFFSET past the centroid rows: a centroid's own
     # residual is the zero vector, so sampling vec_id < PQ_K (which
     # equals the centroid id range) would degenerate every entry to ~0
-    cb_rows = sorted(
-        e.filter(
-            (F.col("vec_id") >= N_CENTROIDS)
-            & (F.col("vec_id") < N_CENTROIDS + PQ_K)
-        )
-        .select("vec_id", "embedding")
-        .collect(),
-        key=lambda r: r.vec_id,
-    )
+    cb_rows = _id_range_rows(e, N_CENTROIDS + PQ_K, lo=N_CENTROIDS)
     if not cb_rows:
         return empty
     cent_by_id = {int(r.vec_id): [float(v) for v in r.embedding] for r in cents}
@@ -2115,25 +2147,14 @@ def _ivfpq_refine_duck(dim: int, dsub: int, refine_r: int) -> str:
 def ivfpq_residual_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     empty = e.sparkSession.createDataFrame([], "vec_id bigint, adc double")
-    cents = sorted(
-        e.filter(F.col("vec_id") < N_CENTROIDS).select("vec_id", "embedding").collect(),
-        key=lambda r: r.vec_id,
-    )
+    cents = _id_range_rows(e, N_CENTROIDS)
     if not cents:
         return empty
     probe = _ivf_probe_cell(cents)
     if probe is None:
         return empty
     probe_vec, _p_norm, _pc = probe
-    cb_rows = sorted(
-        e.filter(
-            (F.col("vec_id") >= N_CENTROIDS)
-            & (F.col("vec_id") < N_CENTROIDS + PQ_K)
-        )
-        .select("vec_id", "embedding")
-        .collect(),
-        key=lambda r: r.vec_id,
-    )
+    cb_rows = _id_range_rows(e, N_CENTROIDS + PQ_K, lo=N_CENTROIDS)
     if not cb_rows:
         return empty
     cent_by_id = {int(r.vec_id): [float(v) for v in r.embedding] for r in cents}
@@ -2208,10 +2229,7 @@ def ivfpq_residual_trained(
     of nprobe disjoint map passes, no extra shuffle class."""
     e = load(spark, sf_dir, "embeddings")
     empty = e.sparkSession.createDataFrame([], "vec_id bigint, adc double")
-    cents = sorted(
-        e.filter(F.col("vec_id") < N_CENTROIDS).select("vec_id", "embedding").collect(),
-        key=lambda r: r.vec_id,
-    )
+    cents = _id_range_rows(e, N_CENTROIDS)
     if not cents:
         return empty
     probe = _ivf_probe_cell(cents)

@@ -171,6 +171,15 @@ def load(
     df = _read_parquet(spark, f"{sf_dir}/{name}.parquet")
     if fan_out:
         df = fan_out_scan(df, sf_dir, name)
+    # stamp the single-file source on the returned frame (r16): tiny
+    # driver-side fetches (IVF centroids, PQ codebook samples, probe
+    # vectors) can then read the rows through a parquet
+    # footer-predicate instead of scheduling a Spark collect job —
+    # same rows, exact float32→double widening, no job. The stamp
+    # deliberately does NOT survive any transformation (a .select /
+    # .filter returns a fresh DataFrame), so only the unmodified base
+    # relation ever takes the driver-read path.
+    df._envstac_parquet = f"{sf_dir}/{name}.parquet"
     return df
 
 
