@@ -400,10 +400,20 @@ def embedding_near_dup(
     # is tighter than the id-only dedup path) skip the collect and go
     # through a bucket-restricted self-join — identical pairs, no
     # executor holding an entire hot bucket in one row.
-    buckets = _lsh_bucketed(spark, sf_dir)
+    # Per-vector norm computed ONCE map-side with the exact expression
+    # the per-pair cosine divisor uses (sqrt of the sequential-double
+    # self-dot, same bits — the semantic_pairs_of precedent), so the
+    # pair stage pays one dot per pair instead of three.
+    buckets = _lsh_bucketed(spark, sf_dir).withColumn(
+        "nrm", F.sqrt(_dot("embedding", "embedding"))
+    )
     grouped_all = (
         buckets.groupBy("bucket")
-        .agg(F.sort_array(F.collect_list(F.struct("vec_id", "embedding"))).alias("ms"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("vec_id", "embedding", "nrm"))
+            ).alias("ms")
+        )
         .filter(F.size("ms") >= 2)
     )
     # provably-no-mega gate (r16, same CBO posture as
@@ -433,9 +443,11 @@ def embedding_near_dup(
                 F.col("p.b.vec_id").alias("vec_b"),
                 F.col("p.a.embedding").alias("emb_a"),
                 F.col("p.b.embedding").alias("emb_b"),
+                F.col("p.a.nrm").alias("nrm_a"),
+                F.col("p.b.nrm").alias("nrm_b"),
             )
         )
-        cos = _cosine("emb_a", "emb_b")
+        cos = _dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b"))
         return (
             pairs.filter(cos >= 0.35)
             .select("vec_a", "vec_b", rnd(cos, 5).alias("cosine"))
@@ -466,22 +478,24 @@ def embedding_near_dup(
             F.col("p.b.vec_id").alias("vec_b"),
             F.col("p.a.embedding").alias("emb_a"),
             F.col("p.b.embedding").alias("emb_b"),
+            F.col("p.a.nrm").alias("nrm_a"),
+            F.col("p.b.nrm").alias("nrm_b"),
         )
     )
     big = grouped.filter(F.size("ms") > max_bucket).select(
         "bucket", F.explode("ms").alias("m")
     )
     big_pairs = (
-        big.select("bucket", F.col("m.vec_id").alias("vec_a"), F.col("m.embedding").alias("emb_a"))
+        big.select("bucket", F.col("m.vec_id").alias("vec_a"), F.col("m.embedding").alias("emb_a"), F.col("m.nrm").alias("nrm_a"))
         .join(
-            big.select("bucket", F.col("m.vec_id").alias("vec_b"), F.col("m.embedding").alias("emb_b")),
+            big.select("bucket", F.col("m.vec_id").alias("vec_b"), F.col("m.embedding").alias("emb_b"), F.col("m.nrm").alias("nrm_b")),
             "bucket",
         )
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", "emb_a", "emb_b")
+        .select("vec_a", "vec_b", "emb_a", "emb_b", "nrm_a", "nrm_b")
     )
     pairs = small_pairs.unionByName(big_pairs)
-    cos = _cosine("emb_a", "emb_b")
+    cos = _dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b"))
     return (
         pairs.filter(cos >= 0.35)
         .select("vec_a", "vec_b", rnd(cos, 5).alias("cosine"))
