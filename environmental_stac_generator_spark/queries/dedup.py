@@ -943,8 +943,25 @@ def verified_pairs_of(
     b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     joined = a.join(pairs, "doc_a").join(b, "doc_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = inter.cast("double") / union
-    return joined.filter(jac >= threshold).select(
+    # explode(array(inter)) is a SINGLE-EVALUATION barrier (r16, see
+    # semantic_pairs_of): the intersection size otherwise appears in
+    # both the numerator and denominator of the Jaccard, and the
+    # pushed-down threshold filter duplicates the whole quotient —
+    # the O(|shingles|) array_intersect ran FOUR times per candidate
+    # pair. A filter cannot cross a Generate's output attribute, so
+    # the set intersection runs exactly once; the remaining quotient
+    # arithmetic over the attribute is scalar-cheap. Values and the
+    # surviving pair set are bit-identical.
+    sized = joined.select(
+        "doc_a",
+        "doc_b",
+        F.size("sh_a").alias("_na"),
+        F.size("sh_b").alias("_nb"),
+        F.explode(F.array(inter)).alias("_i"),
+    )
+    jac = F.col("_i").cast("double") / (
+        F.col("_na") + F.col("_nb") - F.col("_i")
+    )
+    return sized.filter(jac >= threshold).select(
         "doc_a", "doc_b", rnd(jac, 4).alias("jaccard")
     )

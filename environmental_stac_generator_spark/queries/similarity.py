@@ -448,9 +448,13 @@ def embedding_near_dup(
             )
         )
         cos = _dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b"))
+        # single-evaluation barrier: see semantic_pairs_of (r16)
         return (
-            pairs.filter(cos >= 0.35)
-            .select("vec_a", "vec_b", rnd(cos, 5).alias("cosine"))
+            pairs.select(
+                "vec_a", "vec_b", F.explode(F.array(cos)).alias("_c")
+            )
+            .filter(F.col("_c") >= 0.35)
+            .select("vec_a", "vec_b", rnd(F.col("_c"), 5).alias("cosine"))
             .orderBy("vec_a", "vec_b")
         )
     # persisted via the TRACKED registry (releasable, not a dangling
@@ -496,9 +500,11 @@ def embedding_near_dup(
     )
     pairs = small_pairs.unionByName(big_pairs)
     cos = _dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b"))
+    # single-evaluation barrier: see semantic_pairs_of (r16)
     return (
-        pairs.filter(cos >= 0.35)
-        .select("vec_a", "vec_b", rnd(cos, 5).alias("cosine"))
+        pairs.select("vec_a", "vec_b", F.explode(F.array(cos)).alias("_c"))
+        .filter(F.col("_c") >= 0.35)
+        .select("vec_a", "vec_b", rnd(F.col("_c"), 5).alias("cosine"))
         .orderBy("vec_a", "vec_b")
     )
 
@@ -1390,10 +1396,19 @@ def semantic_pairs_of(
     # no global sort here: chain consumers (semantic dedup's anti-join)
     # are order-free, and a 100 TB pair relation must not pay a range
     # exchange for cosmetics — the registered query orders for its
-    # deterministic oracle comparison
-    return pairs.select("vec_a", "vec_b", cos.alias("cosine")).filter(
-        F.col("cosine") >= threshold
-    )
+    # deterministic oracle comparison.
+    # explode(array(cos)) is a SINGLE-EVALUATION barrier (r16): the
+    # pushed-down threshold filter otherwise references the aliased
+    # cosine through the projection and Catalyst duplicates the whole
+    # dot product into the Filter node — every pair paid the 64-term
+    # HOF twice (guide §4.4's duplication, expression-level). A
+    # filter on a Generate's OUTPUT attribute cannot be pushed into
+    # the generator, so the dot runs exactly once per pair; the
+    # one-element explode itself is a few ns per row. Values and the
+    # surviving pair set are bit-identical.
+    return pairs.select(
+        "vec_a", "vec_b", F.explode(F.array(cos)).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
 
 
 # ---------------------------------------------------------------------------
