@@ -1420,16 +1420,22 @@ def _curate_chain_run(spark, sf_dir):
 def _auto_k_df(spark, sf_dir):
     """The curate chain's actual SemDeDup default: auto-K (K~sqrt N)
     with the Arrow assignment kernel — shared by the headline bench
-    row and the soak."""
+    row and the soak.
+
+    NOT fanned (r16): the r16 fan-out commit blanket-applied
+    fan_out=True here, but this row's assignment is the VECTORIZED
+    mapInPandas kernel, not an interpreted-HOF map stage — fanning
+    split the tiny corpus into 16 Arrow batches across 16 Python
+    workers and measured 1.3–4x SLOWER (interleaved A/B, identical
+    results; worst in a long warm session where the first fanned
+    attempt spawns the full worker pool). The fused scan stands."""
     from environmental_stac_generator_spark.queries.similarity import (
         semantic_pairs_of,
     )
     from environmental_stac_generator_spark.tables import load
 
     return semantic_pairs_of(
-        load(spark, sf_dir, "embeddings", fan_out=True).select(
-            "vec_id", "embedding"
-        ),
+        load(spark, sf_dir, "embeddings").select("vec_id", "embedding"),
         n_clusters="auto",
     )
 
