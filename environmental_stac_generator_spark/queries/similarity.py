@@ -1,10 +1,14 @@
 """Similarity search over embeddings (SURVEY §2.11 north-star).
 
 Brute-force cosine top-k as the exact baseline, plus a
-random-hyperplane LSH bucketing as the 100 TB scale path. The dot
-products stay JVM-side as ``zip_with`` + ``aggregate`` higher-order
-functions (whole-stage codegen, no Python), and the probe side is
-always broadcast — the big embeddings table is never shuffled.
+random-hyperplane LSH bucketing as the 100 TB scale path. Per-probe
+dot products stay JVM-side as ``zip_with`` + ``aggregate`` higher-
+order functions; the bulk PAIR-stage cosines (SemDeDup, embedding
+near-dup) run in a bit-exact vectorized Arrow kernel
+(:func:`_pair_cosines_arrow` — HOFs are never whole-stage-codegen'd,
+so the interpreted per-pair dot dominated those stages). The probe
+side is always broadcast — the big embeddings table is never
+shuffled.
 
 At scale: brute-force is one broadcast-join map pass O(n·d) — fine
 for one probe; the LSH variant buckets the corpus once (one map
@@ -37,6 +41,294 @@ def _dot(a: str | Column, b: str | Column) -> Column:
 
 def _cosine(a: str | Column, b: str | Column) -> Column:
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def _np_rnd(x, n: int = 5):
+    """Numpy twin of :func:`functions.rounding.rnd` INCLUDING Spark
+    ``floor()``'s double→long cast semantics (NaN → 0, saturation at
+    the long bounds) — plain IEEE arithmetic, bit-identical."""
+    import numpy as np
+
+    scale = float(10**n)
+    v = np.floor(x * scale + 0.5)
+    lmax = 9.223372036854776e18  # double(Long.MAX) == double(Long.MIN) magnitude
+    v = np.where(np.isnan(v), 0.0, np.clip(v, -lmax, lmax))
+    return v / scale
+
+
+_PAIR_COLS = ("vec_a", "vec_b", "emb_a", "emb_b", "nrm_a", "nrm_b")
+
+
+def _pair_cosines_arrow(
+    pairs: DataFrame, threshold: float, filter_raw: bool
+) -> DataFrame:
+    """(vec_a, vec_b, cosine) survivors of a candidate-pair frame's
+    cosine threshold — the vectorized Arrow twin of the JVM
+    explode-barrier projection (guide §4.2: hand whole batches to
+    native code instead of per-row interpreted expressions).
+
+    BIT-EXACT by construction, so the oracle surface is unchanged:
+
+    - the dot product accumulates DIM-SEQUENTIALLY across the batch
+      (``acc += A[:, i] * B[:, i]`` for i in 0..d-1) — each step is
+      one IEEE-754 float64 multiply-add per pair in exactly the
+      left-to-right order of the ``aggregate(zip_with(...))`` HOF,
+      and float32 → float64 widening is exact;
+    - rounding is :func:`_np_rnd`, the bit twin of ``rnd`` including
+      Spark ``floor``'s NaN→0 / long-saturation cast;
+    - Spark comparison semantics are replicated: NULL cosine drops
+      the pair, NaN compares GREATER than the threshold (pinned by
+      tests/test_pair_kernel.py). A null norm covers every
+      null-element case (the norm is the self-dot of the same
+      array), and cross-pair raggedness (len(a) != len(b) → NULL
+      dot) is dropped via the length check.
+
+    ``filter_raw=True`` filters on the raw quotient and emits the
+    rounded value (the ``embedding_near_dup`` contract);
+    ``filter_raw=False`` rounds first and filters on the rounded
+    value (the ``semantic_pairs_of`` contract).
+
+    Why a Python stage at all: Catalyst higher-order functions are
+    never whole-stage-codegen'd — the interpreted per-pair dot
+    measured ~61 s CPU on the bench's semdedup pair stage alone.
+    The kernel trades one Arrow transfer of (ids, embeddings, norms)
+    — only the columns it needs — for a ~20x cheaper metric, and the
+    win grows with pair volume at scale."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    id_t = pairs.schema["vec_a"].dataType
+    out_schema = StructType(
+        [
+            StructField("vec_a", id_t),
+            StructField("vec_b", id_t),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+    thr = float(threshold)
+
+    def run(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
+                continue
+            va, vb, ea, eb, na, nb = (rb.column(i) for i in range(6))
+            len_a = np.full(n, -1, dtype=np.int64)
+            len_b = np.full(n, -2, dtype=np.int64)
+            off_a = np.asarray(ea.offsets)
+            off_b = np.asarray(eb.offsets)
+            lav = np.diff(off_a)
+            lbv = np.diff(off_b)
+            ok_list_a = (
+                np.ones(n, dtype=bool)
+                if ea.null_count == 0
+                else np.asarray(ea.is_valid())
+            )
+            ok_list_b = (
+                np.ones(n, dtype=bool)
+                if eb.null_count == 0
+                else np.asarray(eb.is_valid())
+            )
+            len_a[ok_list_a] = lav[ok_list_a]
+            len_b[ok_list_b] = lbv[ok_list_b]
+            ok_n = np.ones(n, dtype=bool)
+            if na.null_count:
+                ok_n &= np.asarray(na.is_valid())
+            if nb.null_count:
+                ok_n &= np.asarray(nb.is_valid())
+            valid = ok_list_a & ok_list_b & ok_n & (len_a == len_b)
+            rows = np.flatnonzero(valid)
+            if not len(rows):
+                continue
+            vals_a = np.asarray(ea.values, dtype=np.float64)
+            vals_b = np.asarray(eb.values, dtype=np.float64)
+            na_np = np.asarray(na, dtype=np.float64)
+            nb_np = np.asarray(nb, dtype=np.float64)
+            # ANSI twin: Spark 4 runs with ANSI on, where a ZERO
+            # divisor in the JVM cosine is a DIVIDE_BY_ZERO error
+            # (a NaN/null divisor is not) — a zero-norm pair must
+            # fail the query here exactly as it fails the HOF path.
+            div = na_np[rows] * nb_np[rows]
+            if np.any(div == 0.0):
+                raise ArithmeticError(
+                    "[DIVIDE_BY_ZERO] zero-norm embedding in cosine "
+                    "pair stage (ANSI twin of the JVM expression)"
+                )
+            cos = np.empty(len(rows), dtype=np.float64)
+            with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+                for length in np.unique(len_a[rows]):
+                    grp = np.flatnonzero(len_a[rows] == length)
+                    r = rows[grp]
+                    acc = np.zeros(len(r), dtype=np.float64)
+                    if length:
+                        ia = off_a[r][:, None] + np.arange(length)
+                        ib = off_b[r][:, None] + np.arange(length)
+                        A = vals_a[ia]
+                        B = vals_b[ib]
+                        # dim-sequential: the HOF's left-to-right order
+                        for i in range(int(length)):
+                            acc += A[:, i] * B[:, i]
+                    cos[grp] = acc / div[grp]
+                rounded = _np_rnd(cos, 5)
+            val = cos if filter_raw else rounded
+            keep = np.flatnonzero(np.isnan(val) | (val >= thr))
+            if not len(keep):
+                continue
+            sel = pa.array(rows[keep])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    va.take(sel),
+                    vb.take(sel),
+                    pa.array(rounded[keep], type=pa.float64()),
+                ],
+                names=["vec_a", "vec_b", "cosine"],
+            )
+
+    return pairs.select(*_PAIR_COLS).mapInArrow(run, out_schema)
+
+
+def _pair_index_chunks(m: int, max_pairs: int = 1 << 20):
+    """Yield (ia, ib) index arrays enumerating the ordered pairs of
+    range(m) (ia < ib) in at-most-``max_pairs`` chunks, so a 10k-row
+    cluster's 50M pairs never materialize as one index array."""
+    import numpy as np
+
+    i = 0
+    while i < m - 1:
+        cnt, j = 0, i
+        while j < m - 1 and cnt + (m - 1 - j) <= max_pairs:
+            cnt += m - 1 - j
+            j += 1
+        if j == i:  # one row's tail alone exceeds the budget
+            j = i + 1
+        rows = np.arange(i, j)
+        ia = np.repeat(rows, m - 1 - rows)
+        ib = np.concatenate([np.arange(k + 1, m) for k in rows])
+        yield ia, ib
+        i = j
+
+
+def _cluster_pair_cosines(members: DataFrame, threshold: float) -> DataFrame:
+    """(vec_a, vec_b, cosine) within-cluster pairs of a (cluster,
+    vec_id, embedding, nrm) frame whose clusters the CALLER has
+    already bounded (mega clusters route to the blocked path) —
+    pair enumeration AND metric run in one vectorized applyInArrow
+    kernel.
+
+    Why this shape (guide §4.2 / §8): the Python boundary carries
+    each member ONCE (O(members·d)) instead of each candidate pair
+    twice (O(pairs·d)) — the pairs-through-Arrow variant measured a
+    wash at bench scale because serializing ~250k duplicated
+    embeddings cost as much as the interpreted dots it replaced, and
+    the JVM HOF variant pays ~61 s CPU of interpreted per-pair dot
+    on the same stage. Here a cluster's members land in numpy once
+    and all pair cosines come out of d vectorized multiply-adds per
+    pair.
+
+    Bit-exactness mirrors :func:`_pair_cosines_arrow`: the dot
+    accumulates dim-sequentially (the HOF's left-to-right order),
+    rounding is :func:`_np_rnd`, the threshold filter runs on the
+    ROUNDED value (the semantic_pairs_of contract), cross-length
+    pairs drop (NULL dot), members with null norms drop (covers
+    null/null-element embeddings), and a zero divisor among
+    evaluated pairs raises — the ANSI twin. Pinned by
+    tests/test_pair_kernel.py."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    id_t = members.schema["vec_id"].dataType
+    out_schema = StructType(
+        [
+            StructField("vec_a", id_t),
+            StructField("vec_b", id_t),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+    thr = float(threshold)
+
+    def kernel(tbl):
+        import pyarrow as pa
+
+        def empty():
+            return pa.table(
+                {
+                    "vec_a": pa.array([], tbl.column("vec_id").type),
+                    "vec_b": pa.array([], tbl.column("vec_id").type),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+
+        n = tbl.num_rows
+        if n < 2:
+            return empty()
+        vid = tbl.column("vec_id").combine_chunks()
+        emb = tbl.column("embedding").combine_chunks()
+        nrm = tbl.column("nrm").combine_chunks()
+        ids = np.asarray(vid)
+        ok = np.ones(n, dtype=bool)
+        if emb.null_count:
+            ok &= np.asarray(emb.is_valid())
+        if nrm.null_count:
+            ok &= np.asarray(nrm.is_valid())
+        rows = np.flatnonzero(ok)
+        if len(rows) < 2:
+            return empty()
+        nr = np.asarray(nrm, dtype=np.float64)
+        # ANSI twin: the JVM evaluates the divisor nrm_a*nrm_b for
+        # EVERY candidate pair (cross-length included) and a zero
+        # divisor errors; zero*NaN/zero*inf are NaN, not zero.
+        zero = rows[nr[rows] == 0.0]
+        finite = rows[np.isfinite(nr[rows])]
+        if len(zero) and (len(zero) >= 2 or len(finite) > len(zero)):
+            raise ArithmeticError(
+                "[DIVIDE_BY_ZERO] zero-norm embedding in cosine "
+                "pair stage (ANSI twin of the JVM expression)"
+            )
+        off = np.asarray(emb.offsets)
+        lens = np.diff(off)
+        vals = np.asarray(emb.values, dtype=np.float64)
+        out_a, out_b, out_c = [], [], []
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+            for length in np.unique(lens[rows]):
+                grp = rows[lens[rows] == length]
+                if len(grp) < 2:
+                    continue
+                g = grp[np.argsort(ids[grp], kind="stable")]
+                m = len(g)
+                L = int(length)
+                X = (
+                    vals[off[g][:, None] + np.arange(L)]
+                    if L
+                    else np.zeros((m, 0), dtype=np.float64)
+                )
+                gn, gid = nr[g], ids[g]
+                for ia, ib in _pair_index_chunks(m):
+                    acc = np.zeros(len(ia), dtype=np.float64)
+                    for d in range(L):
+                        acc += X[ia, d] * X[ib, d]
+                    rounded = _np_rnd(acc / (gn[ia] * gn[ib]), 5)
+                    keep = np.isnan(rounded) | (rounded >= thr)
+                    if keep.any():
+                        out_a.append(gid[ia[keep]])
+                        out_b.append(gid[ib[keep]])
+                        out_c.append(rounded[keep])
+        if not out_a:
+            return empty()
+        return pa.table(
+            {
+                "vec_a": pa.array(np.concatenate(out_a), vid.type),
+                "vec_b": pa.array(np.concatenate(out_b), vid.type),
+                "cosine": pa.array(np.concatenate(out_c), pa.float64()),
+            }
+        )
+
+    return (
+        members.select("cluster", "vec_id", "embedding", "nrm")
+        .groupBy("cluster")
+        .applyInArrow(kernel, out_schema)
+    )
 
 
 # Driver-read gate: the footer-predicate fast path below reads at
@@ -448,7 +740,13 @@ def embedding_near_dup(
             )
         )
         cos = _dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b"))
-        # single-evaluation barrier: see semantic_pairs_of (r16)
+        # single-evaluation barrier: the pushed-down threshold filter
+        # would otherwise duplicate the dot into the Filter node. The
+        # metric deliberately STAYS JVM-side here (unlike semdedup):
+        # LSH buckets prune candidates to near-linear volume, and an
+        # interleaved A/B of the Arrow pair kernel measured 1.46x
+        # SLOWER at bench scale — per-pair transfer exceeds the one
+        # post-norm-precompute dot each pair now pays.
         return (
             pairs.select(
                 "vec_a", "vec_b", F.explode(F.array(cos)).alias("_c")
@@ -500,7 +798,8 @@ def embedding_near_dup(
     )
     pairs = small_pairs.unionByName(big_pairs)
     cos = _dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b"))
-    # single-evaluation barrier: see semantic_pairs_of (r16)
+    # single-evaluation barrier + JVM metric: see the provably-small
+    # branch above
     return (
         pairs.select("vec_a", "vec_b", F.explode(F.array(cos)).alias("_c"))
         .filter(F.col("_c") >= 0.35)
@@ -1215,12 +1514,6 @@ def semdedup_pairs(
     ).orderBy("vec_a", "vec_b")
 
 
-# Broadcast build-side budget for the fast semantic-pair path: total
-# corpus rows (64-d float arrays ≈ 300 B/row → ~30 MB at the cap).
-# Past this the pair stage must shuffle, never broadcast the corpus.
-SEM_BROADCAST_ROWS = 100_000
-
-
 def semantic_pairs_of(
     e: DataFrame,
     threshold: float = SEM_THRESHOLD,
@@ -1232,19 +1525,19 @@ def semantic_pairs_of(
     (vec_id, embedding) frame — k-means clusters prune the pair
     space, exact cosine confirms within clusters.
 
-    Pair generation is size-gated on driver-known cluster sizes (K
+    Pair generation is size-routed on driver-known cluster sizes (K
     rows — dimension-sized state, like the centroids themselves):
 
-    - corpus fits the broadcast budget and no cluster exceeds
-      ``max_bucket`` → broadcast self-join on cluster, so the
-      O(n²/K) cosine work runs at full task width (locally the
-      corpus is MBs and this wins outright);
-    - otherwise → the skew-safe :func:`dedup.bucket_pairs` shape:
-      within-budget clusters collect into one sorted in-row array
-      and emit pairs MAP-SIDE (one shuffle, no join), mega-clusters
-      (> ``max_bucket``) go through a cluster-keyed shuffle
-      self-join — same pair set, and no executor ever broadcasts or
-      holds an entire 100 TB corpus / hot cluster.
+    - clusters at or under ``max_bucket`` → ONE cluster-keyed
+      exchange into the vectorized applyInArrow pair kernel
+      (:func:`_cluster_pair_cosines`): each member crosses the
+      Python boundary once and the O(n²/K) cosine work runs as d
+      vectorized multiply-adds per pair — bit-exact twin of the
+      JVM HOF metric, per-task memory bounded by ``max_bucket``;
+    - mega-clusters (> ``max_bucket``) go through the
+      triangle-blocked self-join (:func:`operators.skew`) with the
+      pairs-form Arrow metric — same pair set, and no executor ever
+      holds an entire hot cluster.
 
     ``n_clusters`` sets K: an int pins it, ``"auto"`` scales it with
     sqrt(corpus rows) — the SemDeDup posture that keeps per-cluster
@@ -1296,7 +1589,6 @@ def semantic_pairs_of(
         "embedding",
         F.sqrt(_dot("embedding", "embedding")).alias("nrm"),
     )
-    cos = rnd(_dot("emb_a", "emb_b") / (F.col("nrm_a") * F.col("nrm_b")), 5)
     # The broadcast/bucket gate is BALANCE-ONLY (both paths emit the
     # identical pair set — property-tested at max_bucket=1), but it
     # must be driven by the sizes of the FINAL assignment it routes:
@@ -1316,99 +1608,59 @@ def semantic_pairs_of(
         .agg(F.count("*").alias("n"))
         .collect()
     ]
-    total = sum(n for _, n in sizes)
-    biggest = max((n for _, n in sizes), default=0)
     spark = e.sparkSession
-    if biggest <= max_bucket and total <= SEM_BROADCAST_ROWS:
-        rhs = members.select(
-            "cluster",
-            F.col("vec_id").alias("vec_b"),
-            F.col("embedding").alias("emb_b"),
-            F.col("nrm").alias("nrm_b"),
-        )
-        lhs = members.repartition(spark.sparkContext.defaultParallelism).select(
-            "cluster",
-            F.col("vec_id").alias("vec_a"),
-            F.col("embedding").alias("emb_a"),
-            F.col("nrm").alias("nrm_a"),
-        )
-        pairs = lhs.join(F.broadcast(rhs), "cluster").filter(
-            F.col("vec_a") < F.col("vec_b")
-        )
-    else:
-        big_ids = [c for c, n in sizes if n > max_bucket]
-        small_m = (
-            members.filter(~F.col("cluster").isin(big_ids)) if big_ids else members
-        )
-        small_pairs = (
-            small_m.groupBy("cluster")
-            .agg(
-                F.sort_array(
-                    F.collect_list(F.struct("vec_id", "embedding", "nrm"))
-                ).alias("ms")
-            )
-            .filter(F.size("ms") >= 2)
-            .select(
-                F.explode(
-                    F.expr(
-                        "flatten(transform(ms, (a, i) -> "
-                        "transform(slice(ms, i + 2, size(ms)), b -> struct(a, b))))"
-                    )
-                ).alias("p")
-            )
-            .select(
-                F.col("p.a.vec_id").alias("vec_a"),
-                F.col("p.a.embedding").alias("emb_a"),
-                F.col("p.a.nrm").alias("nrm_a"),
-                F.col("p.b.vec_id").alias("vec_b"),
-                F.col("p.b.embedding").alias("emb_b"),
-                F.col("p.b.nrm").alias("nrm_b"),
-            )
-        )
-        # mega-clusters: triangle-blocked pair join (operators.skew).
-        # A plain cluster-keyed self-join is not skew-safe — it hands
-        # a viral cluster's entire O(n²) cosine workload to the one
-        # reducer owning its key and buffers the full cluster there;
-        # the blocked shape bounds every reducer at two
-        # ~max_bucket-row blocks. Block counts come from the same
-        # driver-known FINAL sizes the gate itself used (K rows).
-        from environmental_stac_generator_spark.operators.skew import (
-            blocked_self_pairs,
-        )
+    big_ids = [c for c, n in sizes if n > max_bucket]
+    small_m = (
+        members.filter(~F.col("cluster").isin(big_ids)) if big_ids else members
+    )
+    # Bounded clusters: ONE cluster-keyed exchange feeds the
+    # applyInArrow kernel, which enumerates and scores each cluster's
+    # pairs in vectorized numpy (r16, guide §4.2/§8 — "move the heavy
+    # bytes once": each member crosses the Python boundary once,
+    # O(members·d), where the previous shapes paid O(pairs) JVM
+    # interpreted dots [~61 s CPU on this stage at sf0.1] or
+    # O(pairs·d) Arrow transfer of duplicated embeddings [measured a
+    # wash]. Replaces both the broadcast fast path and the
+    # collect_list map-side path; per-task memory stays bounded by
+    # max_bucket exactly as the collect_list buffer was.)
+    small = _cluster_pair_cosines(small_m, threshold)
+    if not big_ids:
+        return small
+    # mega-clusters: triangle-blocked pair join (operators.skew).
+    # A plain cluster-keyed self-join is not skew-safe — it hands
+    # a viral cluster's entire O(n²) cosine workload to the one
+    # reducer owning its key and buffers the full cluster there;
+    # the blocked shape bounds every reducer at two
+    # ~max_bucket-row blocks. Block counts come from the same
+    # driver-known FINAL sizes the gate itself used (K rows).
+    from environmental_stac_generator_spark.operators.skew import (
+        blocked_self_pairs,
+    )
 
-        sizes_df = spark.createDataFrame(
-            [(int(c), int(n)) for c, n in sizes if n > max_bucket],
-            schema="cluster bigint, _n bigint",
-        )
-        big_m = members.filter(F.col("cluster").isin(big_ids)).join(
-            F.broadcast(sizes_df), "cluster"
-        )
-        bp = blocked_self_pairs(big_m, ["cluster"], "vec_id", "_n", max_bucket)
-        big_pairs = bp.select(
-            F.col("a_vec_id").alias("vec_a"),
-            F.col("a_embedding").alias("emb_a"),
-            F.col("a_nrm").alias("nrm_a"),
-            F.col("b_vec_id").alias("vec_b"),
-            F.col("b_embedding").alias("emb_b"),
-            F.col("b_nrm").alias("nrm_b"),
-        )
-        pairs = small_pairs.unionByName(big_pairs)
+    sizes_df = spark.createDataFrame(
+        [(int(c), int(n)) for c, n in sizes if n > max_bucket],
+        schema="cluster bigint, _n bigint",
+    )
+    big_m = members.filter(F.col("cluster").isin(big_ids)).join(
+        F.broadcast(sizes_df), "cluster"
+    )
+    bp = blocked_self_pairs(big_m, ["cluster"], "vec_id", "_n", max_bucket)
+    big_pairs = bp.select(
+        F.col("a_vec_id").alias("vec_a"),
+        F.col("a_embedding").alias("emb_a"),
+        F.col("a_nrm").alias("nrm_a"),
+        F.col("b_vec_id").alias("vec_b"),
+        F.col("b_embedding").alias("emb_b"),
+        F.col("b_nrm").alias("nrm_b"),
+    )
     # no global sort here: chain consumers (semantic dedup's anti-join)
     # are order-free, and a 100 TB pair relation must not pay a range
     # exchange for cosmetics — the registered query orders for its
-    # deterministic oracle comparison.
-    # explode(array(cos)) is a SINGLE-EVALUATION barrier (r16): the
-    # pushed-down threshold filter otherwise references the aliased
-    # cosine through the projection and Catalyst duplicates the whole
-    # dot product into the Filter node — every pair paid the 64-term
-    # HOF twice (guide §4.4's duplication, expression-level). A
-    # filter on a Generate's OUTPUT attribute cannot be pushed into
-    # the generator, so the dot runs exactly once per pair; the
-    # one-element explode itself is a few ns per row. Values and the
-    # surviving pair set are bit-identical.
-    return pairs.select(
-        "vec_a", "vec_b", F.explode(F.array(cos)).alias("cosine")
-    ).filter(F.col("cosine") >= threshold)
+    # deterministic oracle comparison. The blocked pairs' metric runs
+    # in the pairs-form Arrow kernel (bit-exact twin, same contract).
+    return small.unionByName(
+        _pair_cosines_arrow(big_pairs, threshold, filter_raw=False)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -273,43 +273,23 @@ def test_embedding_near_dup_join_path_equals_array_path(spark, sf_dir):
 
 def test_semdedup_pairs_shuffle_path_equals_broadcast_path(spark, sf_dir):
     """VERDICT r3 #2: `max_bucket` must actually gate the pair stage —
-    forcing every cluster through the skew-safe shuffle fallback
-    (max_bucket=1: no broadcast, cluster-keyed self-join) must yield
-    exactly the broadcast path's pair set."""
+    forcing every cluster through the skew-safe blocked fallback
+    (max_bucket=1: every cluster mega, triangle-blocked self-join +
+    pairs-form Arrow metric) must yield exactly the default
+    applyInArrow cluster-kernel path's pair set."""
     from environmental_stac_generator_spark.queries.similarity import (
         semdedup_pairs,
     )
 
-    broadcast_path = {
+    kernel_path = {
         (r["vec_a"], r["vec_b"], r["cosine"])
         for r in semdedup_pairs(spark, sf_dir).collect()
     }
-    shuffle_path = {
+    blocked_path = {
         (r["vec_a"], r["vec_b"], r["cosine"])
         for r in semdedup_pairs(spark, sf_dir, max_bucket=1).collect()
     }
-    assert broadcast_path == shuffle_path and len(broadcast_path) > 0
-
-
-def test_semdedup_pairs_array_path(spark, sf_dir):
-    """Mid-gate: clusters within max_bucket but corpus over the
-    broadcast budget take the map-side array path — same pair set."""
-    from environmental_stac_generator_spark.queries import similarity
-
-    base = {
-        (r["vec_a"], r["vec_b"], r["cosine"])
-        for r in similarity.semdedup_pairs(spark, sf_dir).collect()
-    }
-    orig = similarity.SEM_BROADCAST_ROWS
-    similarity.SEM_BROADCAST_ROWS = 0
-    try:
-        array_path = {
-            (r["vec_a"], r["vec_b"], r["cosine"])
-            for r in similarity.semdedup_pairs(spark, sf_dir).collect()
-        }
-    finally:
-        similarity.SEM_BROADCAST_ROWS = orig
-    assert base == array_path and len(base) > 0
+    assert kernel_path == blocked_path and len(kernel_path) > 0
 
 
 def test_kmeans_matches_numpy_lloyds(spark, sf_dir):
