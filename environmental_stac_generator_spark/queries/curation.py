@@ -134,10 +134,19 @@ N_PROBE_DOCS = 5  # doc_id < 5 stands in for the eval set
 def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from environmental_stac_generator_spark.queries.dedup import shingles_of
 
-    d = load(spark, sf_dir, "documents", fan_out=True)
-    shingled = shingles_of(d)
+    # Only the CORPUS shingle pass is fanned: each fan_out consumer
+    # builds its own round-robin exchange (no reuse across different
+    # pushed filters), so fanning the shared frame shipped the full
+    # text through three exchanges (r16 profile) when the probe side
+    # is a doc_id<5-pruned scan and the survivor side reads only
+    # (doc_id, source) — both stay fused column/predicate-pruned
+    # parquet scans.
+    docs = load(spark, sf_dir, "documents")
+    shingled = shingles_of(load(spark, sf_dir, "documents", fan_out=True))
     probe = (
-        shingled.filter(F.col("doc_id") < N_PROBE_DOCS).select("shingle").distinct()
+        shingles_of(docs.filter(F.col("doc_id") < N_PROBE_DOCS))
+        .select("shingle")
+        .distinct()
     )
     contaminated = (
         shingled.filter(F.col("doc_id") >= N_PROBE_DOCS)
@@ -146,7 +155,8 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     clean = (
-        d.filter(F.col("doc_id") >= N_PROBE_DOCS)
+        docs.select("doc_id", "source")
+        .filter(F.col("doc_id") >= N_PROBE_DOCS)
         .join(contaminated, "doc_id", "left_anti")  # AQE runtime-sizes
     )
     return clean.groupBy("source").agg(
@@ -631,23 +641,37 @@ def importance_logw_of(
 ) -> DataFrame:
     """(doc_id, source, logw_micro) DSIR importance log-weights of a
     (doc_id, text, source) frame vs the ``target`` domain — the
-    per-document form the curate chain filters on. Plan shape: one
-    token explode feeding ONE 64-row bucket aggregate (raw and
-    target counts as conditional partials in the same pass — two
-    separate aggregates would tokenize the whole corpus twice and
-    need an rc-tc join), a broadcast join of the ratio table back
-    onto the token stream, one integer partial-agg shuffle keyed by
-    doc."""
+    per-document form the curate chain filters on. Plan shape (r16):
+    ONE token explode feeding a (doc, source, bucket) COUNT aggregate
+    (map-side combined — the exchange carries at most 64 rows per doc
+    of plain ints), materialized once (cut_lineage); the 64-row ratio
+    table and the per-doc weights both derive from those counts, so
+    the corpus is tokenized ONCE — the previous shape re-ran the
+    token explode for the ratio aggregate AND the weight join (three
+    scan+tokenize stages in the r16 profile; guide §2.4 "two
+    operations keyed the same way can share one pass"). Per-doc
+    weight = Σ cnt·lr_micro — exact integer arithmetic, values
+    bit-identical to the per-token sum."""
+    from environmental_stac_generator_spark.operators.lineage import (
+        cut_lineage,
+    )
+
     toks = docs.select(
         "doc_id", "source", F.explode(F.split("text", " ")).alias("tok")
     )
     b = toks.select(
         "doc_id", "source", F.expr(_IMP_SPARK_BUCKET).alias("bucket")
     )
-    joined = b.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("rc"),
+    bcnt = cut_lineage(
+        b.groupBy("doc_id", "source", "bucket").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ),
+        eager=False,  # the ratio broadcast build materializes it
+    )
+    joined = bcnt.groupBy("bucket").agg(
+        F.sum("cnt").alias("rc"),
         F.sum(
-            F.when(F.col("source") == target, F.lit(1)).otherwise(F.lit(0))
+            F.when(F.col("source") == target, F.col("cnt")).otherwise(F.lit(0))
         ).alias("tc"),
     )
     tot = joined.agg(
@@ -662,9 +686,9 @@ def importance_logw_of(
         F.floor(lr * 1e6 + F.lit(0.5)).cast("bigint").alias("lr_micro"),
     )
     return (
-        b.join(F.broadcast(ratios), "bucket")
+        bcnt.join(F.broadcast(ratios), "bucket")
         .groupBy("doc_id", "source")
-        .agg(F.sum("lr_micro").alias("logw_micro"))
+        .agg(F.sum(F.col("cnt") * F.col("lr_micro")).alias("logw_micro"))
     )
 
 
