@@ -552,6 +552,14 @@ def span_dedup(
         d.select("doc_id", "source", F.split("text", " ").alias("w"))
         .filter(F.size("w") >= SPAN_W)
     )
+    # totals consumer: split+size+agg only — keep it on the fused
+    # pruned scan instead of paying its own full-text fan exchange
+    # (fan_out exchanges are NOT reused across consumers; r16 profile)
+    toks0 = (
+        load(spark, sf_dir, "documents")
+        .select("source", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= SPAN_W)
+    )
     wins = toks.select(
         "doc_id",
         "source",
@@ -612,7 +620,7 @@ def span_dedup(
         F.sum("dup_wins").alias("n_dup_windows"),
         F.sum("doc_id").alias("doc_id_sum"),
     )
-    totals = toks.groupBy("source").agg(
+    totals = toks0.groupBy("source").agg(
         F.sum(F.size("w") - SPAN_W + 1).alias("n_windows")
     )
     return totals.join(F.broadcast(flagged_src), "source", "left").select(
