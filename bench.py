@@ -1408,10 +1408,14 @@ def _curate_chain_run(spark, sf_dir):
     )
     from environmental_stac_generator_spark.tables import load
 
-    # fan the chain input (r16): each staged localCheckpoint inherits
-    # its input partitioning, so an under-split scan would otherwise
-    # single-thread EVERY downstream stage of the chain
-    docs = load(spark, sf_dir, "documents", fan_out=True).select(
+    # NOT fanned (r17 revert of the r16 fan): the fan was added on the
+    # single-thread-downstream theory but never A/B'd; the r17
+    # interleaved A/B (tools/ab_bench_extra.py, HEAD fan-vs-nofan
+    # lanes) read the fanned input 1.18x SLOWER — the chain's heavy
+    # stages shuffle to the session width anyway (exact-dedup hash
+    # window, bucket partition), so the fan only adds an exchange and
+    # a 16-partition localCheckpoint per stage for a tiny corpus.
+    docs = load(spark, sf_dir, "documents").select(
         "doc_id", "text", "source"
     )
     return curate(docs).stats

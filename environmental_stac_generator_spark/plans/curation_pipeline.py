@@ -325,8 +325,16 @@ def curate(
 
     def staged(df: DataFrame, stage: str) -> DataFrame:
         # one materialization per stage: downstream multi-consumption
-        # reads the stored partitions instead of re-running upstream
-        out = df.checkpoint() if reliable else df.localCheckpoint()
+        # reads the stored partitions instead of re-running upstream.
+        # LAZY checkpoint + count = ONE job that both computes/stores
+        # the partitions and counts them (the cut_lineage(eager=False)
+        # pattern); the eager form paid a second scheduled job per
+        # stage just to count the already-stored blocks.
+        out = (
+            df.checkpoint(eager=False)
+            if reliable
+            else df.localCheckpoint(eager=False)
+        )
         stats[stage] = last_count[0] = out.count()
         # the stage output is stored, so any tracked pair-bucket
         # caches created while building it (dedup.bucket_pairs,
