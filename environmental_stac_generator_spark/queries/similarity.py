@@ -276,16 +276,6 @@ def _cluster_pair_cosines(members: DataFrame, threshold: float) -> DataFrame:
         if len(rows) < 2:
             return empty()
         nr = np.asarray(nrm, dtype=np.float64)
-        # ANSI twin: the JVM evaluates the divisor nrm_a*nrm_b for
-        # EVERY candidate pair (cross-length included) and a zero
-        # divisor errors; zero*NaN/zero*inf are NaN, not zero.
-        zero = rows[nr[rows] == 0.0]
-        finite = rows[np.isfinite(nr[rows])]
-        if len(zero) and (len(zero) >= 2 or len(finite) > len(zero)):
-            raise ArithmeticError(
-                "[DIVIDE_BY_ZERO] zero-norm embedding in cosine "
-                "pair stage (ANSI twin of the JVM expression)"
-            )
         off = np.asarray(emb.offsets)
         lens = np.diff(off)
         vals = np.asarray(emb.values, dtype=np.float64)
@@ -305,10 +295,25 @@ def _cluster_pair_cosines(members: DataFrame, threshold: float) -> DataFrame:
                 )
                 gn, gid = nr[g], ids[g]
                 for ia, ib in _pair_index_chunks(m):
+                    div = gn[ia] * gn[ib]
+                    # ANSI twin, scoped to SAME-LENGTH pairs (ADVICE
+                    # r16): the JVM only throws DIVIDE_BY_ZERO where
+                    # the dot is non-null — a cross-length pair's NULL
+                    # dot short-circuits the ANSI Divide to NULL
+                    # before the zero-divisor check — so the raise
+                    # tests the exact per-pair product the JVM
+                    # divides by (zero*NaN / zero*inf are NaN, never
+                    # a throw).
+                    if np.any(div == 0.0):
+                        raise ArithmeticError(
+                            "[DIVIDE_BY_ZERO] zero-norm embedding in "
+                            "cosine pair stage (ANSI twin of the JVM "
+                            "expression)"
+                        )
                     acc = np.zeros(len(ia), dtype=np.float64)
                     for d in range(L):
                         acc += X[ia, d] * X[ib, d]
-                    rounded = _np_rnd(acc / (gn[ia] * gn[ib]), 5)
+                    rounded = _np_rnd(acc / div, 5)
                     keep = np.isnan(rounded) | (rounded >= thr)
                     if keep.any():
                         out_a.append(gid[ia[keep]])

@@ -219,3 +219,43 @@ def test_cluster_kernel_zero_norm_raises_like_ansi(spark):
         _hof_cluster_pairs(members, 0.35).collect()
     with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
         S._cluster_pair_cosines(members, 0.35).collect()
+
+
+@pytest.mark.parametrize("rows", [
+    # zero-norm member whose ONLY partner has a different length: the
+    # cross-length NULL dot short-circuits the JVM's ANSI Divide to
+    # NULL before the zero-divisor throw, so neither side raises and
+    # the result is empty (ADVICE r16 — the old kernel aborted here)
+    [(0, 1, [0.0, 0.0]), (0, 2, [1.0, 1.0, 1.0])],
+    # two zero-norm members of DIFFERENT lengths: same short-circuit
+    [(0, 1, [0.0, 0.0]), (0, 2, [0.0, 0.0, 0.0])],
+    # zero-norm member whose same-length partners are all NaN-norm:
+    # 0*NaN divisor is NaN, not zero — no throw, NaN cosine rounds
+    # to 0.0 on both sides
+    [(0, 1, [0.0, 0.0]), (0, 2, [float("nan"), 1.0])],
+])
+def test_cluster_kernel_cross_length_zero_norm_matches_hof(spark, rows):
+    members = _cluster_members(spark, rows)
+    want = sorted(
+        tuple(r) for r in _hof_cluster_pairs(members, -10.0).collect()
+    )
+    got = sorted(
+        tuple(r) for r in S._cluster_pair_cosines(members, -10.0).collect()
+    )
+    assert _rows_eq(got, want)
+
+
+def test_cluster_kernel_zero_norm_same_length_still_raises(spark):
+    # the zero-norm member has a cross-length partner AND a same-length
+    # zero-norm partner: the same-length pair's 0.0 divisor must still
+    # raise on both sides even though the cross-length pair would not
+    rows = [
+        (0, 1, [0.0, 0.0]),
+        (0, 2, [1.0, 1.0, 1.0]),
+        (0, 3, [0.0, 0.0]),
+    ]
+    members = _cluster_members(spark, rows)
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        _hof_cluster_pairs(members, 0.35).collect()
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        S._cluster_pair_cosines(members, 0.35).collect()
