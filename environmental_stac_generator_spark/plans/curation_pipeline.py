@@ -176,6 +176,7 @@ def _semantic_dedup(
     embeddings: DataFrame,
     threshold: float,
     n_clusters: int | str = "auto",
+    known_rows: int | None = None,
 ) -> DataFrame:
     from environmental_stac_generator_spark.queries.similarity import (
         semantic_pairs_of,
@@ -193,12 +194,16 @@ def _semantic_dedup(
     # of that content could vanish. The semi-join also keeps the
     # k-means pass (and the auto-K sqrt(N)) sized to the rows that
     # can actually be dropped.
+    # ``known_rows`` (the staged survivor count) bounds the semi-joined
+    # embeddings frame from above, so it feeds the provably-no-mega
+    # gate exactly like _near_dedup's bound_rows
     pairs = semantic_pairs_of(
         embeddings.join(docs.select("doc_id"), "doc_id", "left_semi").select(
             F.col("doc_id").alias("vec_id"), "embedding"
         ),
         threshold=threshold,
         n_clusters=n_clusters,
+        bound_rows=known_rows,
     )
     losers = pairs.select(F.col("vec_b").alias("doc_id")).distinct()
     return docs.join(losers, "doc_id", "left_anti")
@@ -372,6 +377,7 @@ def curate(
             _semantic_dedup(
                 cur, embeddings, cfg.semantic_cosine,
                 n_clusters=cfg.semantic_clusters,
+                known_rows=last_count[0],
             ),
             "semantic_dedup",
         )

@@ -1511,11 +1511,16 @@ _SEMDEDUP_SQL = f"""
 def semdedup_pairs(
     spark: SparkSession, sf_dir: str, max_bucket: int = 10_000
 ) -> DataFrame:
+    from environmental_stac_generator_spark.tables import table_rows
+
     e = load(spark, sf_dir, "embeddings", fan_out=True).select(
         "vec_id", "embedding"
     )
     return semantic_pairs_of(
-        e, max_bucket=max_bucket, init_cents=_init_cents_from_parquet(sf_dir)
+        e,
+        max_bucket=max_bucket,
+        init_cents=_init_cents_from_parquet(sf_dir),
+        bound_rows=table_rows(sf_dir, "embeddings"),
     ).orderBy("vec_a", "vec_b")
 
 
@@ -1525,6 +1530,7 @@ def semantic_pairs_of(
     max_bucket: int = 10_000,
     init_cents=None,
     n_clusters: int | str | None = None,
+    bound_rows: int | None = None,
 ) -> DataFrame:
     """(vec_a, vec_b, cosine) semantic-duplicate pairs of a
     (vec_id, embedding) frame — k-means clusters prune the pair
@@ -1553,15 +1559,31 @@ def semantic_pairs_of(
     Arrow kernel (:func:`_argmin_numpy`) — O(1) plan size in K and a
     BLAS matmul per batch instead of K interpreted HOF evaluations
     per row.
+
+    ``bound_rows``: a driver-known upper bound on ``e``'s row count
+    (parquet footer stats, a staged count). No cluster can hold more
+    members than the corpus has rows, so when the bound PROVES every
+    cluster fits ``max_bucket`` the mega-cluster routing is dead plan
+    weight (the r16 ``bucket_pairs(bound_rows=)`` precedent): the
+    exact K-row sizes aggregate+collect and the assignment checkpoint
+    (whose only multi-consumer was the big/small split) are skipped
+    and ALL members feed the pair kernel as a single-consumer
+    pipeline. ``"auto"`` derives the bound from its own exact count
+    for free. Unknown bounds (or ``force_scale_plans``) keep the full
+    skew-safe routing — the 100 TB posture is unchanged.
     """
     import math
 
     from environmental_stac_generator_spark.operators.lineage import (
         cut_lineage,
     )
+    from environmental_stac_generator_spark.tables import provably_small
 
     if n_clusters == "auto":
-        k = max(K_CLUSTERS, math.isqrt(max(e.count(), 0)))
+        n = max(e.count(), 0)
+        if bound_rows is None:
+            bound_rows = n  # the count IS an exact row bound
+        k = max(K_CLUSTERS, math.isqrt(n))
     else:
         k = int(n_clusters) if n_clusters else K_CLUSTERS
     # large K takes the vectorized Arrow assignment kernel: the
@@ -1578,22 +1600,35 @@ def semantic_pairs_of(
             F.col("vec_id").alias("vec_b"),
             F.lit(None).cast("double").alias("cosine"),
         ).limit(0)
-    # materialize the FINAL assignment once (lazily: the pair join's
-    # broadcast build is the materializing action) — every downstream
-    # consumer (both join sides / both pair branches) then reads the
-    # stored partitions instead of re-running the Lloyd's argmin pass
-    # over the corpus (VERDICT r4 #3 / ADVICE: the one-scan framing)
-    assigned = cut_lineage(assigned, eager=False)
     # The norm is computed ONCE per vector with the exact expression
     # the per-pair cosine divisor uses (sqrt of the sequential-double
     # self-dot), so every quotient's bits are unchanged while the
     # per-pair work drops from three dot products to one.
-    members = assigned.select(
-        "cluster",
-        "vec_id",
-        "embedding",
-        F.sqrt(_dot("embedding", "embedding")).alias("nrm"),
-    )
+    def members_of(frame):
+        return frame.select(
+            "cluster",
+            "vec_id",
+            "embedding",
+            F.sqrt(_dot("embedding", "embedding")).alias("nrm"),
+        )
+
+    # provably-no-mega gate (r17, the bucket_pairs/embedding_near_dup
+    # CBO posture): a cluster cannot outgrow the corpus, so a driver-
+    # known row bound at or under max_bucket makes the sizes
+    # aggregate+collect AND the assignment checkpoint dead weight —
+    # the final assignment then has exactly ONE consumer (the pair
+    # kernel's cluster-keyed exchange) and streams through it in a
+    # single pipeline. Unknown stats / force_scale_plans keep the
+    # exact-sizes routing below.
+    if provably_small(bound_rows, max_bucket):
+        return _cluster_pair_cosines(members_of(assigned), threshold)
+    # materialize the FINAL assignment once (lazily: the sizes
+    # aggregate below is the materializing action) — every downstream
+    # consumer (both pair branches) then reads the stored partitions
+    # instead of re-running the Lloyd's argmin pass over the corpus
+    # (VERDICT r4 #3 / ADVICE: the one-scan framing)
+    assigned = cut_lineage(assigned, eager=False)
+    members = members_of(assigned)
     # The broadcast/bucket gate is BALANCE-ONLY (both paths emit the
     # identical pair set — property-tested at max_bucket=1), but it
     # must be driven by the sizes of the FINAL assignment it routes:

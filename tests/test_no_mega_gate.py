@@ -117,3 +117,58 @@ def test_embedding_near_dup_gate_parity(spark, sf_dir):
         release_tracked()
     assert gated == scale
     assert len(gated) > 0
+
+
+def test_semantic_pairs_gate_identical_to_scale_plan(spark, sf_dir):
+    """r17: semantic_pairs_of(bound_rows=) drops the sizes collect +
+    assignment checkpoint when the bound proves no mega cluster —
+    pair set must be identical to the forced-scale routing, for both
+    the fixed-K and auto-K kernels."""
+    from environmental_stac_generator_spark.operators.lineage import (
+        release_tracked,
+    )
+    from environmental_stac_generator_spark.queries.similarity import (
+        semantic_pairs_of,
+    )
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for kw in ({"bound_rows": 5_000}, {"n_clusters": "auto"}):
+        gated = rows(semantic_pairs_of(e, **kw))
+        try:
+            tables.force_scale_plans(True)
+            scale = rows(semantic_pairs_of(e, **kw))
+        finally:
+            tables.force_scale_plans(False)
+            release_tracked()
+        assert gated == scale
+        assert len(gated) > 0
+
+
+def test_semantic_pairs_gate_skips_sizes_job(spark, sf_dir):
+    """The gated build must schedule no sizes collect: with the bound
+    proven, building the frame runs only the Lloyd update job(s) —
+    the K-row groupBy().collect() disappears (asserted structurally:
+    no checkpoint in the gated plan, checkpoint present when forced)."""
+    from environmental_stac_generator_spark.queries.similarity import (
+        semantic_pairs_of,
+    )
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    gated_plan = (
+        semantic_pairs_of(e, bound_rows=5_000)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "LogicalRDD" not in gated_plan  # no checkpoint barrier
+    try:
+        tables.force_scale_plans(True)
+        scale_plan = (
+            semantic_pairs_of(e, bound_rows=5_000)
+            ._jdf.queryExecution().optimizedPlan().toString()
+        )
+    finally:
+        tables.force_scale_plans(False)
+    assert "LogicalRDD" in scale_plan  # checkpointed assignment
