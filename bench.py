@@ -1330,18 +1330,15 @@ def main() -> None:
     # are tracked per-row without shifting the round-over-round total
     total = round(sum(timings[n] for n in HEADLINE), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    # Key ORDER is load-bearing (VERDICT r9 #2): the driver records
-    # the TAIL of stdout, and the r9 artifact lost its headline total
-    # and ~26 timing rows when the grown recall blocks pushed them out
-    # of the capture window. The auxiliary blocks therefore print
-    # FIRST and the headline metric/value/queries LAST, so truncation
-    # can only ever eat the blocks that are also persisted via
-    # _write_self_artifact below.
-    payload = {
-        "ann_recall_at_10": _ann_recall(spark, sf_dir, reg),
-        "ann_recall_at_10_mean": _ann_recall_mean(spark, sf_dir),
-        "ann_index": _ann_index_block(spark, sf_dir),
-        "cog_pipeline": _cog_pipeline_throughput(spark),
+    # The PRINTED line is the driver contract and must survive a
+    # fixed-size stdout tail capture (VERDICT r16 #3: the r15 line
+    # embedded the full 22-path recall ladder, overflowed the
+    # driver's 2000-char window, and cost the round its
+    # round-over-round numbers). It therefore carries ONLY the
+    # headline metric/value/queries + the machine block (~2.5 KB);
+    # the recall ladders, index block and COG throughput — quality
+    # evidence, not timing — live in the self-artifact file alone.
+    slim = {
         "machine": _machine_report(calib_start, calib_end, steal0, steal1),
         "metric": "headline_queries_total_runtime",
         "value": total,
@@ -1349,8 +1346,15 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    payload = {
+        "ann_recall_at_10": _ann_recall(spark, sf_dir, reg),
+        "ann_recall_at_10_mean": _ann_recall_mean(spark, sf_dir),
+        "ann_index": _ann_index_block(spark, sf_dir),
+        "cog_pipeline": _cog_pipeline_throughput(spark),
+        **slim,
+    }
     _write_self_artifact(payload, "BENCH_SELF.json")
-    print(json.dumps(payload))
+    print(json.dumps(slim))
     spark.stop()
 
 

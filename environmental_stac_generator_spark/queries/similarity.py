@@ -1352,7 +1352,16 @@ def _sqdist_sql(vec_sql: str) -> str:
     "pass of a SemDeDup-style curation pipeline.",
 )
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # fan the under-split scan (r17): Lloyd's is one argmin map pass
+    # + one partial-agg update per round, so a single-row-group
+    # corpus single-threads BOTH — measured 153.7 s at the sf1 scale
+    # lane (500k rows, 1 task) vs ~2 s fanned. The fixed fan width
+    # keeps the update's float partial-agg grouping deterministic,
+    # and the 6-dp centroid rounding is oracle-checked at 3 SFs
+    # (semdedup_pairs' fanned _lloyd_assign shares this grouping).
+    e = load(spark, sf_dir, "embeddings", fan_out=True).select(
+        "vec_id", "embedding"
+    )
     assigned, _ = _lloyd_assign(e, init_cents=_init_cents_from_parquet(sf_dir))
     if assigned is None:  # empty corpus: nothing to cluster
         return e.select(
