@@ -935,9 +935,18 @@ def verified_pairs_of(
         .filter(F.size("words") >= 3)
         .select("doc_id", F.array_distinct(F.expr(_SPARK_SHINGLES)).alias("sh"))
     )
+    # fan the BANDS input when the frame is under-split (r17): the
+    # minhash band map is the heavy stage of this operator, and a
+    # 1-partition staged chain checkpoint single-threads it (measured
+    # 1.95 -> 1.21 s on the chain's near-dup stage; fanning the
+    # shingle-set sides as well measured SLOWER — their joins are
+    # candidate-narrowed). Already-fanned scans pass through the
+    # partition-count gate unchanged, as does any corpus-scale frame.
+    from environmental_stac_generator_spark.tables import fan_out_frame
+
     pairs = bucket_pairs(
-        bands_of(d), ["band", "band_hash"], "doc_id", max_bucket,
-        bound_rows=bound_rows,
+        bands_of(fan_out_frame(d)), ["band", "band_hash"], "doc_id",
+        max_bucket, bound_rows=bound_rows,
     )
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))

@@ -419,6 +419,11 @@ def _lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     against driver-collected hyperplanes (N_PLANES tiny rows). The
     corpus is never shuffled or cross-joined to get its buckets: at
     100 TB this is a single scan-project stage."""
+    # NOT fanned: an r17 interleaved A/B of fan_out=True here read
+    # embedding_near_dup 1.15x SLOWER at sf0.1 — the bits+norm map is
+    # too cheap at this corpus size to pay the extra exchange, and the
+    # pair stage (the heavy side) already parallelizes through its own
+    # bucket-keyed shuffle.
     e = load(spark, sf_dir, "embeddings")
     planes = _id_range_rows(e, N_PLANES)
     if not planes:

@@ -119,6 +119,24 @@ def fan_out_scan(df: DataFrame, sf_dir: str, name: str) -> DataFrame:
     return df.repartition(FAN_OUT_PARTITIONS)
 
 
+def fan_out_frame(df: DataFrame) -> DataFrame:
+    """Round-robin an UNDER-SPLIT in-memory frame (e.g. a staged
+    curate-chain checkpoint) to :data:`FAN_OUT_PARTITIONS` for a
+    map-compute-heavy consumer — the RDD-frame twin of
+    :func:`fan_out_scan`. Gated on the frame's ACTUAL partition
+    count: a corpus-scale frame (>= the fan width) returns unchanged,
+    so no 100 TB relation ever pays a blind repartition. The fixed
+    width keeps row-to-partition assignment deterministic
+    (sortBeforeRepartition), exactly like the scan gate."""
+    if FAN_OUT_PARTITIONS <= 1:
+        return df
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    return df.repartition(FAN_OUT_PARTITIONS) if n < FAN_OUT_PARTITIONS else df
+
+
 def load(
     spark: SparkSession, sf_dir: str, name: str, fan_out: bool = False
 ) -> DataFrame:
